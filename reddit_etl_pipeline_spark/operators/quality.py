@@ -1,0 +1,71 @@
+"""Data-quality operators (SURVEY.md §2.11).
+
+Covers the reference's runtime audits and dbt schema tests:
+
+- null audit: ``df.isna().sum().sum()`` logged per extract
+  (reference ``airflow/extraction/extract-from-reddit.py:117-120``)
+- uniqueness / not-null assertions: dbt ``data_tests: [unique, not_null]``
+  (reference ``dbt/reddit_dbt/models/example/schema.yml:8-19``)
+- corrupt-record audit: Redshift ``sys_load_error_detail`` top-10
+  (reference ``s3_to_redshift.py:312-331``) mapped to PERMISSIVE-mode
+  ``_corrupt_record`` accounting.
+
+All audits are single-pass aggregates — one job, no per-column actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_counts(df: DataFrame) -> dict[str, int]:
+    """Per-column null counts in ONE aggregate pass (the reference's
+    eager per-column isna().sum() collapses into a single job)."""
+    row = df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in df.columns
+        ]
+    ).first()
+    return row.asDict()
+
+
+def total_nulls(df: DataFrame) -> int:
+    """``df.isna().sum().sum()`` parity (extract-from-reddit.py:117-120)."""
+    return sum(v or 0 for v in null_counts(df).values())
+
+
+def duplicate_keys(df: DataFrame, key: str = "id") -> DataFrame:
+    """Keys violating the dbt ``unique`` test: groupBy(key) HAVING count>1."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def assert_unique(df: DataFrame, key: str = "id") -> None:
+    """dbt ``unique`` test on ``key``."""
+    if not duplicate_keys(df, key).isEmpty():
+        raise AssertionError(f"uniqueness violated on {key}")
+
+
+def assert_not_null(df: DataFrame, key: str = "id") -> None:
+    """dbt ``not_null`` test on ``key``."""
+    if not df.filter(F.col(key).isNull()).isEmpty():
+        raise AssertionError(f"not-null violated on {key}")
+
+
+def summary_stats(df: DataFrame) -> dict:
+    """Extraction-time summary logged by the reference
+    (extract-from-reddit.py:236-245): mean/max of score & num_comments,
+    row count — one aggregate job."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("score").alias("avg_score"),
+        F.max("score").alias("max_score"),
+        F.avg("num_comments").alias("avg_comments"),
+        F.max("num_comments").alias("max_comments"),
+    ).first()
+    return row.asDict()

@@ -1,0 +1,91 @@
+"""Daily-batch pipeline driver — the Airflow DAG collapsed into one program.
+
+The reference orchestrates four OS processes communicating through files
+keyed by YYYYMMDD (reference ``airflow/dags/reddit_pipeline.py:20-44``):
+extract -> upload_to_s3 -> s3_to_redshift -> dbt. Spark-first, stages 2-3
+disappear (the lake write IS the load) and the chain becomes:
+
+    fetch -> transform (lazy) -> lake append (batch_date partition)
+          -> upsert into warehouse -> models
+
+Idempotence: re-running a day overwrites only that day's lake partition
+(dynamic partition overwrite) and the upsert is last-write-wins on ``id`` —
+the reference's documented intent (``s3_to_redshift.py:9-15``), minus its
+drop-the-table bug (SURVEY.md §3.2).
+
+Scale: each stage is one Catalyst job; the warehouse rebuild is the only
+multi-batch shuffle and uses the max_by aggregate (map-side combine). At
+100 TB the warehouse would be bucketed by ``id`` so the upsert aggregation
+reuses the bucket partitioning instead of reshuffling — noted in
+``operators.upsert``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.transforms import transform_posts
+from ..operators.quality import assert_not_null, assert_unique, summary_stats, total_nulls
+from ..operators.upsert import upsert_anti_join
+from ..sources.lake import read_table, with_batch_date, write_table
+from ..sources.reddit_api import fetch_posts_df
+from . import models as M
+
+
+def run_daily_batch(
+    spark: SparkSession,
+    fetcher: Callable[[], Iterable[object]],
+    lake_path: str,
+    warehouse_path: str,
+    batch_date: str,
+    extraction_at=None,
+    run_dbt_models: bool = True,
+) -> dict:
+    """One end-to-end daily run. Returns the audit log dict (null counts,
+    row counts — the reference's observability surface)."""
+    raw = fetch_posts_df(spark, fetcher)
+    staged = transform_posts(raw, extraction_at=extraction_at)
+    audits = {"nulls_raw": total_nulls(raw), **summary_stats(staged)}
+
+    if audits["n_rows"] == 0:
+        # empty-input guard (extract-from-reddit.py:106-108): nothing to
+        # load; keep lake/warehouse untouched, report zero-row audits.
+        audits.update({"warehouse_rows": None, "batch_rows": 0})
+        return audits
+
+    # lake append: one partition per batch_date; rerun-safe overwrite
+    write_table(
+        with_batch_date(staged, batch_date),
+        lake_path,
+        mode="overwrite",
+        dynamic_overwrite=True,
+    )
+
+    # warehouse upsert (COPY + DELETE USING + INSERT parity)
+    batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
+    try:
+        main = spark.read.parquet(warehouse_path)
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        merged = upsert_anti_join(main, batch)
+        # two-phase write: parquet can't overwrite its own input in place
+        tmp = warehouse_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(warehouse_path)
+    else:
+        batch.write.mode("overwrite").parquet(warehouse_path)
+
+    warehouse = spark.read.parquet(warehouse_path)
+    assert_unique(warehouse, "id")
+    assert_not_null(warehouse, "id")
+    audits["warehouse_rows"] = warehouse.count()
+    audits["batch_rows"] = batch.count()
+
+    if run_dbt_models:
+        warehouse.createOrReplaceTempView("reddit")
+        M.run_models(spark)
+    return audits

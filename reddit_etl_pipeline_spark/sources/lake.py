@@ -1,0 +1,61 @@
+"""Parquet lake — the engine's warehouse layer.
+
+Replaces the reference's S3-CSV-then-Redshift hop (reference
+``airflow/extraction/upload_to_s3.py:73-121`` + ``s3_to_redshift.py``) with
+direct partitioned Parquet writes: Spark writes ``s3a://`` (or local) paths
+natively, so the separate upload step disappears.
+
+Layout (SURVEY.md §4.3): partitioned by ``batch_date`` (the reference's
+``YYYYMMDD.csv`` batch key, ``upload_to_s3.py:41-47``) — gives partition
+pruning for per-day reprocessing and bounds the rewrite unit for upserts.
+At 100 TB: one directory per day, each day internally split by Spark into
+~128 MB files; dynamic partition overwrite rewrites only touched days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_DATE_COL = "batch_date"
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Write a relation to the lake, partitioned (default by batch_date
+    when present). ``dynamic_overwrite`` limits overwrite mode to the
+    partitions present in ``df`` — the idempotent-reload primitive."""
+    if partition_by is None:
+        partition_by = [BATCH_DATE_COL] if BATCH_DATE_COL in df.columns else []
+    writer = df.write.mode(mode)
+    if mode == "overwrite" and partition_by and dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str, batch_date: str | None = None) -> DataFrame:
+    """Read a lake table; ``batch_date='YYYYMMDD'`` prunes to one day's
+    partition (filter on the partition column — pruned at planning, no
+    directory listing of other days)."""
+    df = spark.read.parquet(path)
+    if batch_date is not None:
+        df = df.filter(F.col(BATCH_DATE_COL) == batch_date)
+    return df
+
+
+def with_batch_date(df: DataFrame, batch_date: str | None = None) -> DataFrame:
+    """Stamp the YYYYMMDD batch key (reference date-keyed naming,
+    extract-from-reddit.py:259, s3_to_redshift.py:137-148)."""
+    col = (
+        F.lit(batch_date)
+        if batch_date is not None
+        else F.date_format(F.current_date(), "yyyyMMdd")
+    )
+    return df.withColumn(BATCH_DATE_COL, col)
