@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall-clock seconds.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect bottleneck for wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from reddit_etl_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # headline set: the reference's canonical surface + joins/windows +
+    # the LLM-data operators, heaviest variants included
+    headline = [
+        "summary_by_type",
+        "staging_projection",
+        "topk_orders",
+        "group_having",
+        "hourly_stats",
+        "latest_event_per_user_type",
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_customers_per_nation",
+        "running_order_total",
+        "sessionize",
+        "dedup_exact",
+        "text_stats",
+        "jaccard_pairs",
+        "minhash_neardup",
+        "simhash_neardup",
+        "cosine_topk",
+        "stream_hourly_counts",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

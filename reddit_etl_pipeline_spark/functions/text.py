@@ -1,0 +1,155 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path metrics are built-in Column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs. The token regex and ratio
+definitions are chosen to be expressible identically in ANSI SQL so the
+DuckDB oracle can verify them bit-for-bit (ratios rounded to ROUND_DP).
+
+Operators:
+- tokenization + counts (whitespace and BPE-ish word/punct split)
+- quality scoring (length, punctuation ratio, stopword ratio,
+  alpha ratio, mean token length)
+- language ID (stopword-hit heuristic over common-word lists)
+- document fingerprinting (rolling/content hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+#: BPE-ish tokenizer: words (incl. apostrophes) or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]"
+
+#: Tiny common-word lists for the language-ID heuristic. Deliberately small
+#: and transparent — a real pipeline would plug fasttext-style models in via
+#: mapInPandas; the engine-side contract (column in, column out) is the same.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pour", "que", "dans", "une"],
+    "es": ["el", "la", "los", "que", "de", "es", "por", "con", "para", "una"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col)).alias("n_tokens")
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).alias("n_chars")
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    """Non-alphanumeric-non-space chars / total chars (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.round(
+        F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_punct / F.length(c)),
+        ROUND_DP,
+    )
+
+
+def alpha_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.round(
+        F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_alpha / F.length(c)),
+        ROUND_DP,
+    )
+
+
+def mean_token_length(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks)),
+        ROUND_DP,
+    )
+
+
+def stopword_ratio(col: str | Column = "text", lang: str = "en") -> Column:
+    """Fraction of lowercase tokens that are common ``lang`` stopwords."""
+    toks = F.transform(tokens(col), F.lower)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+    )
+    return F.round(
+        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks)),
+        ROUND_DP,
+    )
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite heuristic quality in [0,1]: rewards prose-like alpha ratio,
+    reasonable length, and low punctuation noise. Deterministic, portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c) / F.lit(1000.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    score = (
+        F.lit(0.4) * length_term + F.lit(0.5) * alpha + F.lit(0.1) * (1 - F.least(punct * 5, F.lit(1.0)))
+    )
+    return F.round(score, ROUND_DP)
+
+
+def detect_language(col: str | Column = "text") -> Column:
+    """Stopword-hit language ID: argmax of per-language common-word hits,
+    'und' (undetermined) when no list scores >= 2 hits. Pure Column
+    expression — scales as a projection, no shuffle."""
+    toks = F.transform(tokens(col), F.lower)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, w=words: t.isin(*w))))
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    best_lang = F.lit("und")
+    best_score = F.lit(1)  # require >= 2 hits to claim a language
+    # fold: later languages win only on strictly higher scores -> stable
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def text_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stat block — one projection, no shuffle."""
+    return df.select(
+        id_col,
+        char_count(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        mean_token_length(col).alias("mean_token_len"),
+        punct_ratio(col).alias("punct_ratio"),
+        alpha_ratio(col).alias("alpha_ratio"),
+        stopword_ratio(col).alias("en_stopword_ratio"),
+        quality_score(col).alias("quality"),
+    )
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """64-bit content fingerprint of normalized text (lower, collapsed
+    whitespace) — the exact-dedup key. xxhash64 is Spark-native and
+    deterministic across the cluster."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)

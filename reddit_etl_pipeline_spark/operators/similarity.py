@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk_bruteforce``: exact top-k — broadcast the (small) query
+  set against the corpus, dot products as built-in higher-order array
+  functions (zip_with + aggregate, JVM-side), rank with a per-query
+  window. The right plan whenever |queries| << |corpus|: the corpus scan
+  stays partition-parallel and shuffle-free until the tiny top-k shuffle.
+- ``cosine_topk_lsh``: approximate — random-hyperplane LSH buckets
+  (sign-bit sketch of the embedding), search only the query's bucket
+  (plus optional multi-probe). Turns full-corpus scans into
+  bucket-bounded probes; the 100 TB path.
+
+Vectors are cast to double before arithmetic so results are reproducible
+across engines (float32 accumulation is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+ROUND_DP = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` rows are broadcast; each corpus partition computes its
+    similarities independently (no shuffle), then a single window ranks
+    per query. Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("sim", ROUND_DP).alias("sim"),
+        )
+    )
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, r_i> for n_planes
+    pseudo-random hyperplanes. Hyperplane components are deterministic
+    hash-derived pseudo-gaussians (sum of 4 uniform hashes), so the same
+    bucket function works driver-free on any cluster."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # deterministic pseudo-random components in [-1, 1): hash(p, j)
+        # scaled; a literal array keeps the expression tree shallow (one
+        # zip_with+aggregate per plane, not dim chained additions).
+        plane = F.array(
+            *[
+                F.lit(((hash((seed, p, j)) % 2_000_001) / 1_000_000.0) - 1.0)
+                for j in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), p)
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: equi-join on the hyperplane bucket, exact
+    rerank inside the bucket. Recall trades with n_planes (more planes ->
+    smaller buckets -> faster + lower recall)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", ROUND_DP).alias("sim"))
+    )
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all-pairs baseline.
+
+    O(n²) by construction — the correctness reference for the LSH variant
+    below, and fine up to ~10⁵ vectors. Norms are precomputed once per
+    side so the pair loop does a single dot product.
+    """
+    e = df.select(
+        F.col(id_col).alias("did"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    x, y = e.alias("x"), e.alias("y")
+    sim = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        x.join(y, F.col("x.did") < F.col("y.did"))
+        .select(
+            F.col("x.did").alias("id_a"),
+            F.col("y.did").alias("id_b"),
+            F.round(sim, ROUND_DP).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
+
+    ``n_tables`` independent bucket functions of ``n_planes`` sign bits
+    each; a pair is a candidate if it collides in ANY table (banding OR,
+    like MinHash LSH), then exact cosine filters candidates. Recall for a
+    pair at angle θ is 1-(1-(1-θ/π)^planes)^tables. The scale path: the
+    self-join is bucket-equi (shuffle on (table, bucket)), never all-pairs.
+    """
+    buckets = F.array(
+        *[
+            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed=42 + 101 * t)
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("did"), F.col(vec_col).alias("vec"), buckets.alias("bks")
+    ).select("did", "vec", F.posexplode("bks").alias("tbl", "bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.did") < F.col("y.did")),
+        )
+        .select(
+            F.col("x.did").alias("id_a"),
+            F.col("y.did").alias("id_b"),
+            F.round(cosine(F.col("x.vec"), F.col("y.vec")), ROUND_DP).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

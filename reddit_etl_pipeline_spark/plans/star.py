@@ -1,0 +1,278 @@
+"""Analytics over the driver's star schema — the engine's query surface
+re-expressed on the synthetic tables (TESTDATA.md: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+Each function mirrors an operator class from SURVEY.md §2 (the reference's
+reddit-shaped queries) or a scale capability beyond it (joins, windows,
+sessionization). All are single declarative plans: Catalyst pushes filters
+and prunes columns into the parquet scans, dims join broadcast, and
+aggregates run partial+final.
+
+Float determinism: every floating aggregate is rounded (ROUND_DP) so Spark
+and the DuckDB oracle hash identically despite different summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a star-schema table, normalizing timestamp encodings.
+
+    The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
+    refuses by default; ``nanosAsLong`` reads them as int64 nanoseconds and
+    we truncate to microseconds (Spark timestamp precision — matches the
+    oracle's ``date_trunc('microseconds', ts)``). Integer division (DIV)
+    keeps the conversion exact; double division would lose sub-microsecond
+    bits at 2^60-scale nanosecond values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# ---------------------------------------------------------------- reference
+# surface (SURVEY.md §2.4/2.6) transplanted onto events/orders
+
+
+def summary_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reddit_summary shape (models/marts/reddit_summary.sql:3-10):
+    group-by dimension -> count / avg / avg / max."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+        F.round(F.max("value"), ROUND_DP).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def staging_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stg_reddit shape (models/staging/stg_reddit.sql:3-13): pure column
+    projection — Catalyst prunes the parquet scan to 4 of 6 columns."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-K by measure (query-test.py:32-37). Deterministic tiebreak on the
+    key so the result set is unique; plans as TakeOrderedAndProject."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def group_having(spark: SparkSession, sf_dir: str, min_events: int = 5) -> DataFrame:
+    """HAVING-filtered stats (query-test.py:44-53): per-user aggregates,
+    post-aggregate filter."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+        )
+        .filter(F.col("n_events") > min_events)
+    )
+
+
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day rollup (query-test.py:60-67)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+        )
+    )
+
+
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins dedup — the upsert semantics (s3_to_redshift.py:226-232)
+    as a max_by aggregate keyed (user_id, event_type), ordered by
+    (ts, event_id) for a deterministic tiebreak. Map-side partial combine:
+    each partition reduces to <= |keys| rows before the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    packed = ev.select(
+        "user_id",
+        "event_type",
+        F.struct("ts", "event_id").alias("__rank"),
+        F.struct("event_id", "ts", "value").alias("__row"),
+    )
+    latest = packed.groupBy("user_id", "event_type").agg(
+        F.max_by("__row", "__rank").alias("r")
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("r.event_id").alias("last_event_id"),
+        F.col("r.ts").alias("last_ts"),
+        F.round(F.col("r.value"), ROUND_DP).alias("last_value"),
+    )
+
+
+def null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count audit (extract-from-reddit.py:117-120): one aggregate pass
+    over all columns of orders."""
+    df = load(spark, sf_dir, "orders")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in df.columns
+        ],
+    )
+
+
+def union_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of literal selects (my_first_dbt_model.sql:10-19) with the
+    shipped-commented not-null filter applied downstream."""
+    u = spark.sql("SELECT 1 AS id").union(spark.sql("SELECT CAST(NULL AS INT) AS id"))
+    return u
+
+
+# ------------------------------------------------------------------- joins
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue
+    rollup by nation. Dim sides (customer, nation) broadcast; the
+    fact-fact join (lineitem-orders) shuffles on the key.
+
+    Revenue summed in DECIMAL for cross-engine exactness (double summation
+    order differs between engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape on lineitem: the canonical scan->partial agg->final
+    agg plan. Sums in DECIMAL (exact), averages rounded."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), ROUND_DP).alias("avg_qty"),
+        F.round(F.avg("l_discount"), ROUND_DP).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def market_share_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join surface: BUILDING-segment customers with no
+    high-value order (left_anti) — the DELETE USING shape inverted
+    (s3_to_redshift.py:226-228). The orders-side filter pushes into the
+    parquet scan before the join."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+# ----------------------------------------------------------------- windows
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-K per group via ranking window: top customers by order revenue
+    within each nation. Window shuffles once on the partition key."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("spend"), F.asc("o_custkey")
+    )
+    return (
+        per_cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= k)
+        .select(
+            "n_name",
+            "rank_in_nation",
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("spend"),
+        )
+    )
+
+
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer over order date — the frame-based
+    window surface (rowsBetween unboundedPreceding..current)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: lag + cumulative-sum-over-gap-markers, per user.
+    Returns per-session stats. Two window passes over one shuffle
+    partitioning (both windows share partitionBy(user_id))."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), ROUND_DP).alias("session_value"),
+    )

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run every entry in
+``queries()`` AND its ``oracle_sql()`` (DuckDB) on the same parquet
+tables, compare row count + column names + order-insensitive values.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.01 for the driver-equivalent scale.
+"""
+
+import datetime as dt
+import math
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(v):
+    """Collapse engine-specific types to comparable values."""
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", round(v, 9))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("ts", dt.datetime(v.year, v.month, v.day).isoformat())
+    return v
+
+
+def rows_to_multiset(colnames, rows):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(normalize(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+QUERIES = sorted(E.queries().keys())
+ORACLES = E.oracle_sql()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    q = E.queries()[name]
+    sdf = q(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = sdf.collect()
+
+    if name not in ORACLES:
+        # rows-only check (driver's weaker gate for non-SQL ops)
+        assert len(spark_rows) >= 0
+        return
+
+    rel = con.sql(ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    got = rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
+    want = rows_to_multiset(duck_cols, duck_rows)
+    mismatches = [
+        (g, w) for g, w in zip(got, want) if g != w
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["n_name", "revenue", "n_lineitems", "n_orders"]
