@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from reddit_etl_pipeline_spark.operators import dedup as D
+from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.plans import star as Q
@@ -84,6 +85,48 @@ def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counts (regexp_extract_all projection)."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+def _lang_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs ground-truth lang column: confusion rollup."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        TX.detect_language("text").alias("lang_pred"),
+        F.col("lang").alias("lang_actual"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def _media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing through Arrow-batched mapInPandas."""
+    media = MM.attach_fake_media(Q.load(spark, sf_dir, "documents"))
+    return MM.media_byte_stats(media).select("media_id", "media_type", "n_bytes")
+
+
+def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling row-explosion shape: frames per blob."""
+    media = MM.attach_fake_media(Q.load(spark, sf_dir, "documents"))
+    return MM.sample_frames(media, n_frames=4).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake featurizer via mapInPandas (rows-only check:
+    byte-histogram semantics aren't SQL-expressible over blobs)."""
+    media = MM.attach_fake_media(Q.load(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media, dim=16)
+    return feats.select(
+        "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 # -------------------------------------------------------------- embeddings
 
 
@@ -114,6 +157,12 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_hourly_counts(spark, sf_dir)
+
+
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) — bounded-stream
+    sessionization; must equal the batch sessionize oracle."""
+    return ST.streamed_sessionize(spark, sf_dir)
 
 
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
         "lang_source_rollup": _lang_source_rollup,
+        "bpe_token_stats": _bpe_token_stats,
+        "lang_id_rollup": _lang_id_rollup,
         "jaccard_pairs": _jaccard_pairs,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
@@ -156,8 +207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
+        # multimodal (binary columns over Arrow-batched mapInPandas)
+        "media_byte_stats": _media_byte_stats,
+        "media_frame_counts": _media_frame_counts,
+        "media_features": _media_features,
         # streaming
         "stream_hourly_counts": _stream_hourly,
+        "stream_sessionize": _stream_sessionize,
     }
 
 
@@ -367,6 +423,71 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim DESC, neighbor_id) AS rank
               FROM scored) r
             WHERE rank <= 5
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+(?:''[A-Za-z]+)?|[^\\sA-Za-z0-9]')) AS INTEGER)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_id_rollup": f"""
+            WITH scored AS (
+              SELECT lang AS lang_actual,
+                     len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                         t -> list_contains(['the','and','of','to','in','is','that','for','with','was'], t))) AS h_en,
+                     len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                         t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], t))) AS h_de,
+                     len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                         t -> list_contains(['le','la','les','et','des','est','pour','que','dans','une'], t))) AS h_fr,
+                     len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                         t -> list_contains(['el','la','los','que','de','es','por','con','para','una'], t))) AS h_es
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN h_es >= 2 AND h_es > h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
+                     WHEN h_fr >= 2 AND h_fr > h_de AND h_fr > h_en THEN 'fr'
+                     WHEN h_de >= 2 AND h_de > h_en THEN 'de'
+                     WHEN h_en >= 2 THEN 'en'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   lang_actual,
+                   count(*) AS n_docs
+            FROM scored GROUP BY 1, 2
+        """,
+        "media_byte_stats": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "media_frame_counts": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN least(4, greatest(octet_length(encode(text)), 1))
+                             ELSE 1 END AS BIGINT) AS n_frames
+            FROM documents
+        """,
+        "stream_sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM marked)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   CAST(date_trunc('microseconds', min(ts)) AS TIMESTAMP) AS session_start,
+                   CAST(date_trunc('microseconds', max(ts)) AS TIMESTAMP) AS session_end,
+                   round(sum(value), 6) AS session_value
+            FROM sess GROUP BY user_id, session_seq
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -47,6 +47,18 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col)).alias("n_tokens")
 
 
+def bpe_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish sub-word split: word runs (with optional apostrophe suffix)
+    plus single symbol chars — the pre-tokenization most BPE vocabularies
+    apply. Pure regexp_extract_all projection, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    return F.size(bpe_tokens(col)).alias("n_bpe_tokens")
+
+
 def char_count(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).alias("n_chars")
@@ -118,8 +130,13 @@ def detect_language(col: str | Column = "text") -> Column:
     'und' (undetermined) when no list scores >= 2 hits. Pure Column
     expression — scales as a projection, no shuffle."""
     toks = F.transform(tokens(col), F.lower)
+
+    def _hits(words: list[str]):
+        # closure factory: PySpark counts lambda default-args as HOF params
+        return lambda t: t.isin(*words)
+
     scores = [
-        (lang, F.size(F.filter(toks, lambda t, w=words: t.isin(*w))))
+        (lang, F.size(F.filter(toks, _hits(words))))
         for lang, words in LANG_STOPWORDS.items()
     ]
     best_lang = F.lit("und")

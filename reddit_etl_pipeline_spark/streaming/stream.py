@@ -88,3 +88,186 @@ def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         windowed_event_counts(read_events_stream(spark, sf_dir)), spark
     )
+
+
+# ------------------------------------------------ custom stateful operator
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming sessionizer via applyInPandasWithState.
+
+    Per user_id, state carries the open session (seq, start/end epoch-µs,
+    count, value sum); each micro-batch walks that user's events in
+    (ts, event_id) order, closing a session whenever the floor-seconds gap
+    exceeds ``gap_minutes`` (strict >, matching the batch ``sessionize``
+    in plans/star.py). Rows with event_id < 0 are end-of-stream sentinels:
+    they flush the open session without joining one — how a bounded run
+    drains state (production streams would use event-time timeouts
+    instead).
+
+    Output rows are CLOSED sessions only (append mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("session_seq", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("session_start", TimestampType(), False),
+            StructField("session_end", TimestampType(), False),
+            StructField("session_value", DoubleType(), False),
+        ]
+    )
+    # state survives even when no session is open (has_open=0) so
+    # session_seq keeps counting across micro-batches
+    state_schema = StructType(
+        [
+            StructField("last_seq", LongType(), False),
+            StructField("has_open", LongType(), False),
+            StructField("start_us", LongType(), False),
+            StructField("end_us", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("val", DoubleType(), False),
+        ]
+    )
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        last_seq = 0
+        open_sess = None  # [seq, start_us, end_us, n, val]
+        if state.exists:
+            last_seq, has_open, start_us, end_us, n, val = state.get
+            if has_open:
+                open_sess = [last_seq, start_us, end_us, n, val]
+        closed: list[list] = []
+
+        def close():
+            nonlocal open_sess
+            if open_sess is not None:
+                closed.append(open_sess)
+                open_sess = None
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                if ev_id < 0:  # end-of-stream sentinel: drain
+                    close()
+                    continue
+                us = ts.value // 1_000  # pandas ns -> epoch µs
+                sec = us // 1_000_000
+                if open_sess is not None and sec - (open_sess[2] // 1_000_000) > gap_s:
+                    close()
+                if open_sess is None:
+                    last_seq += 1
+                    open_sess = [last_seq, us, us, 1, float(val)]
+                else:
+                    open_sess[2] = us
+                    open_sess[3] += 1
+                    open_sess[4] += float(val)
+        if open_sess is not None:
+            state.update((last_seq, 1, open_sess[1], open_sess[2], open_sess[3], open_sess[4]))
+        elif last_seq > 0:
+            state.update((last_seq, 0, 0, 0, 0, 0.0))
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_seq": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "session_value": [round(c[4], 6) for c in closed],
+                }
+            )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def streamed_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """End-to-end stateful-streaming sessionization over the bounded events
+    table, equivalent to the batch ``plans.star.sessionize`` (same DuckDB
+    oracle).
+
+    The stream source dir holds a symlink to events.parquet plus a
+    driver-written sentinel file (one event_id=-1 row per user, stamped
+    after every real event); with maxFilesPerTrigger=1 the sentinel lands
+    in a LATER micro-batch, so session state genuinely crosses batch
+    boundaries before the sentinel drains it.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns_ts = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in batch.schema.fields
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    sentinel_ts = (
+        max_ts + (gap_minutes * 60 + 1) * 1_000_000_000
+        if ns_ts
+        else F.lit(max_ts)  # unreachable for the driver tables (always ns)
+    )
+    sentinels = (
+        batch.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(sentinel_ts).cast("long" if ns_ts else "timestamp").alias("ts"),
+            "user_id",
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="sessionize_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{stream_dir}/0_events.parquet",
+    )
+    sent_dir = tempfile.mkdtemp(prefix="sessionize_sentinel_")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = next(p for p in os.listdir(sent_dir) if p.endswith(".parquet"))
+    os.symlink(f"{sent_dir}/{part}", f"{stream_dir}/1_sentinel.parquet")
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    if ns_ts:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    sessions = sessionize_stateful(stream, gap_minutes)
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
