@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_total": Q.running_order_total,
         "sessionize": Q.sessionize,
         "props_rollup": _props_rollup,
+        "rollup_revenue": Q.rollup_revenue,
+        "events_pivot": Q.events_pivot,
+        "value_percentiles": Q.value_percentiles,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -351,6 +354,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_pivot": """
+            SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """

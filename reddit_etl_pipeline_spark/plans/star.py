@@ -253,6 +253,53 @@ def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregate: per (returnflag, linestatus), per
+    returnflag subtotal, and grand total in ONE pass (Expand + single
+    shuffle — no separate subtotal queries)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hour-of-day x event_type count matrix. Explicit pivot values
+    keep the single-pass plan (no distinct-values pre-query) and a stable
+    schema — required at scale AND for the oracle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=EVENT_TYPES)
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (median / p95 / p99).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition, so the oracle matches to rounding. At 100 TB
+    swap for ``percentile_approx`` (t-digest-style mergeable sketch,
+    single pass, no full sort) — the call site is the only change."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), ROUND_DP).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), ROUND_DP).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), ROUND_DP).alias("p99"),
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: lag + cumulative-sum-over-gap-markers, per user.
     Returns per-session stats. Two window passes over one shuffle

@@ -43,4 +43,6 @@ def embeddings(spark, sf_dir):
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from reddit_etl_pipeline_spark.plans.star import load
+
+    return load(spark, sf_dir, "events")

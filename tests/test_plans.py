@@ -1,0 +1,50 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale (predicate pushdown to the parquet scan, column pruning, broadcast
+joins for dims, top-K as TakeOrderedAndProject) must survive refactors.
+`.explain("formatted")` is the contract — see SURVEY.md §4.2."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reddit_etl_pipeline_spark.plans import star as Q  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    p = plan_of(Q.pricing_summary(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in p  # filter reached the scan
+    assert "l_comment" not in p  # column pruning
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    p = plan_of(Q.topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p or "rangepartitioning" not in p  # no full sort
+
+
+def test_staging_projection_prunes_scan(spark, sf_dir):
+    p = plan_of(Q.staging_projection(spark, sf_dir))
+    assert "o_orderpriority" not in p and "o_orderstatus" not in p
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    p = plan_of(Q.revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_anti_join_pushes_value_filter(spark, sf_dir):
+    p = plan_of(Q.market_share_projection(spark, sf_dir))
+    assert "GreaterThan(o_totalprice" in p
+    assert "LeftAnti" in p

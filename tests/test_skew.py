@@ -1,0 +1,56 @@
+"""Skew utilities must produce results identical to their plain
+equivalents (salting is a physical rewrite, not a semantic one)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reddit_etl_pipeline_spark.operators import skew  # noqa: E402
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed: 90% of left rows share key 1
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    got = sorted(
+        (r.k, r.payload, r.rv)
+        for r in skew.salted_join(left, right, "k", n_salts=4).collect()
+    )
+    want = sorted((r.k, r.payload, r.rv) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+def test_two_phase_count_matches_groupby(spark, events):
+    got = {
+        r.event_type: r.n
+        for r in skew.two_phase_count(events, ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_two_phase_distinct_count_matches(spark, events):
+    got = {
+        r.event_type: r.n_distinct
+        for r in skew.two_phase_distinct_count(
+            events, ["event_type"], "user_id"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
