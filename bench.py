@@ -41,13 +41,21 @@ def main() -> None:
         "top_customers_per_nation",
         "running_order_total",
         "sessionize",
+        "rollup_revenue",
+        "events_pivot",
+        "value_percentiles",
         "dedup_exact",
         "text_stats",
+        "bpe_token_stats",
+        "lang_id_rollup",
         "jaccard_pairs",
         "minhash_neardup",
         "simhash_neardup",
         "cosine_topk",
+        "embedding_neardup_lsh",
+        "media_byte_stats",
         "stream_hourly_counts",
+        "stream_sessionize",
     ]
 
     timings: dict[str, float] = {}
