@@ -48,6 +48,39 @@ def _as_string_schema(schema: T.StructType) -> T.StructType:
     )
 
 
+def apply_tolerance(
+    raw: DataFrame,
+    schema: T.StructType,
+    varchar_widths: dict[str, int] | None = None,
+    extra_corrupt: Column | None = None,
+) -> DataFrame:
+    """Apply the COPY-tolerance coercions to an all-string relation:
+    blank->null, width truncation, try_cast with per-type reject/null
+    policy. Shared by the CSV and JSONL sources — one lazy projection.
+    ``extra_corrupt`` ORs a source-specific reject condition (e.g.
+    unparseable JSON) into the corrupt flag."""
+    widths = varchar_widths or {}
+    cols: list[Column] = []
+    corrupt = extra_corrupt if extra_corrupt is not None else F.lit(False)
+    for f in schema.fields:
+        # blanks -> null first (so '  ' doesn't fail a numeric cast)
+        c = F.nullif(F.trim(F.col(f.name)), F.lit(""))
+        if isinstance(f.dataType, T.StringType):
+            raw_c = F.col(f.name)  # preserve inner whitespace, only clip width
+            c = F.nullif(raw_c, F.lit(""))
+            c = F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
+            if f.name in widths:
+                c = F.substring(c, 1, widths[f.name])
+            cols.append(c.alias(f.name))
+            continue
+        typed = c.try_cast(f.dataType)
+        if isinstance(f.dataType, _REJECTING_TYPES):
+            corrupt = corrupt | (c.isNotNull() & typed.isNull())
+        # _NULLING_TYPES and booleans: failed cast -> null, row accepted
+        cols.append(typed.alias(f.name))
+    return raw.select(*cols, corrupt.alias(CORRUPT_COL))
+
+
 def read_tolerant_csv(
     spark: SparkSession,
     path: str,
@@ -69,26 +102,7 @@ def read_tolerant_csv(
         )
         .csv(path)
     )
-    widths = varchar_widths or {}
-    cols: list[Column] = []
-    corrupt = F.lit(False)
-    for f in schema.fields:
-        # blanks -> null first (so '  ' doesn't fail a numeric cast)
-        c = F.nullif(F.trim(F.col(f.name)), F.lit(""))
-        if isinstance(f.dataType, T.StringType):
-            raw_c = F.col(f.name)  # preserve inner whitespace, only clip width
-            c = F.nullif(raw_c, F.lit(""))
-            c = F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
-            if f.name in widths:
-                c = F.substring(c, 1, widths[f.name])
-            cols.append(c.alias(f.name))
-            continue
-        typed = c.try_cast(f.dataType)
-        if isinstance(f.dataType, _REJECTING_TYPES):
-            corrupt = corrupt | (c.isNotNull() & typed.isNull())
-        # _NULLING_TYPES and booleans: failed cast -> null, row accepted
-        cols.append(typed.alias(f.name))
-    return raw.select(*cols, corrupt.alias(CORRUPT_COL))
+    return apply_tolerance(raw, schema, varchar_widths)
 
 
 def read_posts_csv(
