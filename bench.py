@@ -27,6 +27,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
+    # warm-up: JVM/codegen spin-up and parquet footer reads are session
+    # costs, not query costs — touch each table once before timing
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
+
     # headline set: the reference's canonical surface + joins/windows +
     # the LLM-data operators, heaviest variants included
     headline = [

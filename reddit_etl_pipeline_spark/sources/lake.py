@@ -50,6 +50,42 @@ def read_table(spark: SparkSession, path: str, batch_date: str | None = None) ->
     return df
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a lake table into ~target-size files.
+
+    Daily upserts and streaming sinks accrete small files; at 100 TB the
+    scan cost is dominated by file-open overhead once files are << 128 MB.
+    Sizes the output file count from the on-disk bytes (cheap driver-side
+    listing), rewrites via repartition, and atomically swaps directories.
+    Returns the number of output files requested."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if partition_by is None:
+        partition_by = [BATCH_DATE_COL] if BATCH_DATE_COL in df.columns else []
+    tmp = f"{path}__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def with_batch_date(df: DataFrame, batch_date: str | None = None) -> DataFrame:
     """Stamp the YYYYMMDD batch key (reference date-keyed naming,
     extract-from-reddit.py:259, s3_to_redshift.py:137-148)."""

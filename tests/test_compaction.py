@@ -1,0 +1,23 @@
+"""Lake compaction (sources/lake.py)."""
+
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reddit_etl_pipeline_spark.sources.lake import compact_table  # noqa: E402
+
+
+def test_compact_reduces_file_count(spark):
+    d = tempfile.mkdtemp()
+    path = f"{d}/t"
+    # 20 tiny files
+    spark.range(2000).repartition(20).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 20
+    n = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == 2000

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): invariants the engine must hold for
+ANY input, not just fixtures."""
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reddit_etl_pipeline_spark.operators.upsert import (  # noqa: E402
+    upsert_anti_join,
+    upsert_latest_wins,
+    upsert_window_dedup,
+)
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=9),  # id (collisions likely)
+    st.integers(min_value=0, max_value=1000),  # score
+    st.integers(min_value=0, max_value=10**6),  # ts offset seconds
+)
+
+
+@given(batches=st.lists(st.lists(row, max_size=8), min_size=1, max_size=4))
+@SLOW
+def test_upsert_anti_join_last_batch_wins(spark, batches):
+    """Replaying batches in order: for every id, the surviving row comes
+    from the LAST batch containing that id."""
+    from pyspark.sql import Row
+
+    schema = "id long, score long, extraction_timestamp timestamp"
+    main = spark.createDataFrame([], schema)
+    expect: dict[int, int] = {}
+    for b in batches:
+        dedup = {i: (i, s, t) for i, s, t in b}  # one row per id per batch
+        rows = [
+            Row(id=i, score=s, extraction_timestamp=None)
+            for i, s, t in dedup.values()
+        ]
+        if rows:
+            batch_df = spark.createDataFrame(rows, schema)
+            main = upsert_anti_join(main, batch_df, key="id")
+            expect.update({i: s for i, s, _ in dedup.values()})
+    got = {r.id: r.score for r in main.collect()}
+    assert got == expect
+
+
+@given(rows=st.lists(row, min_size=0, max_size=30))
+@SLOW
+def test_latest_wins_equals_window_dedup(spark, rows):
+    """The aggregate (max_by) and window (row_number) upsert formulations
+    agree whenever (id, ts) is unambiguous (distinct ts per id)."""
+    from pyspark.sql import Row
+
+    seen = set()
+    uniq = []
+    for i, s, t in rows:
+        if (i, t) not in seen:
+            seen.add((i, t))
+            uniq.append((i, s, t))
+    schema = "id long, score long, ts long"
+    df = spark.createDataFrame([Row(id=i, score=s, ts=t) for i, s, t in uniq], schema)
+    agg = {
+        (r.id, r.score, r.ts)
+        for r in upsert_latest_wins(df, key="id", order_col="ts").collect()
+    }
+    win = {
+        (r.id, r.score, r.ts)
+        for r in upsert_window_dedup(df, key="id", order_col="ts").collect()
+    }
+    assert agg == win
+
+
+@given(texts=st.lists(st.text(max_size=40), min_size=0, max_size=12))
+@SLOW
+def test_exact_dedup_partitions_rows(spark, texts):
+    """dedup_exact: group sizes sum to the row count, and every kept id is
+    the minimum of its duplicate group."""
+    from reddit_etl_pipeline_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_exact(df).collect()
+    assert sum(r.n_copies for r in out) == len(texts)
+    kept = {r.doc_id for r in out}
+    assert kept <= set(range(len(texts)))
