@@ -73,6 +73,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph; every doc
+    mapped to its cluster representative (keep-one-per-cluster dedup)."""
+    return D.neardup_clusters(Q.load(spark, sf_dir, "documents"), threshold=0.9)
+
+
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(
         Q.load(spark, sf_dir, "documents"), threshold=0.7
@@ -204,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _bpe_token_stats,
         "lang_id_rollup": _lang_id_rollup,
         "jaccard_pairs": _jaccard_pairs,
+        "neardup_clusters": _neardup_clusters,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -431,6 +438,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.did = doc_a
             JOIN sizes sb ON sb.did = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE tok AS (
+              SELECT DISTINCT doc_id AS did, t.tok
+              FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), sizes AS (
+              SELECT did, count(*) AS sz FROM tok GROUP BY did
+            ), inter AS (
+              SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
+              GROUP BY a.did, b.did
+            ), pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.did = doc_a
+              JOIN sizes sb ON sb.did = doc_b
+              WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+            ), edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), walk(n, m) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
+            )
+            SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+            FROM documents d
+            LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
+              ON c.n = d.doc_id
         """,
         "cosine_topk": """
             WITH q AS (
