@@ -30,7 +30,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeps the conversion exact; double division would lose sub-microsecond
     bits at 2^60-scale nanosecond values.
     """
+    # runtime-settable confs the query surface depends on, pinned here so
+    # results are identical even under a caller-provided SparkSession
+    # (the driver harness builds its own): UTC makes hour()/date_trunc
+    # match the oracle's naive timestamps regardless of host timezone
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":

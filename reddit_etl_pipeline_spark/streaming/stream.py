@@ -21,6 +21,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema pinned from the
     batch read — file streams must declare schemas up front)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file stream sources require a directory; pathGlobFilter scopes the
     # stream to the events table within the sf dir
