@@ -72,10 +72,18 @@ def run_daily_batch(
         exists = False
     if exists:
         merged = upsert_anti_join(main, batch)
-        # two-phase write: parquet can't overwrite its own input in place
+        # parquet can't overwrite its own input in place: write the merge
+        # once to a staging dir, then swap directories (metadata-only on a
+        # real object store this is the rename-manifest pattern) — one
+        # full write instead of two
+        import shutil
+
         tmp = warehouse_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(warehouse_path)
+        old = warehouse_path.rstrip("/") + "__old"
+        shutil.move(warehouse_path, old)
+        shutil.move(tmp, warehouse_path)
+        shutil.rmtree(old)
     else:
         batch.write.mode("overwrite").parquet(warehouse_path)
 
