@@ -72,6 +72,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators may cache intermediates (multi-use subplans); drop them
+        # so queries are measured in isolation, not under the previous
+        # query's memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
