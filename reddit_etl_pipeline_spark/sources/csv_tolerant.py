@@ -126,6 +126,31 @@ def read_posts_csv(
     return df.filter(~F.col(CORRUPT_COL)).drop(CORRUPT_COL)
 
 
+def write_posts_csv(
+    df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
+) -> None:
+    """CSV sink with header row (reference ``save_to_csv``,
+    extract-from-reddit.py:181-197). ``single_file=True`` coalesces to one
+    output file for byte-level parity with the reference's daily CSV —
+    only sane for batch-sized outputs; distributed multi-file is the
+    default. Quoting/escaping mirror the tolerant reader so a write→read
+    round-trip is lossless (multi-line selftext included)."""
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode(mode)
+        .options(
+            header=True,
+            quote='"',
+            escape='"',
+            # the CSV WRITER trims field whitespace by default (univocity);
+            # keep trailing newlines/spaces so round-trips are lossless
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
+        .csv(path)
+    )
+
+
 def count_corrupt_records(df: DataFrame) -> int:
     """Rows the tolerant scan would reject (MAXERROR accounting,
     ``check_load_errors`` parity, s3_to_redshift.py:312-331)."""

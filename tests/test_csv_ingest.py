@@ -104,3 +104,29 @@ def test_inspect_raw_lines(spark):
     lines = inspect_raw_lines(spark, f"{REF}/20250318.csv", n=5).collect()
     assert len(lines) == 5
     assert lines[0].value.startswith("id,")
+
+
+def test_csv_write_read_roundtrip(spark):
+    """write_posts_csv -> read_tolerant_csv is lossless, including
+    multi-line quoted text (the reference fixtures' stress case)."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from reddit_etl_pipeline_spark.schema import REDDIT_POSTS_SCHEMA
+    from reddit_etl_pipeline_spark.sources.csv_tolerant import (
+        CORRUPT_COL,
+        read_tolerant_csv,
+        write_posts_csv,
+    )
+
+    src = read_posts_csv(spark, f"{REF}/20250320.csv")
+    d = tempfile.mkdtemp()
+    write_posts_csv(src, f"{d}/out", single_file=True)
+    back = read_tolerant_csv(spark, f"{d}/out", REDDIT_POSTS_SCHEMA)
+    assert back.filter(back[CORRUPT_COL]).count() == 0
+    back = back.drop(CORRUPT_COL)
+    assert back.count() == 171
+    a = {r.id: (r.title, r.score, r.selftext) for r in src.collect()}
+    b = {r.id: (r.title, r.score, r.selftext) for r in back.collect()}
+    assert a == b
