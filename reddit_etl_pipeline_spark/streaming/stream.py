@@ -142,42 +142,59 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_s = gap_minutes * 60
 
     def fn(key, pdfs, state: GroupState):
+        # vectorized per user-batch: sort once, numpy gap/cumsum for
+        # session boundaries, groupby-aggregate per session — no Python
+        # per-event loop (the hot path sees every event exactly once)
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         last_seq = 0
-        open_sess = None  # [seq, start_us, end_us, n, val]
+        open_sess = None  # [start_us, end_us, n, val] of session #last_seq
         if state.exists:
             last_seq, has_open, start_us, end_us, n, val = state.get
             if has_open:
-                open_sess = [last_seq, start_us, end_us, n, val]
-        closed: list[list] = []
+                open_sess = [start_us, end_us, n, val]
 
-        def close():
-            nonlocal open_sess
-            if open_sess is not None:
-                closed.append(open_sess)
-                open_sess = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        saw_sentinel = bool((pdf["event_id"] < 0).any())
+        pdf = pdf[pdf["event_id"] >= 0]
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev_id, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
-                if ev_id < 0:  # end-of-stream sentinel: drain
-                    close()
-                    continue
-                us = ts.value // 1_000  # pandas ns -> epoch µs
-                sec = us // 1_000_000
-                if open_sess is not None and sec - (open_sess[2] // 1_000_000) > gap_s:
-                    close()
-                if open_sess is None:
-                    last_seq += 1
-                    open_sess = [last_seq, us, us, 1, float(val)]
-                else:
-                    open_sess[2] = us
-                    open_sess[3] += 1
-                    open_sess[4] += float(val)
+        closed: list[tuple] = []
+        if len(pdf):
+            us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            sec = us // 1_000_000
+            val = pdf["value"].to_numpy("float64")
+            prev_sec = np.empty_like(sec)
+            prev_sec[1:] = sec[:-1]
+            prev_sec[0] = (open_sess[1] // 1_000_000) if open_sess else np.iinfo("int64").min // 2
+            brk = (sec - prev_sec) > gap_s
+            sid = np.cumsum(brk)  # 0 = continues the open session
+            # per-session aggregates in sid order (sid is sorted)
+            bounds = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+            ends = np.r_[bounds[1:], len(sid)]
+            sessions = []  # (sid, start_us, end_us, n, val)
+            for b, e in zip(bounds, ends):
+                sessions.append((sid[b], us[b], us[e - 1], e - b, float(val[b:e].sum())))
+            if sessions and sessions[0][0] == 0:
+                # first group extends the carried-over open session
+                s = sessions[0]
+                open_sess = [open_sess[0], s[2], open_sess[2] + s[3], open_sess[3] + s[4]]
+                sessions = sessions[1:]
+            for s in sessions:
+                if open_sess is not None:
+                    closed.append((last_seq, *open_sess))
+                last_seq += 1
+                open_sess = [s[1], s[2], int(s[3]), float(s[4])]
+
+        if saw_sentinel and open_sess is not None:  # end-of-stream drain
+            closed.append((last_seq, *open_sess))
+            open_sess = None
+
         if open_sess is not None:
-            state.update((last_seq, 1, open_sess[1], open_sess[2], open_sess[3], open_sess[4]))
+            state.update((last_seq, 1, int(open_sess[0]), int(open_sess[1]),
+                          int(open_sess[2]), float(open_sess[3])))
         elif last_seq > 0:
             state.update((last_seq, 0, 0, 0, 0, 0.0))
         else:
