@@ -143,6 +143,15 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH (rows-only:
+    hash-family bucket semantics aren't SQL-expressible)."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5
+    )
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dup (the oracle-checkable baseline)."""
     return S.embedding_neardup_exact(
@@ -169,6 +178,11 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) — bounded-stream
     sessionization; must equal the batch sessionize oracle."""
     return ST.streamed_sessionize(spark, sf_dir)
+
+
+def _stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates keyed state)."""
+    return ST.streamed_distinct_users(spark, sf_dir)
 
 
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
         "cosine_topk": _cosine_topk,
+        "cosine_topk_lsh": _cosine_topk_lsh,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         # multimodal (binary columns over Arrow-batched mapInPandas)
@@ -224,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "stream_hourly_counts": _stream_hourly,
         "stream_sessionize": _stream_sessionize,
+        "stream_distinct_users": _stream_distinct,
     }
 
 
@@ -573,7 +589,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # minhash_neardup / simhash_neardup / embedding_neardup: hash-family
+        "stream_distinct_users": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
+        # cosine_topk_lsh / media_features: hash-family
         # semantics (xxhash64 permutations, hyperplane LSH) are not
         # SQL-expressible -> rows-only checks.
     }

@@ -122,26 +122,35 @@ def cosine_topk_lsh(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: equi-join on the hyperplane bucket, exact
-    rerank inside the bucket. Recall trades with n_planes (more planes ->
-    smaller buckets -> faster + lower recall)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    """Approximate cosine top-k: candidates = corpus vectors sharing ANY
+    of ``n_tables`` hyperplane buckets with the query (multi-table OR for
+    recall), exact rerank inside the candidate set. Bucket projections use
+    the codegen explode/aggregate path (lsh_bucket_table).
+
+    Defaults favor recall on weakly-clustered corpora (few planes -> big
+    buckets, many tables -> many chances); for strongly-clustered
+    embeddings raise n_planes to shrink candidate sets."""
+    cb = lsh_bucket_table(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    qb = lsh_bucket_table(queries, dim, n_planes, n_tables, id_col, vec_col)
+    cand_ids = (
+        cb.join(
+            F.broadcast(qb.withColumnRenamed("did", "query_id")),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("did") != F.col("query_id"))
+        .select("query_id", F.col("did").alias("neighbor_id"))
+        .distinct()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand_ids.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

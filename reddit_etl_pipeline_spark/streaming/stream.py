@@ -61,20 +61,37 @@ def windowed_event_counts(
     )
 
 
-def run_stream_to_batch(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    """Execute a streaming aggregation over the bounded file set and return
-    the complete result as a batch DataFrame (memory sink, synchronous)."""
+def run_stream_to_batch(
+    agg: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Execute a streaming query over the bounded file set and return the
+    final result as a batch DataFrame (memory sink, synchronous).
+
+    ``state_partitions`` temporarily overrides shuffle partitions for the
+    stream: each state-store partition costs commit/checkpoint I/O per
+    micro-batch, so partition count should track state size — for bounded
+    local runs with small keyed state, 8 beats the batch-tuned 32. On a
+    real cluster leave None and size via the session."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # materialize before the in-memory sink table goes away
     out = spark.table(name)
     rows = out.collect()
@@ -89,6 +106,18 @@ def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         windowed_event_counts(read_events_stream(spark, sf_dir)), spark
     )
+
+
+def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) via
+    ``dropDuplicates`` — keyed state holds seen keys; in production add
+    ``dropDuplicatesWithinWatermark`` so state is evicted by event time
+    instead of growing forever. Batch-equivalent: min_by over the key."""
+    ev = read_events_stream(spark, sf_dir)
+    firsts = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_stream_to_batch(firsts, spark, output_mode="append")
 
 
 # ------------------------------------------------ custom stateful operator
@@ -279,13 +308,4 @@ def streamed_sessionize(
     if ns_ts:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     sessions = sessionize_stateful(stream, gap_minutes)
-
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return run_stream_to_batch(sessions, spark, output_mode="append")

@@ -54,3 +54,21 @@ def test_two_phase_distinct_count_matches(spark, events):
         .collect()
     }
     assert got == want
+
+
+def test_cosine_topk_lsh_recall(spark, embeddings):
+    """LSH top-k must recover a decent fraction of the exact top-k
+    (sanity floor — recall tuning is n_planes/n_tables)."""
+    from reddit_etl_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_lsh(embeddings, q, dim=64, k=5).collect()
+    }
+    assert len(approx & exact) >= len(exact) * 0.3

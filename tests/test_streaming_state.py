@@ -31,3 +31,18 @@ def test_streamed_sessionize_equals_batch(spark, sf_dir):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_streamed_distinct_users_equals_batch(spark, sf_dir):
+    got = {
+        (r.user_id, r.event_type)
+        for r in ST.streamed_distinct_users(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in Q.load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
