@@ -63,6 +63,7 @@ def main() -> None:
         "media_byte_stats",
         "stream_hourly_counts",
         "stream_sessionize",
+        "stream_distinct_users",
     ]
 
     timings: dict[str, float] = {}
