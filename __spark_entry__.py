@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": Q.rollup_revenue,
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
+        "approx_distinct_stats": Q.approx_distinct_stats,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -592,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_distinct_users": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
+        # approx_distinct_stats: HLL++/quantile-sketch values are
+        # engine-specific (accuracy bounds asserted in tests/test_sketches.py).
         # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
         # cosine_topk_lsh / media_features: hash-family
         # semantics (xxhash64 permutations, hyperplane LSH) are not

@@ -305,6 +305,22 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path for distinct counts and
+    quantiles: HyperLogLog++ (approx_count_distinct) and a quantile
+    sketch (approx_percentile), both single-pass and mergeable (partial
+    aggregation works, unlike exact distinct/percentile which shuffle
+    full values). Rows-only driver check; accuracy bounds are asserted
+    against exact results in tests/test_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), ROUND_DP
+        ).alias("approx_p50"),
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: lag + cumulative-sum-over-gap-markers, per user.
     Returns per-session stats. Two window passes over one shuffle

@@ -50,6 +50,24 @@ def read_table(spark: SparkSession, path: str, batch_date: str | None = None) ->
     return df
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partitions write: clusters values so
+    parquet row-group min/max statistics become selective — point/range
+    predicates on ``sort_cols`` then skip whole files/row-groups at scan
+    time (the poor man's Z-order; exact for single-column sort keys).
+
+    The global sort costs one range-exchange at write time and pays for
+    itself on every subsequent filtered scan."""
+    parts = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,71 @@
+"""Sketch aggregates: approximate results must land within their
+advertised error bounds of the exact answers; sorted writes must skip
+data at scan time."""
+
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reddit_etl_pipeline_spark.plans import star as Q  # noqa: E402
+from reddit_etl_pipeline_spark.sources.lake import write_sorted  # noqa: E402
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir, events):
+    approx = {
+        r.event_type: r.approx_users
+        for r in Q.approx_distinct_stats(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir, events):
+    approx = {
+        r.event_type: r.approx_p50
+        for r in Q.approx_distinct_stats(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.p50
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    for et, p in exact.items():
+        assert abs(approx[et] - p) <= 0.05 * max(abs(p), 1.0), (et, approx[et], p)
+
+
+def test_write_sorted_clusters_values(spark, events):
+    d = tempfile.mkdtemp()
+    path = f"{d}/sorted"
+    write_sorted(events.select("event_id", "user_id"), path, ["user_id"], n_files=4)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) == 4
+    # range partitioning: per-file user_id ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # round-trip integrity
+    assert spark.read.parquet(path).count() == events.count()
