@@ -121,7 +121,8 @@ def add_engagement(df: DataFrame) -> DataFrame:
     # pd.cut right-closed bins: (0,10] Low, (10,50] Medium, (100,inf] Viral;
     # values <= 0 fall outside all bins -> null, matching pandas.
     bucket = (
-        F.when(e <= ENGAGEMENT_BINS[0], F.lit(None).cast("string"))
+        F.when(e.isNull(), F.lit(None).cast("string"))  # pd.cut(NaN) -> NaN
+        .when(e <= ENGAGEMENT_BINS[0], F.lit(None).cast("string"))
         .when(e <= ENGAGEMENT_BINS[1], ENGAGEMENT_LABELS[0])
         .when(e <= ENGAGEMENT_BINS[2], ENGAGEMENT_LABELS[1])
         .when(e <= ENGAGEMENT_BINS[3], ENGAGEMENT_LABELS[2])

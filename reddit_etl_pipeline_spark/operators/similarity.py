@@ -103,10 +103,7 @@ def hyperplane_bucket(
         # scaled; a literal array keeps the expression tree shallow (one
         # zip_with+aggregate per plane, not dim chained additions).
         plane = F.array(
-            *[
-                F.lit(((hash((seed, p, j)) % 2_000_001) / 1_000_000.0) - 1.0)
-                for j in range(dim)
-            ]
+            *[F.lit(_plane_component(seed, p, j)) for j in range(dim)]
         )
         proj = F.aggregate(
             F.zip_with(vec_col, plane, lambda x, r: x.cast("double") * r),

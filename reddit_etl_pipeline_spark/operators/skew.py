@@ -47,6 +47,14 @@ def salted_join(
     above broadcast size). The join key becomes (key, salt): each hot
     key's rows now spread over n_salts shuffle partitions.
     """
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti", "cross"):
+        # right/full outer would emit each unmatched RIGHT row once per
+        # salt replica — n_salts duplicates. Flip the join instead.
+        raise ValueError(
+            f"salted_join replicates the right side; how={how!r} would "
+            "duplicate unmatched right rows (use inner/left/semi/anti)"
+        )
     non_key = [c for c in left.columns if c != on]
     lsalted = left.withColumn("__salt", _salt_col(non_key, n_salts))
     rsalted = right.withColumn(

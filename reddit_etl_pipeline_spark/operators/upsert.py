@@ -38,13 +38,24 @@ def upsert_anti_join(
     batch: DataFrame,
     key: str = "id",
     broadcast_batch: bool = True,
+    order_col: str = "extraction_timestamp",
 ) -> DataFrame:
     """DELETE USING + INSERT as anti-join ∪ batch.
+
+    The batch itself is first deduped on ``key`` (newest by ``order_col``
+    when present, else an arbitrary-but-single row) — a batch can carry
+    the same id twice (API pagination overlap, duplicated CSV row) and
+    blindly inserting both would break the key contract the warehouse
+    asserts AFTER the swap, leaving duplicates durable.
 
     ``broadcast_batch=True`` (default) hints the daily batch as the
     broadcast side — correct whenever the incoming batch fits in executor
     memory, which is the reference's daily-load shape.
     """
+    if order_col in batch.columns:
+        batch = upsert_latest_wins(batch, key=key, order_col=order_col)
+    else:
+        batch = batch.dropDuplicates([key])
     probe = F.broadcast(batch.select(key)) if broadcast_batch else batch.select(key)
     survivors = main.join(probe, key, "left_anti")
     return survivors.unionByName(batch.select(*main.columns))

@@ -65,22 +65,27 @@ def run_daily_batch(
 
     # warehouse upsert (COPY + DELETE USING + INSERT parity)
     batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
-    try:
+    import os
+    import shutil
+
+    old = warehouse_path.rstrip("/") + "__old"
+    if os.path.exists(old) and not os.path.exists(warehouse_path):
+        # crash recovery: a previous run died mid-swap; restore the
+        # stranded warehouse rather than silently restarting history
+        shutil.move(old, warehouse_path)
+    elif os.path.exists(old):
+        shutil.rmtree(old)  # stale leftover from a crash after the swap
+    # explicit existence check: a CORRUPT warehouse must raise on read,
+    # not be mistaken for first-run and overwritten with one day's batch
+    if os.path.exists(warehouse_path):
         main = spark.read.parquet(warehouse_path)
-        exists = True
-    except Exception:
-        exists = False
-    if exists:
         merged = upsert_anti_join(main, batch)
         # parquet can't overwrite its own input in place: write the merge
-        # once to a staging dir, then swap directories (metadata-only on a
-        # real object store this is the rename-manifest pattern) — one
-        # full write instead of two
-        import shutil
-
+        # once to a staging dir, then swap directories (on a real object
+        # store this is the rename-manifest pattern) — one full write
+        # instead of two
         tmp = warehouse_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        old = warehouse_path.rstrip("/") + "__old"
         shutil.move(warehouse_path, old)
         shutil.move(tmp, warehouse_path)
         shutil.rmtree(old)

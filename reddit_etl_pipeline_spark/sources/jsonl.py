@@ -17,13 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .csv_tolerant import CORRUPT_COL, apply_tolerance
-
-
-def _as_string_schema(schema: T.StructType) -> T.StructType:
-    return T.StructType(
-        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
-    )
+from .csv_tolerant import CORRUPT_COL, _as_string_schema, apply_tolerance
 
 
 def read_tolerant_jsonl(

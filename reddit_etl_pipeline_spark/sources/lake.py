@@ -93,7 +93,15 @@ def compact_table(
     if partition_by is None:
         partition_by = [BATCH_DATE_COL] if BATCH_DATE_COL in df.columns else []
     tmp = f"{path}__compacting"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        # hash-cluster on the partition columns so each task holds whole
+        # partition values -> one output file per value (round-robin
+        # repartition would spread every value over every task and write
+        # up to n_files files PER value — more small files, not fewer)
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
+    writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

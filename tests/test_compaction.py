@@ -21,3 +21,23 @@ def test_compact_reduces_file_count(spark):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert n == 1 and after == 1
     assert spark.read.parquet(path).count() == 2000
+
+
+def test_compact_partitioned_table_one_file_per_partition(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp()
+    path = f"{d}/t"
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("batch_date")
+    )
+    # 5 small files per partition value
+    df.repartition(5).write.partitionBy("batch_date").parquet(path)
+    for v in range(3):
+        assert len(glob.glob(f"{path}/batch_date={v}/*.parquet")) == 5
+    compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    for v in range(3):
+        assert len(glob.glob(f"{path}/batch_date={v}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 3000

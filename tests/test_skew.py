@@ -72,3 +72,12 @@ def test_cosine_topk_lsh_recall(spark, embeddings):
         for r in S.cosine_topk_lsh(embeddings, q, dim=64, k=5).collect()
     }
     assert len(approx & exact) >= len(exact) * 0.3
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    left = spark.range(3).select(F.col("id").alias("k"))
+    right = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        skew.salted_join(left, right, "k", how="full")

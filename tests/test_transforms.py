@@ -127,3 +127,18 @@ def test_empty_input_guard(spark):
     assert X.transform_posts(
         spark.createDataFrame([], RAW_POSTS_SCHEMA)
     ).count() == 0
+
+
+def test_engagement_bucket_null_inputs(spark):
+    """NULL score/num_comments -> NULL bucket (pd.cut(NaN) parity), not
+    a fall-through to the top label."""
+    from reddit_etl_pipeline_spark.functions.transforms import add_engagement
+
+    df = spark.createDataFrame(
+        [(None, 5), (3, None), (None, None), (200, 10)],
+        "score int, num_comments int",
+    )
+    rows = add_engagement(df).collect()
+    buckets = [r.engagement_bucket for r in rows]
+    assert buckets[:3] == [None, None, None]
+    assert buckets[3] == "Viral"

@@ -138,3 +138,20 @@ def test_real_csv_replay(spark):
             F.col("id") == some_id
         ).first()
         assert got.score == want.score
+
+
+def test_upsert_anti_join_dedupes_batch(spark):
+    """A batch carrying the same id twice must land exactly one row
+    (newest by extraction_timestamp)."""
+    from reddit_etl_pipeline_spark.operators.upsert import upsert_anti_join
+
+    import datetime as dt
+
+    schema = "id string, score long, extraction_timestamp timestamp"
+    t = lambda h: dt.datetime(2025, 3, 19, h, 0, 0)  # noqa: E731
+    main = spark.createDataFrame([("a", 1, t(1))], schema)
+    batch = spark.createDataFrame(
+        [("a", 5, t(9)), ("a", 9, t(10)), ("b", 2, t(9))], schema
+    )
+    out = {r.id: r.score for r in upsert_anti_join(main, batch).collect()}
+    assert out == {"a": 9, "b": 2}
