@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from reddit_etl_pipeline_spark.operators import asof as AS
 from reddit_etl_pipeline_spark.operators import dedup as D
 from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import similarity as S
@@ -36,6 +37,37 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: 4-way star join revenue rollup at sf0.001."""
     return Q.revenue_by_nation(spark, SF_SMOKE)
+
+
+def _orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order annotated with the user's latest event value
+    at-or-before the order date (orders.o_custkey ~ events.user_id in the
+    synthetic schema). Right side pre-deduped per (user, ts) so ties are
+    engine-independent."""
+    orders = Q.load(spark, sf_dir, "orders")
+    ev = Q.load(spark, sf_dir, "events")
+    ev1 = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.struct("event_id", "value").alias("__r"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("__r", F.col("__r.event_id")).alias("r"))
+        .select("user_id", "ts", F.round(F.col("r.value"), 6).alias("value"))
+    )
+    out = AS.asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ev1.withColumnRenamed("user_id", "o_custkey"),
+        by="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.col("asof_value").alias("last_event_value"),
+    )
 
 
 # --------------------------------------------------------------- documents
@@ -214,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_total": Q.running_order_total,
         "sessionize": Q.sessionize,
         "props_rollup": _props_rollup,
+        "orders_asof_events": _orders_asof_events,
         "rollup_revenue": Q.rollup_revenue,
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
@@ -379,6 +412,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
             FROM events GROUP BY event_type
+        """,
+        "orders_asof_events": """
+            WITH ev1 AS (
+              SELECT user_id, ts, round(arg_max(value, event_id), 6) AS value
+              FROM events GROUP BY user_id, ts
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   e.value AS last_event_value
+            FROM orders
+            ASOF LEFT JOIN ev1 e
+              ON orders.o_custkey = e.user_id AND orders.o_orderdate >= e.ts
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,

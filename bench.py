@@ -48,6 +48,7 @@ def main() -> None:
         "top_customers_per_nation",
         "running_order_total",
         "sessionize",
+        "orders_asof_events",
         "rollup_revenue",
         "events_pivot",
         "value_percentiles",

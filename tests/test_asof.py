@@ -1,0 +1,31 @@
+"""As-of join semantics (operators/asof.py)."""
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reddit_etl_pipeline_spark.operators.asof import asof_join  # noqa: E402
+
+
+def test_asof_join_at_or_before(spark):
+    t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(12)), (3, "u", t(9)), (4, "v", t(10))],
+        "order_id long, k string, ots timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 100.0), ("u", t(11), 200.0), ("w", t(1), 9.0)],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        r.order_id: r.asof_value
+        for r in asof_join(
+            left, right, by="k", left_ts="ots", right_ts="ts", value_cols=["value"]
+        ).collect()
+    }
+    assert out[1] == 100.0  # tie: event AT the left ts counts
+    assert out[2] == 200.0  # latest at-or-before 12:00
+    assert out[3] is None  # nothing before 9:00
+    assert out[4] is None  # key with no right rows at all
