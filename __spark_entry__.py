@@ -39,34 +39,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.revenue_by_nation(spark, SF_SMOKE)
 
 
-def _orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each order annotated with the user's latest event value
-    at-or-before the order date (orders.o_custkey ~ events.user_id in the
-    synthetic schema). Right side pre-deduped per (user, ts) so ties are
-    engine-independent."""
-    orders = Q.load(spark, sf_dir, "orders")
+def _purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the same user's
+    latest click value at-or-before the purchase. Right side pre-deduped
+    per (user, ts) so ties are engine-independent."""
     ev = Q.load(spark, sf_dir, "events")
-    ev1 = (
-        ev.select(
-            "user_id",
-            "ts",
-            F.struct("event_id", "value").alias("__r"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.struct("event_id", "value").alias("__r"))
         .groupBy("user_id", "ts")
         .agg(F.max_by("__r", F.col("__r.event_id")).alias("r"))
         .select("user_id", "ts", F.round(F.col("r.value"), 6).alias("value"))
     )
     out = AS.asof_join(
-        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-        ev1.withColumnRenamed("user_id", "o_custkey"),
-        by="o_custkey",
-        left_ts="o_orderdate",
-        right_ts="ts",
-        value_cols=["value"],
+        purchases, clicks,
+        by="user_id", left_ts="ts", right_ts="ts", value_cols=["value"],
     )
     return out.select(
-        "o_orderkey", "o_custkey", "o_orderdate",
-        F.col("asof_value").alias("last_event_value"),
+        "event_id", "user_id", "ts",
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+def _purchase_clicks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via time-bucket equi-join: same-user clicks in
+    the hour strictly before each purchase, aggregated per purchase."""
+    ev = Q.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = AS.range_join_bucketed(
+        purchases, clicks,
+        by="user_id", left_ts="ts", right_ts="ts",
+        lower_seconds=-3600, upper_seconds=0,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h"),
+        F.round(F.sum("r_value"), 6).alias("click_value_1h"),
+    )
+
+
+def _big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface: CTE + scalar subquery, dialect-shared with
+    the oracle (identical SQL text modulo registration)."""
+    Q.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, round(spend, 2) AS spend
+        FROM spend WHERE spend > (SELECT avg(spend) FROM spend)
+        """
     )
 
 
@@ -246,7 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_total": Q.running_order_total,
         "sessionize": Q.sessionize,
         "props_rollup": _props_rollup,
-        "orders_asof_events": _orders_asof_events,
+        "purchase_asof_click": _purchase_asof_click,
+        "purchase_clicks_window": _purchase_clicks_window,
+        "big_spenders_sql": _big_spenders_sql,
         "rollup_revenue": Q.rollup_revenue,
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
@@ -413,16 +447,40 @@ def oracle_sql() -> dict[str, str]:
                    count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
             FROM events GROUP BY event_type
         """,
-        "orders_asof_events": """
-            WITH ev1 AS (
+        "purchase_asof_click": """
+            WITH clicks AS (
               SELECT user_id, ts, round(arg_max(value, event_id), 6) AS value
-              FROM events GROUP BY user_id, ts
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
             )
-            SELECT o_orderkey, o_custkey, o_orderdate,
-                   e.value AS last_event_value
-            FROM orders
-            ASOF LEFT JOIN ev1 e
-              ON orders.o_custkey = e.user_id AND orders.o_orderdate >= e.ts
+            SELECT p.event_id, p.user_id,
+                   CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
+                   c.value AS last_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "purchase_clicks_window": """
+            SELECT p.event_id,
+                   count(*) AS n_clicks_1h,
+                   round(sum(c.value), 6) AS click_value_1h
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            GROUP BY p.event_id
+        """,
+        "big_spenders_sql": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, round(spend, 2) AS spend
+            FROM spend WHERE spend > (SELECT avg(spend) FROM spend)
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,

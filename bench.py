@@ -48,7 +48,9 @@ def main() -> None:
         "top_customers_per_nation",
         "running_order_total",
         "sessionize",
-        "orders_asof_events",
+        "purchase_asof_click",
+        "purchase_clicks_window",
+        "big_spenders_sql",
         "rollup_revenue",
         "events_pivot",
         "value_percentiles",

@@ -77,3 +77,64 @@ def asof_join(
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__cv_{c}").alias(f"{suffix}{c}") for c in value_cols]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Interval join: pairs (l, r) with same ``by`` key and
+    ``l.ts + lower <= r.ts < l.ts + upper`` — via time-bucket equi-join.
+
+    A naive non-equi join plans as BroadcastNestedLoop/cartesian (O(n*m)
+    per key). Bucketing time into ``width = upper-lower`` wide buckets
+    and exploding the LEFT row into the 2 buckets its window can touch
+    turns the candidate space into an equi-join on (key, bucket) — each
+    true pair appears exactly once after the exact range filter (a right
+    row's bucket is deterministic; the left duplicates cover both
+    possible buckets, and the filter kills the miss).
+
+    Returns left columns + right columns (inner semantics); aggregate
+    downstream as needed.
+    """
+    # microsecond arithmetic throughout: casting a timestamp to long
+    # floors to SECONDS, which would widen the window by up to 1s at each
+    # boundary vs full-precision comparison
+    width_us = int(upper_seconds - lower_seconds) * 1_000_000
+    lower_us = int(lower_seconds) * 1_000_000
+    upper_us = int(upper_seconds) * 1_000_000
+    if width_us <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    l_lo = F.unix_micros(F.col(left_ts).cast("timestamp")) + F.lit(lower_us)
+    l = left.withColumn(
+        "__lb",
+        F.explode(
+            F.array(
+                F.floor(l_lo / width_us).cast("long"),
+                (F.floor(l_lo / width_us) + 1).cast("long"),
+            )
+        ),
+    )
+    # prefix right columns to keep the joined relation unambiguous
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withColumn(
+        "__rb",
+        F.floor(
+            F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp")) / width_us
+        ).cast("long"),
+    )
+    lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rus = F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp"))
+    cond = (
+        (F.col(by) == F.col(f"r_{by}"))
+        & (F.col("__lb") == F.col("__rb"))
+        & (rus >= lus + lower_us)
+        & (rus < lus + upper_us)
+    )
+    return l.join(r, cond).drop("__lb", "__rb", f"r_{by}")

@@ -29,3 +29,28 @@ def test_asof_join_at_or_before(spark):
     assert out[2] == 200.0  # latest at-or-before 12:00
     assert out[3] is None  # nothing before 9:00
     assert out[4] is None  # key with no right rows at all
+
+
+def test_range_join_bucketed_exact_window(spark):
+    t = lambda h, m, s=0: dt.datetime(2025, 1, 1, h, m, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(12, 0))], "lid long, k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", t(11, 0), 1.0),   # exactly at lower bound -> included
+            ("u", t(11, 30), 2.0),  # inside
+            ("u", t(12, 0), 4.0),   # at upper bound (exclusive) -> out
+            ("u", t(10, 59, 59), 8.0),  # just below lower -> out
+            ("v", t(11, 30), 16.0),  # other key -> out
+        ],
+        "k string, ts timestamp, value double",
+    )
+    from reddit_etl_pipeline_spark.operators.asof import range_join_bucketed
+
+    out = range_join_bucketed(
+        left, right, by="k", left_ts="lts", right_ts="ts",
+        lower_seconds=-3600, upper_seconds=0,
+    )
+    vals = sorted(r.r_value for r in out.collect())
+    assert vals == [1.0, 2.0]
