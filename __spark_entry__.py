@@ -207,6 +207,13 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer buckets + nprobe rerank
+    (rows-only: kmeans assignment isn't SQL-expressible)."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH (rows-only:
     hash-family bucket semantics aren't SQL-expressible)."""
@@ -285,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
         "approx_distinct_stats": Q.approx_distinct_stats,
+        "buyer_segments": Q.buyer_segments,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -298,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data pipeline: embeddings
         "cosine_topk": _cosine_topk,
         "cosine_topk_lsh": _cosine_topk_lsh,
+        "cosine_topk_ivf": _cosine_topk_ivf,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         # multimodal (binary columns over Arrow-batched mapInPandas)
@@ -505,6 +514,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "buyer_segments": """
+            SELECT user_id, 'buyer_with_errors' AS segment FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT user_id, 'buyer_clean' AS segment FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'error')
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

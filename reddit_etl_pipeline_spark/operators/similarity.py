@@ -192,6 +192,107 @@ def embedding_neardup_exact(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Driver-side mini-kmeans for an IVF coarse quantizer.
+
+    Centroid training needs only a small sample (deterministic: the
+    lowest-id vectors) — the model is a tiny k x dim matrix that ships to
+    executors as literals/broadcast. Lloyd iterations in numpy float64,
+    cosine geometry (vectors L2-normalized first). Returns ndarray."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic init: evenly spaced sample rows
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    c = x[idx].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors are bucketed by
+    nearest centroid (inverted lists); each query probes its ``nprobe``
+    nearest lists and reranks exactly inside them.
+
+    Spark shape: centroid assignment is an Arrow-batched numpy projection
+    (map-only); the probe is an equi-join on the centroid id — candidate
+    cost ~ nprobe/n_centroids of the corpus instead of all of it. The
+    other classic ANN layout besides LSH; prefer IVF when the corpus is
+    clusterable, LSH when it isn't."""
+    import numpy as np
+    import pandas as pd
+
+    cents = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+
+    def assigner(topn: int, out_name: str):
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = m @ cents.T
+                order = np.argsort(-sims, axis=1)[:, :topn]
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy().repeat(topn),
+                        out_name: order.ravel(),
+                    }
+                )
+                yield out
+
+        return run
+
+    c_assign = corpus.mapInPandas(assigner(1, "cid"), f"{id_col} long, cid long")
+    q_assign = queries.mapInPandas(assigner(nprobe, "cid"), f"{id_col} long, cid long")
+    cand = (
+        q_assign.withColumnRenamed(id_col, "query_id")
+        .join(c_assign.withColumnRenamed(id_col, "neighbor_id"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", ROUND_DP).alias("sim"))
+    )
+
+
 def _plane_component(seed: int, p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     return ((hash((seed, p, j)) % 2_000_001) / 1_000_000.0) - 1.0

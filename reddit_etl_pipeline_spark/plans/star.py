@@ -305,6 +305,19 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond UNION: INTERSECT (users with both purchases
+    and errors) and EXCEPT (purchasers with no errors), tagged and
+    unioned into one relation. Spark plans INTERSECT/EXCEPT as
+    left-semi/left-anti aggregates — no full materialization."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = buyers.intersect(erroring).withColumn("segment", F.lit("buyer_with_errors"))
+    clean = buyers.subtract(erroring).withColumn("segment", F.lit("buyer_clean"))
+    return both.unionByName(clean)
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path for distinct counts and
     quantiles: HyperLogLog++ (approx_count_distinct) and a quantile

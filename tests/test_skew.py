@@ -81,3 +81,18 @@ def test_salted_join_rejects_right_outer(spark):
     right = spark.range(3).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError):
         skew.salted_join(left, right, "k", how="full")
+
+
+def test_cosine_topk_ivf_recall(spark, embeddings):
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(embeddings, q, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    assert len(approx & exact) >= len(exact) * 0.3
