@@ -46,3 +46,56 @@ def test_streamed_distinct_users_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode windowed aggregation with a 2h watermark: a late event
+    arriving AFTER its window was finalized (watermark passed in a prior
+    batch) is discarded — no duplicate emission, no count change."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp()
+    t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        # batch 0: drives the watermark to 08:00 (max 10:00 - 2h)
+        [(1, t(0, 30), 1, "click", 1.0, None),
+         (2, t(0, 45), 1, "click", 1.0, None),
+         (3, t(3, 15), 1, "click", 1.0, None),
+         (4, t(10, 0), 1, "click", 1.0, None)],
+        # batch 1: windows ending <= 08:00 are finalized+emitted here
+        [(6, t(9, 45), 1, "click", 1.0, None)],
+        # batch 2: LATE — window [3:00,4:00) already emitted
+        [(5, t(3, 20), 1, "click", 1.0, None)],
+    ]
+    sdir = tempfile.mkdtemp()
+    schema_df = None
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        schema_df = b
+        b.coalesce(1).write.parquet(f"{d}/f{i}")
+        part = next(p for p in g.glob(f"{d}/f{i}/*.parquet"))
+        shutil.copy(part, f"{sdir}/{i}.parquet")
+        os.utime(f"{sdir}/{i}.parquet", (time.time() + i * 3, time.time() + i * 3))
+
+    stream = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out = ST.run_stream_to_batch(
+        ST.windowed_event_counts(stream, window="1 hour", watermark="2 hours"),
+        spark,
+        output_mode="append",
+    )
+    rows = out.collect()
+    counts = {r.window_start.hour: r.n_events for r in rows}
+    assert counts[0] == 2
+    assert counts[3] == 1  # the late event did NOT land
+    assert len(rows) == 2  # and was not re-emitted as a duplicate window
+    assert 10 not in counts  # unclosed window never emitted in append mode
