@@ -17,7 +17,12 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the sibling package importable regardless of the harness's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
