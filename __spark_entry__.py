@@ -148,6 +148,23 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(Q.load(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation chain in ONE plan: keep each
+    near-dup cluster's representative, require quality >= 0.45 and a
+    confidently-detected language. What a 100 TB corpus build runs before
+    tokenization."""
+    docs = Q.load(spark, sf_dir, "documents")
+    reps = D.neardup_clusters(docs, threshold=0.9)
+    kept = (
+        docs.join(reps, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .withColumn("lang_pred", TX.detect_language("text"))
+        .withColumn("quality", TX.quality_score("text"))
+        .filter((F.col("quality") >= 0.45) & (F.col("lang_pred") != "und"))
+    )
+    return kept.select("doc_id", "lang_pred", "quality")
+
+
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(
         Q.load(spark, sf_dir, "documents"), threshold=0.7
@@ -306,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_rollup": _lang_id_rollup,
         "jaccard_pairs": _jaccard_pairs,
         "neardup_clusters": _neardup_clusters,
+        "curated_corpus": _curated_corpus,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -612,6 +630,66 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
               ON c.n = d.doc_id
+        """,
+        "curated_corpus": f"""
+            WITH RECURSIVE tok AS (
+              SELECT DISTINCT doc_id AS did, t.tok
+              FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), sizes AS (
+              SELECT did, count(*) AS sz FROM tok GROUP BY did
+            ), inter AS (
+              SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
+              GROUP BY a.did, b.did
+            ), pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.did = doc_a
+              JOIN sizes sb ON sb.did = doc_b
+              WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+            ), edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), walk(n, m) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
+            ), reps AS (
+              SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+              FROM documents d
+              LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
+                ON c.n = d.doc_id
+            ), scored AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN h_es >= 2 AND h_es > h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
+                       WHEN h_fr >= 2 AND h_fr > h_de AND h_fr > h_en THEN 'fr'
+                       WHEN h_de >= 2 AND h_de > h_en THEN 'de'
+                       WHEN h_en >= 2 THEN 'en'
+                       ELSE 'und'
+                     END AS lang_pred,
+                     round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+                         + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                  / greatest(length(text), 1))
+                         + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                  / greatest(length(text), 1), 1.0)), 6) AS quality
+              FROM (
+                SELECT doc_id, text,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['the','and','of','to','in','is','that','for','with','was'], t))) AS h_en,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], t))) AS h_de,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['le','la','les','et','des','est','pour','que','dans','une'], t))) AS h_fr,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['el','la','los','que','de','es','por','con','para','una'], t))) AS h_es
+                FROM documents)
+            )
+            SELECT s.doc_id, s.lang_pred, s.quality
+            FROM scored s
+            JOIN reps r ON r.doc_id = s.doc_id AND r.rep_id = s.doc_id
+            WHERE s.quality >= 0.45 AND s.lang_pred <> 'und'
         """,
         "cosine_topk": """
             WITH q AS (
