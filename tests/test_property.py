@@ -94,3 +94,42 @@ def test_exact_dedup_partitions_rows(spark, texts):
     assert sum(r.n_copies for r in out) == len(texts)
     kept = {r.doc_id for r in out}
     assert kept <= set(range(len(texts)))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 0.9]),
+)
+@SLOW
+def test_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
+    """The prefix-filtered set-similarity join must return EXACTLY the
+    pairs a brute-force token-set Jaccard finds — the prefix/positional/
+    length filters may never drop a qualifying pair."""
+    from reddit_etl_pipeline_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=threshold).collect()
+    }
+    sets = {
+        i: set(w for w in t.strip().lower().split() if w)
+        for i, t in enumerate(docs)
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                jac = round(inter / len(sets[a] | sets[b]), 6)
+                if jac >= threshold:
+                    want[(a, b)] = jac
+    assert got == want
