@@ -1,0 +1,9 @@
+from .text import (  # noqa: F401
+    bpe_token_count,
+    detect_language,
+    fingerprint,
+    quality_score,
+    text_stats,
+    token_count,
+)
+from .transforms import transform_posts  # noqa: F401

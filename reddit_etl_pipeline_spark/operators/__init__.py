@@ -1,1 +1,28 @@
-from .upsert import upsert_anti_join, upsert_latest_wins  # noqa: F401
+from .asof import asof_join, range_join_bucketed  # noqa: F401
+from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_exact,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    minhash_signatures,
+    neardup_clusters,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+from .quality import (  # noqa: F401
+    assert_not_null,
+    assert_unique,
+    duplicate_keys,
+    null_counts,
+    total_nulls,
+)
+from .similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_exact,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
+from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
+from .upsert import upsert_anti_join, upsert_latest_wins, upsert_window_dedup  # noqa: F401
