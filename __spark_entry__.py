@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": Q.value_percentiles,
         "approx_distinct_stats": Q.approx_distinct_stats,
         "buyer_segments": Q.buyer_segments,
+        "ohlc_by_type": Q.ohlc_by_type,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -537,6 +538,29 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "ohlc_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+                          AS TIMESTAMP) AS bucket,
+                     ts, event_id, value
+              FROM events
+            ), w AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type, bucket
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY event_type, bucket
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM b
+            )
+            SELECT event_type, bucket,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+                   count(*) AS n_events
+            FROM w GROUP BY 1, 2
         """,
         "buyer_segments": """
             SELECT user_id, 'buyer_with_errors' AS segment FROM (

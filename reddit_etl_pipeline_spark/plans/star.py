@@ -305,6 +305,29 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_by_type(spark: SparkSession, sf_dir: str, minutes: int = 15) -> DataFrame:
+    """Time-bucket OHLC downsampling (the hypertable/candlestick rollup):
+    per (event_type, 15-min bucket) open/high/low/close of value. One
+    hash aggregate — open/close via min_by/max_by on (ts, event_id), so
+    no window pass and full map-side combine."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / (minutes * 60)) * (minutes * 60)
+    )
+    rank = F.struct("ts", "event_id")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min_by("value", rank), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", rank), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations beyond UNION: INTERSECT (users with both purchases
     and errors) and EXCEPT (purchasers with no errors), tagged and
