@@ -184,12 +184,16 @@ def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic vs ground-truth lang column: confusion rollup."""
+    """Language-ID heuristic vs ground-truth lang column: confusion
+    rollup (corpus-level codegen path, not the per-row array lambda)."""
     docs = Q.load(spark, sf_dir, "documents")
-    return docs.groupBy(
-        TX.detect_language("text").alias("lang_pred"),
-        F.col("lang").alias("lang_actual"),
-    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    pred = TX.detect_language_df(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id")
+        .groupBy("lang_pred", "lang_actual")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 # -------------------------------------------------------------- multimodal

@@ -149,6 +149,49 @@ def detect_language(col: str | Column = "text") -> Column:
     return best_lang
 
 
+def detect_language_df(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level language ID: (id, lang_pred) via explode + broadcast
+    stopword-dimension join + pivot — whole-stage codegen throughout,
+    unlike the per-row array-lambda ``detect_language`` (same fold
+    semantics: >= 2 hits, later language wins only on strictly more)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
+        "lang string, tok string",
+    )
+    langs = list(LANG_STOPWORDS)
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(col)).alias("raw")
+    ).select(id_col, F.lower("raw").alias("tok"))
+    hits = (
+        ex.join(F.broadcast(dim), "tok")
+        .groupBy(id_col)
+        .pivot("lang", langs)
+        .count()
+        .na.fill(0, subset=langs)
+    )
+    h = {lang: F.col(lang) for lang in langs}
+    pred = (
+        F.when(
+            (h["es"] >= 2) & (h["es"] > h["fr"]) & (h["es"] > h["de"]) & (h["es"] > h["en"]),
+            F.lit("es"),
+        )
+        .when((h["fr"] >= 2) & (h["fr"] > h["de"]) & (h["fr"] > h["en"]), F.lit("fr"))
+        .when((h["de"] >= 2) & (h["de"] > h["en"]), F.lit("de"))
+        .when(h["en"] >= 2, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    scored = hits.select(id_col, pred.alias("lang_pred"))
+    # docs with zero stopword hits never reach the join -> 'und'
+    return df.select(id_col).join(scored, id_col, "left").na.fill(
+        {"lang_pred": "und"}
+    )
+
+
 def text_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stat block — one projection, no shuffle."""
     return df.select(
