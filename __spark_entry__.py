@@ -148,6 +148,29 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(Q.load(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling (training-mixture weights):
+    keep 1-in-2 docs from src0*, 1-in-5 otherwise, keyed on doc_id so the
+    sample is reproducible on any cluster/partitioning (no rand())."""
+    docs = Q.load(spark, sf_dir, "documents")
+    rate = F.when(F.col("source").startswith("src0"), 2).otherwise(5)
+    kept = docs.filter(F.col("doc_id") % rate == 0)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(TX.token_count("text")).alias("kept_tokens"),
+    )
+
+
+def _token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length budgeting: histogram of per-doc token counts in
+    16-token buckets."""
+    docs = Q.load(spark, sf_dir, "documents")
+    bucket = (F.floor(TX.token_count("text") / 16) * 16).cast("int")
+    return docs.groupBy(bucket.alias("token_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation chain in ONE plan: keep each
     near-dup cluster's representative, require quality >= 0.45 and a
@@ -329,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _jaccard_pairs,
         "neardup_clusters": _neardup_clusters,
         "curated_corpus": _curated_corpus,
+        "corpus_mix": _corpus_mix,
+        "token_length_histogram": _token_length_histogram,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -658,6 +683,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
               ON c.n = d.doc_id
+        """,
+        "corpus_mix": f"""
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS kept_tokens
+            FROM documents
+            WHERE doc_id % (CASE WHEN source LIKE 'src0%' THEN 2 ELSE 5 END) = 0
+            GROUP BY source
+        """,
+        "token_length_histogram": f"""
+            SELECT CAST(floor(len({_TOKENS}) / 16) * 16 AS INTEGER) AS token_bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "curated_corpus": f"""
             WITH RECURSIVE tok AS (
