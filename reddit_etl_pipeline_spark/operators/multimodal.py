@@ -168,6 +168,33 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def resize_images(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Image resize plumbing: per-blob payload transform through the Arrow
+    batch path. The resample itself is a deterministic FAKE (keep every
+    ``factor``-th byte — a stand-in for pillow's ``Image.resize``);
+    non-image rows pass through untouched. Output schema mirrors input
+    with ``content`` replaced and ``n_bytes`` updated."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            new_content, new_bytes = [], []
+            for mtype, content in zip(pdf["media_type"], pdf["content"]):
+                if content is None or mtype != "image":
+                    new_content.append(content)
+                    new_bytes.append(None if content is None else len(content))
+                    continue
+                resized = bytes(content)[::factor]
+                new_content.append(resized)
+                new_bytes.append(len(resized))
+            pdf["content"] = new_content
+            pdf["n_bytes"] = new_bytes
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video blobs: emit ``n_frames`` evenly-spaced
     byte-slice "frames" per blob (deterministic FAKE for the ffmpeg seek;

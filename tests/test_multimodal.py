@@ -74,3 +74,11 @@ def test_sample_frames_video_explosion(media):
     )
     # 10 bytes / 4 frames -> step 2: [0:2],[2:4],[4:6],[6:8]
     assert frames == [(0, b"01"), (1, b"23"), (2, b"45"), (3, b"67")]
+
+
+def test_resize_images_downsamples_only_images(media):
+    out = {r.media_id: r for r in MM.resize_images(media, factor=2).collect()}
+    # media 0 is an image: "hello" -> every 2nd byte "hlo"
+    assert bytes(out[0].content) == b"hlo" and out[0].n_bytes == 3
+    # media 2 is video: untouched
+    assert bytes(out[2].content) == b"0123456789" and out[2].n_bytes == 10
