@@ -102,7 +102,7 @@ def _big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders GROUP BY o_custkey
         )
         SELECT o_custkey, round(spend, 2) AS spend
-        FROM spend WHERE spend > (SELECT avg(spend) FROM spend)
+        FROM spend WHERE spend > (SELECT round(avg(spend), 6) FROM spend)
         """
     )
 
@@ -511,8 +511,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "purchase_asof_click": """
             WITH clicks AS (
-              SELECT user_id, ts, round(arg_max(value, event_id), 6) AS value
-              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+              -- row_number, not arg_max: arg_max skips rows whose value
+              -- is NULL and would pick a different row than Spark max_by
+              SELECT user_id, ts, round(value, 6) AS value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') t
+              WHERE rn = 1
             )
             SELECT p.event_id, p.user_id,
                    CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
@@ -542,7 +548,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY o_custkey
             )
             SELECT o_custkey, round(spend, 2) AS spend
-            FROM spend WHERE spend > (SELECT avg(spend) FROM spend)
+            FROM spend WHERE spend > (SELECT round(avg(spend), 6) FROM spend)
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -174,17 +174,18 @@ def detect_language_df(
         .count()
         .na.fill(0, subset=langs)
     )
-    h = {lang: F.col(lang) for lang in langs}
-    pred = (
-        F.when(
-            (h["es"] >= 2) & (h["es"] > h["fr"]) & (h["es"] > h["de"]) & (h["es"] > h["en"]),
-            F.lit("es"),
-        )
-        .when((h["fr"] >= 2) & (h["fr"] > h["de"]) & (h["fr"] > h["en"]), F.lit("fr"))
-        .when((h["de"] >= 2) & (h["de"] > h["en"]), F.lit("de"))
-        .when(h["en"] >= 2, F.lit("en"))
-        .otherwise(F.lit("und"))
-    )
+    # unrolled fold, generated from LANG_STOPWORDS order so this stays in
+    # lockstep with detect_language. The fold's "later language wins only
+    # on strictly more hits" unrolls to: check languages LAST-first, each
+    # requiring >= 2 hits and strictly more than every EARLIER language.
+    # Building inside-out (enumerate order) makes the last language the
+    # outermost — first-evaluated — branch.
+    pred = F.lit("und")
+    for i, li in enumerate(langs):
+        c = F.col(li) >= 2
+        for lj in langs[:i]:
+            c = c & (F.col(li) > F.col(lj))
+        pred = F.when(c, F.lit(li)).otherwise(pred)
     scored = hits.select(id_col, pred.alias("lang_pred"))
     # docs with zero stopword hits never reach the join -> 'und'
     return df.select(id_col).join(scored, id_col, "left").na.fill(

@@ -45,19 +45,27 @@ def asof_join(
     ``right`` should be unique per (by, right_ts); pre-dedupe if not —
     ties at identical timestamps are otherwise engine-dependent.
     """
+    # right values are carried inside a single struct: last(ignorenulls)
+    # then distinguishes "no right row yet" (struct NULL) from a matched
+    # row whose value column is legitimately NULL (struct non-null,
+    # field NULL) — plain per-column carry would skip NULL values and
+    # resurrect an older row, diverging from ASOF semantics
+    rstruct = F.struct(*[F.col(c).alias(c) for c in value_cols])
     l_tag = left.select(
         F.col(by).alias("__k"),
         F.col(left_ts).cast("timestamp").alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(right.select(rstruct.alias("s")).schema["s"].dataType)
+        .alias("__vrow"),
     )
     r_tag = right.select(
         F.col(by).alias("__k"),
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        rstruct.alias("__vrow"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort first at equal ts -> "at or before" includes ties
@@ -69,13 +77,10 @@ def asof_join(
     carried = unioned.select(
         "__is_left",
         "__lrow",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__cv_{c}")
-            for c in value_cols
-        ],
+        F.last("__vrow", ignorenulls=True).over(w).alias("__cv"),
     )
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"__cv_{c}").alias(f"{suffix}{c}") for c in value_cols]
+    out_cols += [F.col(f"__cv.{c}").alias(f"{suffix}{c}") for c in value_cols]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
 
 

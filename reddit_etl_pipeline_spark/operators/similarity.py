@@ -211,11 +211,16 @@ def train_ivf_centroids(
     rows = (
         df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.array([list(r[0]) for r in rows], dtype="float64")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    # deterministic init: evenly spaced sample rows
-    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    # deterministic init: evenly spaced DISTINCT sample rows (a sample
+    # smaller than n_centroids would otherwise seed duplicate centroids)
+    n_centroids = min(n_centroids, len(x))
+    idx = np.unique(np.linspace(0, len(x) - 1, n_centroids).astype(int))
     c = x[idx].copy()
+    n_centroids = len(c)
     for _ in range(iters):
         sims = x @ c.T
         assign = sims.argmax(axis=1)

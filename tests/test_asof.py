@@ -54,3 +54,20 @@ def test_range_join_bucketed_exact_window(spark):
     )
     vals = sorted(r.r_value for r in out.collect())
     assert vals == [1.0, 2.0]
+
+
+def test_asof_join_carries_null_value_of_matched_row(spark):
+    """A matched right row whose value is NULL must yield NULL (ASOF
+    semantics) — not resurrect an older non-null value."""
+    t = lambda h: dt.datetime(2025, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(12))], "order_id long, k string, ots timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 5.0), ("u", t(11), None)],
+        "k string, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="ots", right_ts="ts", value_cols=["value"]
+    ).collect()
+    assert out[0].asof_value is None

@@ -133,3 +133,19 @@ def test_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
                 if jac >= threshold:
                     want[(a, b)] = jac
     assert got == want
+
+
+def test_jaccard_exact_threshold_pair_survives_float_bounds(spark):
+    """Regression: sa+sb=133 makes float ceil((t/(1+t))*133) overshoot to
+    64 (exact 63) at t=0.9; the bounds must be epsilon-loosened so the
+    exactly-0.9 pair (63 shared, sizes 64/69) is kept."""
+    from reddit_etl_pipeline_spark.operators.dedup import jaccard_pairs
+
+    shared = [f"s{i:03d}" for i in range(63)]
+    doc_a = " ".join(["uniqueA"] + shared)          # 64 tokens
+    doc_b = " ".join([f"ub{i}" for i in range(6)] + shared)  # 69 tokens
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    rows = jaccard_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 0.9

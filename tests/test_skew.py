@@ -96,3 +96,13 @@ def test_cosine_topk_ivf_recall(spark, embeddings):
         for r in S.ivf_topk(embeddings, q, k=5, n_centroids=8, nprobe=4).collect()
     }
     assert len(approx & exact) >= len(exact) * 0.3
+
+
+def test_ivf_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        S.train_ivf_centroids(empty)
