@@ -305,6 +305,12 @@ def _stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_distinct_users(spark, sf_dir)
 
 
+def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds + watermarks;
+    equals the batch range join (same oracle shape)."""
+    return ST.streamed_purchase_click_join(spark, sf_dir)
+
+
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction surface: props is a JSON string column."""
     ev = Q.load(spark, sf_dir, "events")
@@ -370,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": _stream_hourly,
         "stream_sessionize": _stream_sessionize,
         "stream_distinct_users": _stream_distinct,
+        "stream_purchase_click_join": _stream_join,
     }
 
 
@@ -868,6 +875,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_distinct_users": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_purchase_click_join": """
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   round(c.value, 6) AS click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
         """,
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py).

@@ -120,6 +120,94 @@ def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(firsts, spark, output_mode="append")
 
 
+def streamed_purchase_click_join(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 3600
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases joined
+    to the same user's clicks in the strict hour before each purchase.
+    Both sides are watermarked; the join buffers each side's state only
+    within the time bound, and rows are emitted once the watermark passes
+    their join window.
+
+    For the bounded run, a sentinel event far past max(ts) in a SECOND
+    file per side advances the watermark over all real data so every
+    matched pair is emitted (production streams drain continuously).
+    Matches the batch range-join oracle exactly.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns_ts = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in batch.schema.fields
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + (window_seconds + 7200) * (1_000_000_000 if ns_ts else 1)
+
+    def side_dir(event_type: str) -> str:
+        side = batch.filter(F.col("event_type") == event_type)
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(sentinel_ts).cast(batch.schema["ts"].dataType).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        d = tempfile.mkdtemp(prefix=f"ssj_{event_type}_")
+        side.coalesce(1).write.mode("overwrite").parquet(f"{d}/0_data")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{d}/1_sentinel")
+        import time
+
+        stream_d = tempfile.mkdtemp(prefix=f"ssj_{event_type}_stream_")
+        now = time.time()
+        for i, sub in enumerate(["0_data", "1_sentinel"]):
+            part = next(
+                p for p in os.listdir(f"{d}/{sub}") if p.endswith(".parquet")
+            )
+            # stagger target mtimes so the file source orders data before
+            # sentinel (one file per side per micro-batch)
+            os.utime(f"{d}/{sub}/{part}", (now + i * 3, now + i * 3))
+            os.symlink(f"{d}/{sub}/{part}", f"{stream_d}/{i}.parquet")
+        return stream_d
+
+    def read_side(path: str, alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        if ns_ts:
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s.select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("user_id").alias(f"{alias}_user"),
+            F.col("ts").alias(f"{alias}_ts"),
+            F.col("value").alias(f"{alias}_value"),
+            F.col("event_type").alias(f"{alias}_type"),
+        ).withWatermark(f"{alias}_ts", "1 hour")
+
+    purchases = read_side(side_dir("purchase"), "p")
+    clicks = read_side(side_dir("click"), "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("p_type") == "purchase")
+        & (F.col("c_type") == "click"),
+        "inner",
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.round("c_value", 6).alias("click_value"),
+    )
+    return run_stream_to_batch(joined, spark, output_mode="append")
+
+
 # ------------------------------------------------ custom stateful operator
 
 
