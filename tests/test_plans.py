@@ -48,3 +48,22 @@ def test_anti_join_pushes_value_filter(spark, sf_dir):
     p = plan_of(Q.market_share_projection(spark, sf_dir))
     assert "GreaterThan(o_totalprice" in p
     assert "LeftAnti" in p
+
+
+def test_range_join_is_equi_not_bnl(spark, sf_dir):
+    """The time-bucket rewrite must plan as an equi-join (hash/sort-merge),
+    never BroadcastNestedLoop/Cartesian."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["purchase_clicks_window"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """As-of join: the union+window formulation shuffles on the key, with
+    no join-shaped candidate blowup in the plan."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["purchase_asof_click"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "Window" in p
