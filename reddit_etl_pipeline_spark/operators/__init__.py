@@ -10,6 +10,14 @@ from .dedup import (  # noqa: F401
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from .multimodal import (  # noqa: F401
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    media_byte_stats,
+    resize_images,
+    sample_frames,
+)
 from .quality import (  # noqa: F401
     assert_not_null,
     assert_unique,
