@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_clicks_window": _purchase_clicks_window,
         "big_spenders_sql": _big_spenders_sql,
         "rollup_revenue": Q.rollup_revenue,
+        "cube_order_stats": Q.cube_order_stats,
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
         "approx_distinct_stats": Q.approx_distinct_stats,
@@ -564,6 +565,14 @@ def oracle_sql() -> dict[str, str]:
                        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "events_pivot": """
             SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,

@@ -278,6 +278,18 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 combinations of (orderstatus, priority)
+    subtotals in one Expand + single shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: hour-of-day x event_type count matrix. Explicit pivot values
     keep the single-pass plan (no distinct-values pre-query) and a stable
