@@ -381,7 +381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+# Empty/whitespace-only text must tokenize to [] (count 0) to match
+# functions/text.py tokens(); bare string_split_regex('') yields [''].
+_TOKENS = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -635,15 +640,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) AS n_chars,
                    CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) = 0 THEN 0.0 ELSE
                    round(CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
-                         / len({_TOKENS}), 6) AS mean_token_len,
+                         / len({_TOKENS}), 6) END AS mean_token_len,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
                    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                         / length(text), 6) AS punct_ratio,
+                         / length(text), 6) END AS punct_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
                    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                         / length(text), 6) AS alpha_ratio,
+                         / length(text), 6) END AS alpha_ratio,
+                   CASE WHEN len({_TOKENS}) = 0 THEN 0.0 ELSE
                    round(CAST(len(list_filter({_TOKENS},
                          x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
-                         AS DOUBLE) / len({_TOKENS}), 6) AS en_stopword_ratio,
+                         AS DOUBLE) / len({_TOKENS}), 6) END AS en_stopword_ratio,
                    round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
                        + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                 / greatest(length(text), 1))

@@ -85,6 +85,19 @@ def compact_table(
     import os
     import shutil
 
+    old = f"{path}__old"
+    tmp = f"{path}__compacting"
+    # crash recovery (same pattern as plans/pipeline.py run_daily_batch):
+    # a previous compaction that died between the two moves leaves the
+    # table stranded at __old — restore it; any other leftover __old or
+    # half-written __compacting output is stale and must be cleared.
+    if os.path.exists(old) and not os.path.exists(path):
+        shutil.move(old, path)
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
@@ -92,7 +105,6 @@ def compact_table(
     df = spark.read.parquet(path)
     if partition_by is None:
         partition_by = [BATCH_DATE_COL] if BATCH_DATE_COL in df.columns else []
-    tmp = f"{path}__compacting"
     if partition_by:
         # hash-cluster on the partition columns so each task holds whole
         # partition values -> one output file per value (round-robin
@@ -105,7 +117,6 @@ def compact_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = f"{path}__old"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)

@@ -145,7 +145,13 @@ def streamed_purchase_click_join(
         for f in batch.schema.fields
     )
     max_ts = batch.agg(F.max("ts")).first()[0]
-    sentinel_ts = max_ts + (window_seconds + 7200) * (1_000_000_000 if ns_ts else 1)
+    if ns_ts:
+        sentinel_ts = max_ts + (window_seconds + 7200) * 1_000_000_000
+    else:
+        # real timestamp column: max_ts is a datetime, advance via timedelta
+        import datetime
+
+        sentinel_ts = max_ts + datetime.timedelta(seconds=window_seconds + 7200)
 
     def side_dir(event_type: str) -> str:
         side = batch.filter(F.col("event_type") == event_type)

@@ -23,6 +23,36 @@ def test_compact_reduces_file_count(spark):
     assert spark.read.parquet(path).count() == 2000
 
 
+def test_compact_recovers_from_crash_mid_swap(spark):
+    import shutil
+
+    d = tempfile.mkdtemp()
+    path = f"{d}/t"
+    spark.range(500).repartition(4).write.parquet(path)
+    # simulate a crash between the two moves: table stranded at __old,
+    # plus a half-written __compacting directory left behind
+    shutil.move(path, f"{path}__old")
+    os.makedirs(f"{path}__compacting")
+    compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == 500
+    assert not os.path.exists(f"{path}__old")
+    assert not os.path.exists(f"{path}__compacting")
+
+
+def test_compact_clears_stale_old_after_completed_swap(spark):
+    import shutil
+
+    d = tempfile.mkdtemp()
+    path = f"{d}/t"
+    spark.range(500).repartition(4).write.parquet(path)
+    # crash AFTER the swap completed: table is live, __old is stale
+    spark.range(10).write.parquet(f"{path}__old")
+    compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == 500
+    assert not os.path.exists(f"{path}__old")
+    shutil.rmtree(d)
+
+
 def test_compact_partitioned_table_one_file_per_partition(spark):
     import tempfile
 

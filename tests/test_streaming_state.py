@@ -99,3 +99,32 @@ def test_watermark_drops_late_data(spark):
     assert counts[3] == 1  # the late event did NOT land
     assert len(rows) == 2  # and was not re-emitted as a duplicate window
     assert 10 not in counts  # unclosed window never emitted in append mode
+
+
+def test_stream_join_on_real_timestamp_column(spark, tmp_path):
+    """streamed_purchase_click_join's non-nanosecond branch: ts stored as a
+    real parquet TIMESTAMP (not nanos-bigint). The sentinel must be computed
+    via timedelta, and join results must match the batch range-join."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (1, t(1, 0), 7, "click", 1.5, None),
+        (2, t(1, 30), 7, "purchase", 9.0, None),   # joins click 1 (30 min before)
+        (3, t(3, 0), 7, "purchase", 2.0, None),    # no click within the hour
+        (4, t(4, 0), 8, "click", 0.5, None),
+        (5, t(4, 59), 8, "purchase", 3.0, None),   # joins click 4
+        (6, t(6, 0), 8, "view", 1.0, None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        (r.purchase_id, r.click_id): r.click_value
+        for r in ST.streamed_purchase_click_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {(2, 1): 1.5, (5, 4): 0.5}
