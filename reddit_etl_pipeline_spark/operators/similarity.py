@@ -3,10 +3,11 @@
 Two paths:
 
 - ``cosine_topk_bruteforce``: exact top-k — broadcast the (small) query
-  set against the corpus, dot products as built-in higher-order array
-  functions (zip_with + aggregate, JVM-side), rank with a per-query
-  window. The right plan whenever |queries| << |corpus|: the corpus scan
-  stays partition-parallel and shuffle-free until the tiny top-k shuffle.
+  set against the corpus, score pairs with Arrow-batched numpy
+  (mapInPandas) including a batch-local top-k prune, rank with a
+  per-query window. The right plan whenever |queries| << |corpus|: the
+  corpus scan stays partition-parallel and shuffle-free; the final
+  window sees only O(batches * k) rows per query.
 - ``cosine_topk_lsh``: approximate — random-hyperplane LSH buckets
   (sign-bit sketch of the embedding), search only the query's bucket
   (plus optional multi-probe). Turns full-corpus scans into
@@ -25,6 +26,10 @@ from pyspark.sql import Window
 ROUND_DP = 6
 
 
+# NOTE: _dot/_norm/cosine are interpreted per-element HOF expressions —
+# kept ONLY for the O(n^2) oracle baseline embedding_neardup_exact, whose
+# left-to-right summation order matches the DuckDB oracle exactly. Hot
+# paths score via _pair_cosine_scored (Arrow numpy) instead.
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -47,6 +52,62 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pair_cosine_scored(
+    paired: DataFrame, local_topk: int | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, qvec, cvec) -> (query_id, neighbor_id, sim)
+    via Arrow-batched numpy — millions of dots/sec/core, vs interpreted
+    per-element HOF lambda evaluation (the pattern CLAUDE.md bans from
+    corpus-scale hot paths).
+
+    ``local_topk``: keep only each Arrow batch's top-k rows per query
+    (same (-sim, neighbor_id) total order as the global rank) — the
+    map-side prune for brute-force scans: the global top-k is a subset of
+    every batch's local top-k, so the downstream window shuffles
+    O(batches*k) rows instead of O(corpus).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["qvec"].to_numpy()).astype("float64")
+            b = np.stack(pdf["cvec"].to_numpy()).astype("float64")
+            sims = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "sim": sims,
+                }
+            )
+            if local_topk is not None:
+                out = (
+                    out.sort_values(
+                        ["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(local_topk)
+                )
+            yield out
+
+    return paired.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", ROUND_DP).alias("sim"))
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,9 +117,10 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
-    ``queries`` rows are broadcast; each corpus partition computes its
-    similarities independently (no shuffle), then a single window ranks
-    per query. Self-matches (same id) are excluded.
+    ``queries`` rows are broadcast; each corpus partition scores its
+    pairs in numpy Arrow batches and pre-prunes to a batch-local top-k
+    (no shuffle), then a single tiny window ranks per query.
+    Self-matches (same id) are excluded.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -66,28 +128,10 @@ def cosine_topk_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
-        )
+    paired = c.join(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round("sim", ROUND_DP).alias("sim"),
-        )
-    )
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
 def hyperplane_bucket(
@@ -145,21 +189,8 @@ def cosine_topk_lsh(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        cand_ids.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", ROUND_DP).alias("sim"))
-    )
+    paired = cand_ids.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
 def embedding_neardup_exact(
@@ -285,17 +316,8 @@ def ivf_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", ROUND_DP).alias("sim"))
-    )
+    paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
 def _plane_component(seed: int, p: int, j: int) -> float:
@@ -313,36 +335,48 @@ def lsh_bucket_table(
 ) -> DataFrame:
     """(did, tbl, bucket) rows for multi-table hyperplane LSH.
 
-    Computed by exploding the vector to (id, j, x) rows and taking
-    n_tables*n_planes ``sum(x * plane[j])`` aggregate columns — the whole
-    projection stays in whole-stage codegen (per-element HOF lambdas are
-    interpreted and ~10x slower at corpus scale), with map-side partial
-    sums so the shuffle carries |docs| x (planes*tables) doubles.
+    One numpy matmul per Arrow batch: project the (batch x dim) vector
+    block against all n_tables*n_planes hyperplanes at once and pack the
+    sign bits into per-table bucket ids. Map-only — no explode, no
+    shuffle, no per-element expression evaluation; the projection cost
+    is a dense BLAS multiply. (Earlier explode+aggregate and per-element
+    HOF formulations shuffled |docs| x planes*tables doubles and were
+    respectively ~3x and ~30x slower at corpus scale.)
     """
-    ex = df.select(
-        F.col(id_col).alias("did"), F.posexplode(F.col(vec_col)).alias("j", "x")
-    )
-    aggs = []
-    for t in range(n_tables):
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(_plane_component(42 + 101 * t, p, j)) for j in range(dim)]
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [
+                [_plane_component(42 + 101 * t, p, j) for j in range(dim)]
+                for p in range(n_planes)
+            ]
+            for t in range(n_tables)
+        ],
+        dtype="float64",
+    ).reshape(n_tables * n_planes, dim)
+    bit_weights = 1 << np.arange(n_planes, dtype="int64")
+    tbl_ids = np.arange(n_tables, dtype="int32")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            proj = m @ planes.T  # (batch, tables*planes)
+            bits = (proj >= 0).astype("int64").reshape(len(m), n_tables, n_planes)
+            buckets = (bits * bit_weights).sum(axis=2)  # (batch, tables)
+            yield pd.DataFrame(
+                {
+                    "did": pdf[id_col].to_numpy().repeat(n_tables),
+                    "tbl": np.tile(tbl_ids, len(m)),
+                    "bucket": buckets.ravel(),
+                }
             )
-            aggs.append(
-                F.sum(
-                    F.col("x").cast("double") * F.element_at(plane, F.col("j") + 1)
-                ).alias(f"pr_{t}_{p}")
-            )
-    g = ex.groupBy("did").agg(*aggs)
-    buckets = [
-        sum(
-            F.shiftleft((F.col(f"pr_{t}_{p}") >= 0).cast("long"), p)
-            for p in range(n_planes)
-        ).alias(f"b{t}")
-        for t in range(n_tables)
-    ]
-    return g.select("did", F.array(*buckets).alias("bks")).select(
-        "did", F.posexplode("bks").alias("tbl", "bucket")
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, "did long, tbl integer, bucket long"
     )
 
 
