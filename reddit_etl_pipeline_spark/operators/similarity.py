@@ -198,13 +198,26 @@ def embedding_neardup_exact(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 200_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all-pairs baseline.
 
     O(n²) by construction — the correctness reference for the LSH variant
-    below, and fine up to ~10⁵ vectors. Norms are precomputed once per
-    side so the pair loop does a single dot product.
+    below, NOT a scale path: it plans a BroadcastNestedLoopJoin and is
+    gated by ``max_rows`` (raises beyond it; pass ``max_rows=None`` to
+    opt in explicitly on a corpus you accept quadratic cost for). Use
+    ``embedding_neardup_pairs`` (bucketed LSH) at scale. Norms are
+    precomputed once per side so the pair loop does a single dot product.
     """
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_exact is an O(n^2) all-pairs baseline; "
+                f"input exceeds max_rows={max_rows}. Use "
+                f"embedding_neardup_pairs (LSH) at this scale, or pass "
+                f"max_rows=None to opt in to quadratic cost."
+            )
     e = df.select(
         F.col(id_col).alias("did"),
         F.col(vec_col).alias("vec"),

@@ -67,3 +67,43 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
     p = plan_of(E.queries()["purchase_asof_click"](spark, sf_dir))
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
     assert "Window" in p
+
+
+# The ONLY queries allowed a non-equi join shape:
+# - embedding_neardup: documented O(n^2) oracle baseline for the LSH
+#   variant, gated by max_rows in embedding_neardup_exact
+# - cosine_topk: corpus x broadcast(queries) cross product is the exact
+#   brute-force contract — linear in corpus (the nested side is the tiny
+#   broadcast query set), shuffle-free until the post-prune top-k window
+BNL_ALLOWED = {"embedding_neardup", "cosine_topk"}
+
+# Streaming entries execute the stream when called (run_stream_to_batch),
+# so their "plan" is a memory-table scan — nothing to sweep.
+STREAMING = {
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "stream_distinct_users",
+    "stream_purchase_click_join",
+}
+
+
+def test_every_query_plan_is_bnl_free(spark, sf_dir):
+    """Sweep the full driver surface: no query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct unless it is a declared
+    all-pairs baseline. Catches accidental non-equi joins on new operators
+    before they become 100x-scale cliffs."""
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        if name in STREAMING or name in BNL_ALLOWED:
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        bad = [
+            marker
+            for marker in ("BroadcastNestedLoop", "CartesianProduct")
+            if marker in p
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-equi join shapes in: {offenders}"

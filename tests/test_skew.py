@@ -106,3 +106,22 @@ def test_ivf_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         S.train_ivf_centroids(empty)
+
+
+def test_embedding_neardup_exact_gated_beyond_max_rows(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from reddit_etl_pipeline_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_neardup_exact(df, max_rows=10)
+    # opt-in still works
+    assert embedding_neardup_exact(df.limit(5), max_rows=None).count() == 10
