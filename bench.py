@@ -33,6 +33,18 @@ def main() -> None:
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
+    # python-worker pool + Arrow + numpy imports are likewise session
+    # costs; without this the first mapInPandas query eats ~10s of
+    # one-time worker spawn
+    def _warm_workers(batches):
+        import numpy  # noqa: F401  (preload into each worker)
+
+        yield from batches
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1000, numPartitions=n_workers).mapInPandas(
+        _warm_workers, "id long"
+    ).count()
 
     # headline set: the reference's canonical surface + joins/windows +
     # the LLM-data operators, heaviest variants included
@@ -83,6 +95,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = -1.0  # non-standard dir name (e.g. synthesized scale data)
     print(
         json.dumps(
             {
@@ -90,7 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -134,6 +134,18 @@ def cosine_topk_bruteforce(
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
+def auto_planes(n_rows: int, target_bucket: int = 32) -> int:
+    """Size the LSH bucket space to the corpus: ~``target_bucket`` vectors
+    per bucket. A FIXED plane count is a scale trap — candidate volume per
+    bucket grows as (n/2^planes)^2, so 10x the corpus at constant planes
+    means 100x the candidate pairs. log2 growth keeps occupancy (and thus
+    per-bucket quadratic cost) constant; recall loss per added plane is
+    compensated by the multi-table OR."""
+    import math
+
+    return max(4, min(16, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+
+
 def hyperplane_bucket(
     vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
@@ -163,19 +175,21 @@ def cosine_topk_lsh(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing ANY
     of ``n_tables`` hyperplane buckets with the query (multi-table OR for
-    recall), exact rerank inside the candidate set. Bucket projections use
-    the codegen explode/aggregate path (lsh_bucket_table).
+    recall), exact rerank inside the candidate set via Arrow numpy.
 
-    Defaults favor recall on weakly-clustered corpora (few planes -> big
-    buckets, many tables -> many chances); for strongly-clustered
-    embeddings raise n_planes to shrink candidate sets."""
+    ``n_planes=None`` sizes the bucket space to the corpus (auto_planes):
+    candidate count per query stays ~n_tables * target_bucket instead of
+    growing linearly with the corpus. Pass it explicitly to trade recall
+    (fewer planes) against candidate volume (more planes)."""
+    if n_planes is None:
+        n_planes = max(auto_planes(corpus.count()) - 2, 4)  # favor recall
     cb = lsh_bucket_table(corpus, dim, n_planes, n_tables, id_col, vec_col)
     qb = lsh_bucket_table(queries, dim, n_planes, n_tables, id_col, vec_col)
     cand_ids = (
@@ -397,7 +411,7 @@ def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.4,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -408,7 +422,9 @@ def embedding_neardup_pairs(
     each; a pair is a candidate if it collides in ANY table (banding OR,
     like MinHash LSH). Recall for a pair at angle θ is
     1-(1-(1-θ/π)^planes)^tables. The scale path: the self-join is
-    bucket-equi (shuffle on (tbl, bucket)), never all-pairs.
+    bucket-equi (shuffle on (tbl, bucket)), never all-pairs, and
+    ``n_planes=None`` auto-sizes the bucket space to the corpus so
+    per-bucket candidate cost stays constant as it grows (auto_planes).
 
     Candidate verification is an Arrow-batched mapInPandas cosine (numpy
     dot per batch) — millions of 64-dim dots per second per core, vs
@@ -417,6 +433,8 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     b = lsh_bucket_table(df, dim, n_planes, n_tables, id_col, vec_col)
     x, y = b.alias("x"), b.alias("y")
     cands = (

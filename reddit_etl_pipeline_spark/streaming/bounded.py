@@ -1,0 +1,111 @@
+"""Bounded-run harness for Structured Streaming.
+
+Production streams run the plans in stream.py continuously (kafka / cloud
+storage sources, checkpointed file sinks). These helpers exist to drive a
+FINITE file set to completion synchronously — for tests, the driver
+contract, and oracle comparison — and are deliberately separated from the
+production operators so nobody copies mtime-staggering or memory sinks
+into a real deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stage_bounded_stream(
+    items: list, prefix: str = "bounded_stream_"
+) -> str:
+    """Stage a list of DataFrames / parquet part-file paths as an ordered
+    micro-batch sequence for a file-source stream.
+
+    File streams order batches by modification time; each item gets an
+    mtime 3 s after the previous so ``maxFilesPerTrigger=1`` delivers item
+    i in micro-batch i. DataFrames are written to scratch dirs and moved
+    in; existing part files are COPIED — never hard/soft-linked, because
+    the mtime stagger on a linked file would mutate the shared inode (and
+    with it the original file's metadata, which may be read-only
+    testdata). Returns the stream source directory.
+    """
+    import shutil
+
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    now = time.time()
+    for i, item in enumerate(items):
+        dst = f"{stream_dir}/{i}.parquet"
+        if isinstance(item, DataFrame):
+            d = tempfile.mkdtemp(prefix=f"{prefix}item{i}_")
+            item.coalesce(1).write.mode("overwrite").parquet(d)
+            src = next(
+                f"{d}/{p}" for p in os.listdir(d) if p.endswith(".parquet")
+            )
+            os.replace(src, dst)
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            shutil.copy2(os.path.abspath(item), dst)
+        os.utime(dst, (now + i * 3, now + i * 3))
+    return stream_dir
+
+
+def run_stream_to_batch(
+    agg: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+    debug: bool = False,
+) -> DataFrame:
+    """Execute a streaming query over a bounded source and return the
+    final result as a batch DataFrame.
+
+    Sink selection: append mode writes a parquet FILE SINK with a
+    checkpoint and reads it back (the production pattern — results never
+    collect to the driver); complete/update modes fall back to the memory
+    sink, which Spark requires for them (keep such queries to
+    dashboard-sized results). ``debug=True`` forces the memory sink.
+
+    ``state_partitions`` temporarily overrides shuffle partitions for the
+    stream: each state-store partition costs commit/checkpoint I/O per
+    micro-batch, so partition count should track state size — for bounded
+    local runs with small keyed state, 8 beats the batch-tuned 32. On a
+    real cluster leave None and size via the session.
+    """
+    use_file_sink = output_mode == "append" and not debug
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        if use_file_sink:
+            out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+            chk = tempfile.mkdtemp(prefix="stream_chk_")
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+        else:
+            name = f"stream_out_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if use_file_sink:
+        # schema pinned from the plan: an all-late run can leave zero files
+        return spark.read.schema(agg.schema).parquet(out_dir)
+    out = spark.table(name)
+    rows = out.collect()  # materialize before the in-memory table goes away
+    return spark.createDataFrame(rows, out.schema)

@@ -3,18 +3,19 @@
 The reference is daily batch (SURVEY.md §2.9 — streaming is an explicit
 future enhancement, reference README.md:108). The engine exposes the same
 relations as streams: file-source ``readStream`` over the lake, watermarked
-tumbling-window aggregation, and a stateful sessionizer. For local runs the
-memory sink + ``processAllAvailable`` drives a bounded file set to
-completion synchronously; in production the same plan runs unchanged over
-kafka/cloud storage with checkpointing.
+tumbling-window aggregation, and a stateful sessionizer with an event-time
+timeout drain. Bounded local runs are driven to completion via the harness
+in ``streaming/bounded.py`` (file-sink + checkpoint for append queries —
+the production pattern; memory sink only for complete-mode dashboards);
+in production the same plans run unchanged over kafka/cloud storage.
 """
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .bounded import run_stream_to_batch, stage_bounded_stream  # noqa: F401
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +45,15 @@ def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type — the canonical
-    late-data-tolerant streaming aggregate."""
+    late-data-tolerant streaming aggregate.
+
+    Deliberately NO sentinel filter: any event_type predicate here gets
+    pushed below the EventTimeWatermark node into the scan (Catalyst does
+    this even for disguised predicates), and a scan-pruned sentinel never
+    advances the watermark. Bounded-run sentinels are instead placed so
+    the watermark can never pass their own window's end (see
+    _bounded_events_stream) — their window sits in state but is never
+    emitted in append mode."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -61,51 +70,84 @@ def windowed_event_counts(
     )
 
 
-def run_stream_to_batch(
-    agg: DataFrame,
-    spark: SparkSession,
-    output_mode: str = "complete",
-    state_partitions: int | None = 8,
+def _event_sentinel(
+    batch: DataFrame, sentinel_ts, ns_ts: bool
 ) -> DataFrame:
-    """Execute a streaming query over the bounded file set and return the
-    final result as a batch DataFrame (memory sink, synchronous).
+    """One watermark-advancing sentinel row in the events schema
+    (event_id/user_id = -1; filtered out of every aggregate)."""
+    return batch.sparkSession.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(sentinel_ts).cast("long" if ns_ts else "timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
 
-    ``state_partitions`` temporarily overrides shuffle partitions for the
-    stream: each state-store partition costs commit/checkpoint I/O per
-    micro-batch, so partition count should track state size — for bounded
-    local runs with small keyed state, 8 beats the batch-tuned 32. On a
-    real cluster leave None and size via the session."""
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # materialize before the in-memory sink table goes away
-    out = spark.table(name)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+
+def _bounded_events_stream(
+    spark: SparkSession, sf_dir: str, margin_seconds: int
+):
+    """Events table staged as [data, watermark-sentinel] micro-batches.
+
+    The first sentinel row sits ``margin_seconds`` past max(ts); once its
+    batch commits, the watermark passes every real window/timeout. A
+    SECOND sentinel at the SAME timestamp follows in its own batch,
+    because emission/flush happens while processing a batch under the
+    already-advanced watermark — Spark can also do it in a
+    watermark-triggered no-data micro-batch, but ``processAllAvailable``
+    does not wait for those (it returns when all *file* data is
+    consumed), so relying on it is a race. The equal timestamp matters:
+    the watermark therefore never passes the sentinels' own
+    window/timeout horizon, so sentinel state can never be emitted —
+    making output deterministic with no sentinel filter (which Catalyst
+    would push below the watermark node anyway, killing the watermark
+    advance). Two rows per run, not one per key. Returns (stream, ns_ts);
+    sentinel rows carry event_type='__sentinel__' and ids of -1.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns_ts = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in batch.schema.fields
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    if ns_ts:
+        sentinel_ts = max_ts + margin_seconds * 1_000_000_000
+    else:
+        import datetime
+
+        sentinel_ts = max_ts + datetime.timedelta(seconds=margin_seconds)
+    d = stage_bounded_stream(
+        [
+            f"{sf_dir}/events.parquet",
+            _event_sentinel(batch, sentinel_ts, ns_ts),
+            _event_sentinel(batch, sentinel_ts, ns_ts),
+        ],
+        prefix="events_bounded_",
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    if ns_ts:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream, ns_ts
 
 
 def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream the events table through a 1-hour tumbling window
-    and return the final counts. Equivalent batch semantics:
-    GROUP BY date_trunc('hour', ts), event_type — which is exactly what the
-    DuckDB oracle checks."""
-    return run_stream_to_batch(
-        windowed_event_counts(read_events_stream(spark, sf_dir)), spark
-    )
+    and emit finalized windows in APPEND mode to a parquet file sink — the
+    production shape (complete-mode memory sinks don't scale past
+    dashboard results). The watermark sentinel closes every real window;
+    its own window stays open and is never emitted. Equivalent batch
+    semantics: GROUP BY date_trunc('hour', ts), event_type — exactly what
+    the DuckDB oracle checks."""
+    stream, _ = _bounded_events_stream(spark, sf_dir, margin_seconds=4 * 3600)
+    agg = windowed_event_counts(stream)
+    return run_stream_to_batch(agg, spark, output_mode="append")
 
 
 def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,9 +176,6 @@ def streamed_purchase_click_join(
     matched pair is emitted (production streams drain continuously).
     Matches the batch range-join oracle exactly.
     """
-    import os
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -154,31 +193,13 @@ def streamed_purchase_click_join(
         sentinel_ts = max_ts + datetime.timedelta(seconds=window_seconds + 7200)
 
     def side_dir(event_type: str) -> str:
-        side = batch.filter(F.col("event_type") == event_type)
-        sentinel = spark.range(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(sentinel_ts).cast(batch.schema["ts"].dataType).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("__sentinel__").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
+        return stage_bounded_stream(
+            [
+                batch.filter(F.col("event_type") == event_type),
+                _event_sentinel(batch, sentinel_ts, ns_ts),
+            ],
+            prefix=f"ssj_{event_type}_",
         )
-        d = tempfile.mkdtemp(prefix=f"ssj_{event_type}_")
-        side.coalesce(1).write.mode("overwrite").parquet(f"{d}/0_data")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{d}/1_sentinel")
-        import time
-
-        stream_d = tempfile.mkdtemp(prefix=f"ssj_{event_type}_stream_")
-        now = time.time()
-        for i, sub in enumerate(["0_data", "1_sentinel"]):
-            part = next(
-                p for p in os.listdir(f"{d}/{sub}") if p.endswith(".parquet")
-            )
-            # stagger target mtimes so the file source orders data before
-            # sentinel (one file per side per micro-batch)
-            os.utime(f"{d}/{sub}/{part}", (now + i * 3, now + i * 3))
-            os.symlink(f"{d}/{sub}/{part}", f"{stream_d}/{i}.parquet")
-        return stream_d
 
     def read_side(path: str, alias: str) -> DataFrame:
         s = (
@@ -217,17 +238,29 @@ def streamed_purchase_click_join(
 # ------------------------------------------------ custom stateful operator
 
 
-def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, drain: str = "sentinel"
+) -> DataFrame:
     """Custom stateful streaming sessionizer via applyInPandasWithState.
 
     Per user_id, state carries the open session (seq, start/end epoch-µs,
     count, value sum); each micro-batch walks that user's events in
     (ts, event_id) order, closing a session whenever the floor-seconds gap
     exceeds ``gap_minutes`` (strict >, matching the batch ``sessionize``
-    in plans/star.py). Rows with event_id < 0 are end-of-stream sentinels:
-    they flush the open session without joining one — how a bounded run
-    drains state (production streams would use event-time timeouts
-    instead).
+    in plans/star.py).
+
+    ``drain`` picks how open sessions are flushed:
+
+    - ``"event_time"`` (production): GroupStateTimeout.EventTimeTimeout —
+      ``events`` must be watermarked; a user's open session flushes when
+      the watermark passes its end + gap, and fully-closed state is
+      garbage-collected by the same timeout (state never grows with the
+      key space). Per-key sentinels are unnecessary; anything advancing
+      the watermark (live traffic, or one global sentinel row on a
+      bounded run) drains everyone.
+    - ``"sentinel"``: rows with event_id < 0 flush that user's open
+      session without joining one — per-key drain for unwatermarked
+      bounded runs.
 
     Output rows are CLOSED sessions only (append mode).
     """
@@ -263,6 +296,7 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ]
     )
     gap_s = gap_minutes * 60
+    event_time = drain == "event_time"
 
     def fn(key, pdfs, state: GroupState):
         # vectorized per user-batch: sort once, numpy gap/cumsum for
@@ -272,6 +306,30 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         import pandas as pd
 
         (user_id,) = key
+        if event_time and state.hasTimedOut:
+            t_seq, t_open, t_start, t_end, t_n, t_val = state.get
+            if t_open:
+                # flush the open session but keep the seq counter around
+                # for one more gap so a returning user continues numbering;
+                # the follow-up timeout garbage-collects it
+                state.update((t_seq, 0, 0, 0, 0, 0.0))
+                state.setTimeoutTimestamp(
+                    int(state.getCurrentWatermarkMs() + gap_s * 1000 + 1)
+                )
+            else:
+                state.remove()  # idle past gap with nothing open: GC
+            if t_open:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_seq": [t_seq],
+                        "n_events": [t_n],
+                        "session_start": [pd.Timestamp(t_start, unit="us")],
+                        "session_end": [pd.Timestamp(t_end, unit="us")],
+                        "session_value": [round(t_val, 6)],
+                    }
+                )
+            return
         last_seq = 0
         open_sess = None  # [start_us, end_us, n, val] of session #last_seq
         if state.exists:
@@ -318,8 +376,20 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         if open_sess is not None:
             state.update((last_seq, 1, int(open_sess[0]), int(open_sess[1]),
                           int(open_sess[2]), float(open_sess[3])))
+            if event_time:
+                # flush when the watermark passes end + gap (must stay
+                # strictly ahead of the current watermark)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    int(max(open_sess[1] // 1000 + gap_s * 1000 + 1, wm + 1))
+                )
         elif last_seq > 0:
             state.update((last_seq, 0, 0, 0, 0, 0.0))
+            if event_time:
+                # nothing open: the same timeout garbage-collects the
+                # seq-counter state once the user has been idle past gap
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(wm + gap_s * 1000 + 1)
         else:
             state.remove()
         if closed:
@@ -334,10 +404,15 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 }
             )
 
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if event_time
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn, out_schema, state_schema, "append", timeout_conf
         )
     )
 
@@ -349,57 +424,23 @@ def streamed_sessionize(
     table, equivalent to the batch ``plans.star.sessionize`` (same DuckDB
     oracle).
 
-    The stream source dir holds a symlink to events.parquet plus a
-    driver-written sentinel file (one event_id=-1 row per user, stamped
-    after every real event); with maxFilesPerTrigger=1 the sentinel lands
-    in a LATER micro-batch, so session state genuinely crosses batch
-    boundaries before the sentinel drains it.
+    Production drain: the stream is watermarked and the sessionizer uses
+    event-time timeouts, so ONE global watermark-advancing sentinel row
+    (not one per user) flushes every open session; results land in a
+    parquet file sink. With maxFilesPerTrigger=1 the sentinel lands in a
+    later micro-batch, so session state genuinely crosses batch
+    boundaries before the timeout drains it.
     """
-    import os
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ns_ts = any(
-        f.name == "ts" and f.dataType.simpleString() == "bigint"
-        for f in batch.schema.fields
+    stream, _ = _bounded_events_stream(
+        spark, sf_dir, margin_seconds=2 * gap_minutes * 60 + 60
     )
-    max_ts = batch.agg(F.max("ts")).first()[0]
-    sentinel_ts = (
-        max_ts + (gap_minutes * 60 + 1) * 1_000_000_000
-        if ns_ts
-        else F.lit(max_ts)  # unreachable for the driver tables (always ns)
+    # NO sentinel filter here: a ts-free predicate would be pushed below
+    # the EventTimeWatermark node into the scan and the sentinel would
+    # never advance the watermark. The sessionizer itself drops
+    # event_id < 0 rows, so the sentinel's own group emits nothing.
+    sessions = sessionize_stateful(
+        stream.withWatermark("ts", "0 seconds"),
+        gap_minutes,
+        drain="event_time",
     )
-    sentinels = (
-        batch.select("user_id")
-        .distinct()
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(sentinel_ts).cast("long" if ns_ts else "timestamp").alias("ts"),
-            "user_id",
-            F.lit("__sentinel__").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
-    )
-
-    stream_dir = tempfile.mkdtemp(prefix="sessionize_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        f"{stream_dir}/0_events.parquet",
-    )
-    sent_dir = tempfile.mkdtemp(prefix="sessionize_sentinel_")
-    sentinels.coalesce(1).write.mode("overwrite").parquet(sent_dir)
-    part = next(p for p in os.listdir(sent_dir) if p.endswith(".parquet"))
-    os.symlink(f"{sent_dir}/{part}", f"{stream_dir}/1_sentinel.parquet")
-
-    schema = batch.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    if ns_ts:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    sessions = sessionize_stateful(stream, gap_minutes)
     return run_stream_to_batch(sessions, spark, output_mode="append")
