@@ -15,6 +15,9 @@ Column expressions:
 
 - EMPTYASNULL / BLANKSASNULL / TRIMBLANKS -> ``nullif(trim(c), '')``
 - TRUNCATECOLUMNS                         -> ``substring(c, 1, width)``
+- ACCEPTINVCHARS AS ' '                   -> invalid UTF-8 bytes arrive
+  from Spark's decoder as U+FFFD replacement chars; substitute ``' '``
+  (Redshift replaces each invalid byte before width truncation)
 - ACCEPTANYDATE / TIMEFORMAT 'auto'       -> ``try_cast(timestamp)``,
   unparseable dates load as NULL (Redshift ACCEPTANYDATE semantics)
 - numeric fields                          -> ``try_cast``; a non-null raw
@@ -53,12 +56,15 @@ def apply_tolerance(
     schema: T.StructType,
     varchar_widths: dict[str, int] | None = None,
     extra_corrupt: Column | None = None,
+    accept_invalid_chars: str | None = " ",
 ) -> DataFrame:
     """Apply the COPY-tolerance coercions to an all-string relation:
-    blank->null, width truncation, try_cast with per-type reject/null
-    policy. Shared by the CSV and JSONL sources — one lazy projection.
-    ``extra_corrupt`` ORs a source-specific reject condition (e.g.
-    unparseable JSON) into the corrupt flag."""
+    blank->null, invalid-char substitution, width truncation, try_cast
+    with per-type reject/null policy. Shared by the CSV and JSONL sources
+    — one lazy projection. ``extra_corrupt`` ORs a source-specific reject
+    condition (e.g. unparseable JSON) into the corrupt flag.
+    ``accept_invalid_chars`` is the ACCEPTINVCHARS replacement (None
+    disables; Redshift without the flag would reject such rows)."""
     widths = varchar_widths or {}
     cols: list[Column] = []
     corrupt = extra_corrupt if extra_corrupt is not None else F.lit(False)
@@ -67,6 +73,14 @@ def apply_tolerance(
         c = F.nullif(F.trim(F.col(f.name)), F.lit(""))
         if isinstance(f.dataType, T.StringType):
             raw_c = F.col(f.name)  # preserve inner whitespace, only clip width
+            if accept_invalid_chars is not None:
+                # ACCEPTINVCHARS AS ' ' (s3_to_redshift.py:215): bytes that
+                # weren't valid UTF-8 surface as U+FFFD after decode;
+                # substitute BEFORE blank-collapse and truncation, like
+                # Redshift replaces before loading
+                raw_c = F.regexp_replace(
+                    raw_c, "\uFFFD", accept_invalid_chars
+                )
             c = F.nullif(raw_c, F.lit(""))
             c = F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
             if f.name in widths:

@@ -46,9 +46,23 @@ def stage_bounded_stream(
             )
             os.replace(src, dst)
             shutil.rmtree(d, ignore_errors=True)
+            os.utime(dst, (now + i * 3, now + i * 3))
+            continue
+        src = os.path.abspath(item)
+        if os.path.isdir(src):
+            # a Spark-written table: every part file shares the item's
+            # mtime slot (relative order within the item is irrelevant —
+            # they are all pre-sentinel data batches)
+            parts = sorted(
+                p for p in os.listdir(src) if p.endswith(".parquet")
+            )
+            for j, p in enumerate(parts):
+                pdst = f"{stream_dir}/{i}_{j}.parquet"
+                shutil.copy2(f"{src}/{p}", pdst)
+                os.utime(pdst, (now + i * 3, now + i * 3))
         else:
-            shutil.copy2(os.path.abspath(item), dst)
-        os.utime(dst, (now + i * 3, now + i * 3))
+            shutil.copy2(src, dst)
+            os.utime(dst, (now + i * 3, now + i * 3))
     return stream_dir
 
 

@@ -36,3 +36,18 @@ def test_cc_two_components(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_queries_leave_no_cached_tables(spark, documents):
+    """Cache hygiene: jaccard_pairs / minhash pipelines must not leave
+    entries in the session CacheManager after executing (long-lived
+    sessions looping over corpora would accrete them)."""
+    from reddit_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_neardup_pairs,
+    )
+
+    spark.catalog.clearCache()
+    jaccard_pairs(documents, threshold=0.9).count()
+    minhash_neardup_pairs(documents, threshold=0.9).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -130,3 +130,36 @@ def test_csv_write_read_roundtrip(spark):
     a = {r.id: (r.title, r.score, r.selftext) for r in src.collect()}
     b = {r.id: (r.title, r.score, r.selftext) for r in back.collect()}
     assert a == b
+
+
+def test_acceptinvchars_substitutes_space(spark, tmp_path):
+    """ACCEPTINVCHARS AS ' ' parity (s3_to_redshift.py:215): invalid UTF-8
+    bytes in a field load as ' ' instead of rejecting the row."""
+    from reddit_etl_pipeline_spark.schema import REDDIT_POSTS_SCHEMA
+    from reddit_etl_pipeline_spark.sources.csv_tolerant import (
+        CORRUPT_COL,
+        read_tolerant_csv,
+    )
+
+    cols = [f.name for f in REDDIT_POSTS_SCHEMA.fields]
+    good = {c: "" for c in cols}
+    good.update(id="abc1", title="ok title", score="10", subreddit="stocks")
+    bad_title = b"bro\xffken ti\xfe\xfdtle"  # raw invalid UTF-8 bytes
+    p = tmp_path / "mangled.csv"
+    with open(p, "wb") as f:
+        f.write((",".join(cols) + "\n").encode())
+        f.write((",".join(good[c] for c in cols) + "\n").encode())
+        row2 = dict(good, id="abc2")
+        # build row 2 manually so the title keeps raw bytes
+        vals = []
+        for c in cols:
+            if c == "title":
+                vals.append(bad_title)
+            else:
+                vals.append(row2[c].encode())
+        f.write(b",".join(vals) + b"\n")
+    df = read_tolerant_csv(spark, str(p), REDDIT_POSTS_SCHEMA)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["abc2"][CORRUPT_COL] is False
+    assert rows["abc2"]["title"] == "bro ken ti  tle"
+    assert rows["abc1"]["title"] == "ok title"
