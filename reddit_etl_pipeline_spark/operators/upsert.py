@@ -29,7 +29,7 @@ see ``plans.pipeline``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -85,6 +85,68 @@ def upsert_latest_wins(
     )
     latest = packed.groupBy(key).agg(F.max_by("__row", "__rank").alias("__row"))
     return latest.select(*[F.col(f"__row.{c}").alias(c) for c in value_cols])
+
+
+def upsert_bucketed(
+    spark: SparkSession,
+    main_table: str,
+    batch: DataFrame,
+    key: str = "id",
+    order_col: str = "extraction_timestamp",
+    n_buckets: int = 16,
+) -> int:
+    """Upsert into a ``key``-bucketed warehouse table, preserving the
+    bucketed layout across runs.
+
+    The 100 TB note on this module made real: with the warehouse stored
+    ``bucketBy(n_buckets, key)``, the DELETE-USING anti-join reads the
+    main side bucket-local — its scan already satisfies
+    ``HashPartitioning(key)``, so the plan has NO Exchange on the big
+    side; only the (much smaller) daily batch shuffles to align
+    (pinned by tests/test_bucketing.py). The shuffle of the full
+    warehouse is paid exactly once, at table creation, never per-day.
+
+    The merged result is written back ``bucketBy`` the same spec via a
+    staging table + atomic catalog rename (Spark refuses to overwrite a
+    table it is reading), so tomorrow's upsert gets the same plan.
+    Returns the post-upsert row count (read from the swapped-in table —
+    also forces materialization before the swap is declared done).
+    """
+    merged = bucketed_upsert_plan(spark, main_table, batch, key, order_col)
+
+    staging = f"{main_table}__upsert_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    (
+        merged.write.mode("errorifexists")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(staging)
+    )
+    spark.sql(f"DROP TABLE {main_table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {main_table}")
+    return spark.table(main_table).count()
+
+
+def bucketed_upsert_plan(
+    spark: SparkSession,
+    main_table: str,
+    batch: DataFrame,
+    key: str = "id",
+    order_col: str = "extraction_timestamp",
+) -> DataFrame:
+    """The lazy merged relation of :func:`upsert_bucketed` (no write/swap)
+    — exposed so plan tests can assert the no-Exchange property."""
+    main = spark.table(main_table)
+    if order_col in batch.columns:
+        batch = upsert_latest_wins(batch, key=key, order_col=order_col)
+    else:
+        batch = batch.dropDuplicates([key])
+    # merge hint: at warehouse scale neither the anti-join probe nor the
+    # union write wants a broadcast; SMJ lets the bucketed scan's output
+    # partitioning absorb the main-side Exchange entirely
+    survivors = main.join(batch.select(key).hint("merge"), key, "left_anti")
+    return survivors.unionByName(batch.select(*main.columns))
 
 
 def upsert_window_dedup(

@@ -58,3 +58,53 @@ def test_bucketed_join_matches_plain(spark, sf_dir, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_upsert_no_exchange_on_main(spark):
+    """VERDICT #8: with the warehouse bucketed on the key, the upsert
+    anti-join must not shuffle the main side — the only Exchange in the
+    merged plan belongs to the (small) batch."""
+    from reddit_etl_pipeline_spark.operators.upsert import (
+        bucketed_upsert_plan,
+        upsert_bucketed,
+    )
+
+    rows = [(i, f"title {i}", "2025-03-18 09:00:00") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, title string, extraction_timestamp string")
+    B.write_bucketed(df, "wh_upsert_bkt", "id", n_buckets=8)
+    try:
+        batch = spark.createDataFrame(
+            [(5, "updated 5", "2025-03-20 09:00:00"),
+             (201, "new 201", "2025-03-20 09:00:00"),
+             (201, "new 201 dup", "2025-03-21 09:00:00")],
+            "id long, title string, extraction_timestamp string",
+        )
+        plan = io.StringIO()
+        with contextlib.redirect_stdout(plan):
+            bucketed_upsert_plan(spark, "wh_upsert_bkt", batch).explain()
+        p = plan.getvalue()
+        # the main side is the SortMergeJoin's first child: its bucketed
+        # FileScan must sit directly under the join (Sort allowed,
+        # Exchange not) — the batch side may shuffle all it likes
+        assert "Bucketed: true" in p, p
+        between = p.split("SortMergeJoin")[1].split("Bucketed: true")[0]
+        assert "Exchange" not in between, p
+
+        # end-to-end: swap preserves count semantics AND the bucket spec
+        n = upsert_bucketed(spark, "wh_upsert_bkt", batch, n_buckets=8)
+        assert n == 201
+        got = {r.id: r.title for r in spark.table("wh_upsert_bkt").filter("id in (5, 201)").collect()}
+        assert got == {5: "updated 5", 201: "new 201 dup"}
+        desc = spark.sql("DESCRIBE TABLE EXTENDED wh_upsert_bkt").collect()
+        info = {r.col_name: r.data_type for r in desc}
+        assert info.get("Num Buckets") == "8", info
+        assert "id" in info.get("Bucket Columns", ""), info
+        # day 2: the swapped-in table still upserts with the same plan
+        batch2 = spark.createDataFrame(
+            [(201, "day2", "2025-03-22 09:00:00")],
+            "id long, title string, extraction_timestamp string",
+        )
+        assert upsert_bucketed(spark, "wh_upsert_bkt", batch2, n_buckets=8) == 201
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_upsert_bkt")
+        spark.sql("DROP TABLE IF EXISTS wh_upsert_bkt__upsert_staging")
