@@ -50,16 +50,30 @@ def stage_bounded_stream(
             continue
         src = os.path.abspath(item)
         if os.path.isdir(src):
-            # a Spark-written table: every part file shares the item's
-            # mtime slot (relative order within the item is irrelevant —
-            # they are all pre-sentinel data batches)
+            # a Spark-written table: merge its parts into ONE staged file.
+            # Staging parts as separate files would be a correctness bug,
+            # not just micro-batch overhead: with maxFilesPerTrigger=1
+            # each part is its own batch, parts are NOT time-ordered, and
+            # once an early batch advances the watermark past a later
+            # part's data, those rows are silently dropped as late. One
+            # file = one micro-batch = no intra-item watermark movement.
+            # pyarrow row-group append — no Spark job, no decompression
+            # blowup in driver memory beyond one part at a time.
+            import pyarrow.parquet as pq
+
             parts = sorted(
                 p for p in os.listdir(src) if p.endswith(".parquet")
             )
-            for j, p in enumerate(parts):
-                pdst = f"{stream_dir}/{i}_{j}.parquet"
-                shutil.copy2(f"{src}/{p}", pdst)
-                os.utime(pdst, (now + i * 3, now + i * 3))
+            writer = None
+            for p in parts:
+                t = pq.read_table(f"{src}/{p}")
+                if writer is None:
+                    writer = pq.ParquetWriter(dst, t.schema)
+                writer.write_table(t)
+            if writer is None:
+                continue  # empty table: nothing to stage
+            writer.close()
+            os.utime(dst, (now + i * 3, now + i * 3))
         else:
             shutil.copy2(src, dst)
             os.utime(dst, (now + i * 3, now + i * 3))

@@ -20,18 +20,29 @@ from .bounded import run_stream_to_batch, stage_bounded_stream  # noqa: F401
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema pinned from the
-    batch read — file streams must declare schemas up front)."""
+    batch read — file streams must declare schemas up front).
+
+    Multi-part tables stream one part per micro-batch in listing order,
+    which is NOT event-time order — compose this only with unwatermarked
+    operators (e.g. dropDuplicates). Watermarked bounded runs must go
+    through ``_bounded_events_stream``, which merges parts into a single
+    batch so the watermark cannot advance mid-table."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file stream sources require a directory; pathGlobFilter scopes the
-    # stream to the events table within the sf dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        # Spark-written table: the directory IS the stream source
+        stream = reader.parquet(path)
+    else:
+        # single-file table: file streams require a directory, so stream
+        # the sf dir scoped to this one file via pathGlobFilter
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     for f in schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             # TIMESTAMP(NANOS) read as int64 -> truncate to micros (exact DIV)
