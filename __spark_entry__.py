@@ -30,7 +30,9 @@ from reddit_etl_pipeline_spark.operators import asof as AS
 from reddit_etl_pipeline_spark.operators import dedup as D
 from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import similarity as S
+from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
+from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
 
@@ -168,6 +170,45 @@ def _token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.floor(TX.token_count("text") / 16) * 16).cast("int")
     return docs.groupBy(bucket.alias("token_bucket")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document."""
+    return TQ.repetition_stats(Q.load(spark, sf_dir, "documents"))
+
+
+def _contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-source count of corpus docs sharing
+    any word 8-gram with a deterministic 'benchmark' subset
+    (doc_id % 13 == 3 — stands in for a real eval suite)."""
+    docs = Q.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 3)
+    return TQ.contamination_summary(docs, bench, n=8)
+
+
+def _pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction verified end-to-end: deterministically inject an
+    email/phone/IP into every 7th doc, scrub, and emit per-doc match
+    counts plus the scrubbed tail (proves the replacement text)."""
+    docs = Q.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-4567 ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" end"),
+    )
+    base = docs.select(F.col("doc_id"), injected.alias("t"))
+    scrubbed = PII.scrub_pii("t")
+    return base.select(
+        "doc_id",
+        *PII.pii_counts("t"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+        F.substr(
+            scrubbed, F.greatest(F.lit(1), F.length(scrubbed) - 79)
+        ).alias("scrub_tail"),
     )
 
 
@@ -361,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": _curated_corpus,
         "corpus_mix": _corpus_mix,
         "token_length_histogram": _token_length_histogram,
+        "repetition_stats": _repetition_stats,
+        "contamination_check": _contamination_check,
+        "pii_scrub_stats": _pii_scrub_stats,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -726,6 +770,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(len({_TOKENS}) / 16) * 16 AS INTEGER) AS token_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "repetition_stats": f"""
+            WITH d AS (SELECT doc_id, text, {_TOKENS} AS l FROM documents),
+            g2 AS (
+              SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i+1]) END) AS gram
+              FROM d
+            ),
+            g3 AS (
+              SELECT doc_id, unnest(CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(l) - 1),
+                                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS gram
+              FROM d
+            ),
+            a2 AS (
+              SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS m2
+              FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            a3 AS (
+              SELECT doc_id, sum(c) AS n3, count(*) AS d3
+              FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(n2, 0) AS BIGINT) AS n_2grams,
+                     round(CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
+                           ELSE (n2 - d2) / CAST(n2 AS DOUBLE) END, 6) AS dup_2gram_frac,
+                     round(CASE WHEN coalesce(n3, 0) = 0 THEN 0.0
+                           ELSE (n3 - d3) / CAST(n3 AS DOUBLE) END, 6) AS dup_3gram_frac,
+                     round(CASE WHEN coalesce(n2, 0) = 0 THEN 0.0
+                           ELSE m2 / CAST(n2 AS DOUBLE) END, 6) AS top_2gram_frac,
+                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / CAST(greatest(len(l), 1) AS DOUBLE), 6) AS symbol_word_ratio
+              FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+            )
+            SELECT s.*,
+                   CAST(CASE WHEN dup_2gram_frac > 0.20 OR dup_3gram_frac > 0.18
+                             OR symbol_word_ratio > 0.10 THEN 1 ELSE 0 END AS BIGINT)
+                     AS gopher_flag
+            FROM s
+        """,
+        "contamination_check": f"""
+            WITH d AS (SELECT doc_id, source, {_TOKENS} AS l FROM documents),
+            g8 AS (
+              SELECT doc_id, unnest(CASE WHEN len(l) < 8 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(l) - 6),
+                          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                               || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]
+                               || ' ' || l[i+7]) END) AS gram
+              FROM d
+            ),
+            bg AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 13 = 3),
+            hits AS (
+              SELECT DISTINCT doc_id FROM g8
+              WHERE doc_id % 13 <> 3 AND gram IN (SELECT gram FROM bg)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(h.doc_id) AS BIGINT) AS n_contaminated
+            FROM (SELECT doc_id, source FROM documents WHERE doc_id % 13 <> 3) c
+            LEFT JOIN hits h USING (doc_id)
+            GROUP BY source
+        """,
+        "pii_scrub_stats": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-4567 ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || ' end' AS t
+              FROM documents WHERE doc_id % 7 = 0
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '{PII.EMAIL_RE}')) AS n_email,
+                     regexp_replace(t, '{PII.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+              FROM d
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '{PII.PHONE_RE}')) AS n_phone,
+                     regexp_replace(t1, '{PII.PHONE_RE}', '<PHONE>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_phone,
+                     len(regexp_extract_all(t2, '{PII.IPV4_RE}')) AS n_ip,
+                     regexp_replace(t2, '{PII.IPV4_RE}', '<IP>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ip AS BIGINT) AS n_ip,
+                   CAST(length(t3) AS BIGINT) AS len_scrubbed,
+                   substr(t3, greatest(1, length(t3) - 79)) AS scrub_tail
+            FROM s3
         """,
         "curated_corpus": f"""
             WITH RECURSIVE tok AS (

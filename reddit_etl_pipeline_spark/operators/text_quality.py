@@ -1,0 +1,196 @@
+"""Corpus quality filters: n-gram repetition stats and benchmark
+contamination checks.
+
+Both are standard stages in a large-scale training-data pipeline:
+
+- ``repetition_stats`` implements Gopher-style repetitious-text signals
+  (duplicate n-gram fraction, most-common-n-gram fraction, symbol-to-word
+  ratio) — documents dominated by repeated phrases are boilerplate/spam
+  and get filtered before training.
+- ``contamination_summary`` implements benchmark decontamination: flag
+  corpus documents sharing any word n-gram with a benchmark set (the
+  GPT-3/Llama n-gram-overlap method), so evaluation data can be excluded
+  from training corpora.
+
+Scale design
+------------
+N-grams are materialized ONCE per document via posexplode + lead() over a
+window partitioned by the doc id — one shuffle keyed by doc id, all
+column work inside whole-stage codegen (no higher-order-function lambdas:
+those are interpreted per element). Aggregations are map-side-combined
+groupBys keyed by (doc, gram) then doc — cardinality-bounded, never n².
+
+Contamination joins the corpus' distinct grams against the benchmark's
+distinct grams. Benchmark sets are small by nature (eval suites, not
+corpora), so the benchmark side is broadcast — the corpus side is a
+map-only probe with no shuffle of corpus grams. At 100 TB the join key
+would be xxhash64(gram) with a string verify; here grams are joined as
+strings directly so the DuckDB oracle sees bit-identical semantics.
+
+Reference scope note: the reference has no corpus-quality surface
+(pandas transforms only, airflow/extraction/transform_reddit_data.py);
+this module is part of the engine's training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+#: Gopher-style flag thresholds (Rae et al. 2021, table A1-ish —
+#: simplified to the token-count variants implemented here).
+DUP_2GRAM_MAX = 0.20
+DUP_3GRAM_MAX = 0.18
+SYMBOL_WORD_MAX = 0.10
+
+
+def _lower_tokens(col: str | Column) -> Column:
+    """Lowercased whitespace tokens; empty/whitespace-only text -> []."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.lower(c))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows of word ``n``-grams as space-joined strings.
+
+    posexplode + lead()-window — codegen projections around one shuffle
+    on the doc id. Documents with fewer than ``n`` tokens yield no rows.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(_lower_tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["tok"] + [f"_t{i}" for i in range(1, n)]
+    leads = [F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)]
+    return (
+        ex.select(id_col, "tok", *leads)
+        .filter(F.col(parts[-1]).isNotNull() if n > 1 else F.lit(True))
+        .select(id_col, F.concat_ws(" ", *parts).alias("gram"))
+    )
+
+
+def _gram_agg(grams: DataFrame, id_col: str, suffix: str) -> DataFrame:
+    """Per-doc total/distinct/max-occurrence counts of a gram stream."""
+    return (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias(f"n{suffix}"),
+            F.count(F.lit(1)).alias(f"d{suffix}"),
+            F.max("c").alias(f"m{suffix}"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns (id, n_2grams, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+    symbol_word_ratio, gopher_flag): duplicate-fraction = 1 -
+    distinct/total n-grams; top-fraction = occurrences of the most common
+    2-gram / total; symbol_word_ratio = non-alphanumeric-non-space chars
+    per token. ``gopher_flag`` = 1 when any signal crosses its threshold.
+    """
+    a2 = _gram_agg(word_ngrams(df, 2, text_col, id_col), id_col, "2")
+    a3 = _gram_agg(word_ngrams(df, 3, text_col, id_col), id_col, "3")
+
+    toks = _lower_tokens(text_col)
+    n_sym = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_ntok"),
+        n_sym.alias("_nsym"),
+    )
+
+    n2 = F.coalesce("n2", F.lit(0))
+    n3 = F.coalesce("n3", F.lit(0))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(num / den.cast("double")), ROUND_DP
+        )
+
+    dup2 = frac(n2 - F.coalesce("d2", F.lit(0)), n2)
+    dup3 = frac(n3 - F.coalesce("d3", F.lit(0)), n3)
+    top2 = frac(F.coalesce("m2", F.lit(0)), n2)
+    symr = frac(F.col("_nsym"), F.greatest("_ntok", F.lit(1)))
+
+    out = (
+        base.join(a2, id_col, "left")
+        .join(a3, id_col, "left")
+        .select(
+            F.col(id_col),
+            n2.cast("long").alias("n_2grams"),
+            dup2.alias("dup_2gram_frac"),
+            dup3.alias("dup_3gram_frac"),
+            top2.alias("top_2gram_frac"),
+            symr.alias("symbol_word_ratio"),
+        )
+    )
+    flagged = (
+        (F.col("dup_2gram_frac") > DUP_2GRAM_MAX)
+        | (F.col("dup_3gram_frac") > DUP_3GRAM_MAX)
+        | (F.col("symbol_word_ratio") > SYMBOL_WORD_MAX)
+    )
+    return out.withColumn("gopher_flag", F.when(flagged, 1).otherwise(0).cast("long"))
+
+
+def contaminated_doc_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct corpus doc ids sharing at least one word ``n``-gram with
+    the benchmark set. Benchmark grams are broadcast (eval suites are
+    small); the corpus side is probed map-side — corpus grams never
+    shuffle."""
+    bench_grams = (
+        word_ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
+    )
+    return (
+        word_ngrams(corpus, n, text_col, id_col)
+        .join(F.broadcast(bench_grams), "gram", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def contamination_summary(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` contamination rollup over non-benchmark corpus
+    docs: (group, n_docs, n_contaminated). Benchmark membership is
+    decided by the caller via the ``benchmark`` frame; benchmark docs
+    are excluded from the scanned corpus before counting."""
+    scanned = corpus.join(
+        benchmark.select(id_col), id_col, "left_anti"
+    )
+    hits = contaminated_doc_ids(scanned, benchmark, n, text_col, id_col)
+    flagged = scanned.join(
+        hits.withColumn("_hit", F.lit(1)), id_col, "left"
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .orderBy(group_col)
+    )

@@ -1,0 +1,115 @@
+"""Unit tests for corpus quality filters (repetition, contamination) and
+PII scrubbing — crafted fixtures that exercise the signal the synthetic
+testdata corpus doesn't reach (clean word-soup text never trips the
+Gopher thresholds, and carries no PII)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_pipeline_spark.functions.pii import pii_counts, scrub_pii
+from reddit_etl_pipeline_spark.operators.text_quality import (
+    contaminated_doc_ids,
+    contamination_summary,
+    repetition_stats,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_word_ngrams_basic(spark):
+    df = _docs(spark, [(1, "A b a B", "s"), (2, "one", "s"), (3, "", "s")])
+    got = {
+        (r.doc_id, r.gram)
+        for r in word_ngrams(df, 2).collect()
+    }
+    # lowercased, consecutive pairs only; short/empty docs yield none
+    assert got == {(1, "a b"), (1, "b a"), (1, "a b")} | set()
+    assert {r.doc_id for r in word_ngrams(df, 2).collect()} == {1}
+
+
+def test_repetition_stats_flags_repeated_phrase(spark):
+    spammy = "buy now " * 30  # 60 tokens, one 2-gram dominates
+    clean = "the quick brown fox jumps over the lazy dog today"
+    df = _docs(spark, [(1, spammy.strip(), "s"), (2, clean, "s"), (3, "x", "s")])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    assert out[1].gopher_flag == 1
+    assert out[1].dup_2gram_frac > 0.9
+    assert out[1].top_2gram_frac > 0.4  # "now buy"/"buy now" split the mass
+    # clean prose: only "the" repeats, no repeated 2-grams
+    assert out[2].gopher_flag == 0
+    assert out[2].dup_2gram_frac == 0.0
+    # single-token doc: no 2-grams at all, every frac 0
+    assert out[3].n_2grams == 0
+    assert out[3].dup_2gram_frac == 0.0 and out[3].top_2gram_frac == 0.0
+
+
+def test_repetition_symbol_ratio(spark):
+    df = _docs(spark, [(1, "a b !!!!!!", "s")])
+    r = repetition_stats(df).collect()[0]
+    # 6 symbol chars / 3 tokens = 2.0 -> flagged
+    assert r.symbol_word_ratio == pytest.approx(2.0)
+    assert r.gopher_flag == 1
+
+
+def test_contamination_detects_benchmark_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    corpus = _docs(
+        spark,
+        [
+            (1, f"intro words {shared} trailing text here", "a"),
+            (2, "totally different content with no overlap at all ok", "a"),
+            (3, "short doc", "b"),
+            (100, f"benchmark question {shared} benchmark answer", "a"),
+        ],
+    )
+    bench = corpus.filter(F.col("doc_id") == 100)
+    hits = {r.doc_id for r in contaminated_doc_ids(corpus, bench, n=8).collect()}
+    assert 1 in hits and 2 not in hits and 3 not in hits
+
+    summary = {
+        r.source: (r.n_docs, r.n_contaminated)
+        for r in contamination_summary(corpus, bench, n=8).collect()
+    }
+    # benchmark doc excluded from the scanned corpus
+    assert summary == {"a": (2, 1), "b": (1, 0)}
+
+
+def test_pii_scrub_and_counts(spark):
+    text = (
+        "mail me at jane.doe+spam@sub.example.co.uk or call 555-123-4567; "
+        "server at 192.168.1.254 (backup 10.0.0.1) mail2: a_b%c@x.io"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        scrub_pii("text").alias("s"), *pii_counts("text")
+    ).collect()[0]
+    assert row.n_email == 2 and row.n_phone == 1 and row.n_ip == 2
+    s = row.s
+    assert "<EMAIL>" in s and "<PHONE>" in s and s.count("<IP>") == 2
+    assert "jane.doe" not in s and "555-123" not in s and "192.168" not in s
+
+
+def test_pii_no_cross_counting(spark):
+    # the email's digits must not re-count as phone/ip, and a version
+    # string glued to a word char ("v1.2.3.4") must NOT match the
+    # boundary-anchored IP rule — only the standalone quad does
+    df = spark.createDataFrame(
+        [("v1.2.3.4 of pkg at 1.2.3.4 by bob555@mail123.example.org",)],
+        "text string",
+    )
+    row = df.select(scrub_pii("text").alias("s"), *pii_counts("text")).collect()[0]
+    assert row.n_email == 1
+    assert row.n_phone == 0
+    assert row.n_ip == 1
+    assert row.s == "v1.2.3.4 of pkg at <IP> by <EMAIL>"
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([("no pii here at all",)], "text string")
+    row = df.select(scrub_pii("text").alias("s"), *pii_counts("text")).collect()[0]
+    assert row.s == "no pii here at all"
+    assert row.n_email == row.n_phone == row.n_ip == 0

@@ -8,7 +8,7 @@ on DuckDB over the same parquet tables, then compares:
   - order-independent value hash (columns sorted by name, rows sorted,
     floats rounded to 6 dp, timestamps truncated to microseconds)
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [--only k1,k2,...]
 """
 
 from __future__ import annotations
@@ -45,7 +45,13 @@ def normalize(df):  # pandas DataFrame -> canonical row tuples
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from reddit_etl_pipeline_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -61,6 +67,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
