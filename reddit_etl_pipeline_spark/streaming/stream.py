@@ -348,8 +348,13 @@ def sessionize_stateful(
             if has_open:
                 open_sess = [start_us, end_us, n, val]
 
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        # fast path: per-user event batches are usually tiny and already
+        # ts-ordered; a strictly-increasing ts needs no (ts, event_id) sort
+        ts_col = pdf["ts"]
+        if not (ts_col.is_monotonic_increasing and ts_col.is_unique):
+            pdf = pdf.sort_values(["ts", "event_id"])
         saw_sentinel = bool((pdf["event_id"] < 0).any())
         pdf = pdf[pdf["event_id"] >= 0]
 
