@@ -32,6 +32,7 @@ from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
+from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
@@ -210,6 +211,23 @@ def _pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             scrubbed, F.greatest(F.lit(1), F.length(scrubbed) - 79)
         ).alias("scrub_tail"),
     )
+
+
+def _sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing rollup (512-token sequences)."""
+    return PK.sequence_pack(Q.load(spark, sf_dir, "documents"), budget=512)
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language sample (Knuth-scramble order)."""
+    return PK.stratified_sample(
+        Q.load(spark, sf_dir, "documents"), k=20, stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
+def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document."""
+    return TX.tfidf_topk(Q.load(spark, sf_dir, "documents"), k=3)
 
 
 def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "contamination_check": _contamination_check,
         "pii_scrub_stats": _pii_scrub_stats,
+        "sequence_pack": _sequence_pack,
+        "stratified_sample": _stratified_sample,
+        "tfidf_keywords": _tfidf_keywords,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -835,6 +856,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, source FROM documents WHERE doc_id % 13 <> 3) c
             LEFT JOIN hits h USING (doc_id)
             GROUP BY source
+        """,
+        "sequence_pack": f"""
+            WITH d AS (
+              SELECT doc_id, source, len({_TOKENS}) AS n_tokens FROM documents
+            ), a AS (
+              SELECT source, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+                       AS seq_id
+              FROM d
+            )
+            SELECT source, seq_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+            FROM a GROUP BY source, seq_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        "tfidf_keywords": f"""
+            WITH ex AS (
+              SELECT doc_id, t.tok FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2
+            ), dfq AS (
+              SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT doc_id, tok AS keyword,
+                     round(tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                                   / (dfreq + 1.0)), 6) AS score
+              FROM tf JOIN dfq USING (tok)
+            ), ranked AS (
+              SELECT doc_id, keyword, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, keyword
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, keyword, score, rank FROM ranked WHERE rank <= 3
         """,
         "pii_scrub_stats": f"""
             WITH d AS (

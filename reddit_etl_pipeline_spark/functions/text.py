@@ -207,6 +207,53 @@ def text_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document: (id, keyword, score, rank).
+
+    tf = in-doc token count; idf = ln((N+1)/(df+1)) (smoothed);
+    score rounded to 6 dp BEFORE ranking so ties order identically on any
+    engine (tiebreak: token asc). Plan: explode -> two map-side-combined
+    aggs (keyed (doc, tok) then tok) -> one shuffle join on tok -> per-doc
+    row_number window. ``n_docs`` (corpus size) is a scalar: passed in, or
+    computed once via a metadata-cheap parquet count — never a 1-row
+    cross join, which would plan as a BroadcastNestedLoopJoin.
+    """
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    # explode first, lower the scalar column after — keeps the whole map
+    # side in codegen (array HOF lambdas evaluate interpreted per element)
+    ex = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("raw"))
+        .select(id_col, F.lower("raw").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = tf.join(dfreq, "tok").select(
+        F.col(id_col),
+        F.col("tok").alias("keyword"),
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("dfreq") + 1.0)),
+            ROUND_DP,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("keyword").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """64-bit content fingerprint of normalized text (lower, collapsed
     whitespace) — the exact-dedup key. xxhash64 is Spark-native and

@@ -1,0 +1,108 @@
+"""Sequence packing and deterministic sampling for training-data prep.
+
+- ``sequence_pack``: assign documents to fixed token-budget training
+  sequences (the "concatenate then chunk" packing most LLM data loaders
+  use). Deterministic: docs are laid out per source in doc-id order and a
+  running token count is bucketed by the budget — the same assignment on
+  any cluster/partitioning, no driver loop.
+- ``stratified_sample``: keep exactly ``k`` docs per stratum, chosen by a
+  deterministic arithmetic hash (Knuth multiplicative) so the sample is
+  reproducible and expressible in plain SQL — no ``rand()``, no engine
+  RNG divergence.
+
+Scale design: both are ONE window over the stratum key (shuffle bounded
+by stratum/source count for skew purposes; AQE splits hot strata) plus a
+codegen projection. The pack rollup adds one map-side-combined groupBy.
+
+Reference scope note: the reference loads each day's batch whole
+(airflow/extraction/upload_aws_redshift.py) — packing/sampling belong to
+the engine's training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+#: Knuth's multiplicative-hash constant (2654435761 = 2^32 * phi) — the
+#: scramble is plain BIGINT arithmetic so DuckDB computes bit-identically.
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def scramble(col) -> "F.Column":
+    """Deterministic pseudo-random ordering key from an id column."""
+    return (F.col(col) if isinstance(col, str) else col) * _KNUTH % _MOD
+
+
+def pack_assignments(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-doc sequence assignment: (id, group, n_tokens, seq_id).
+
+    Documents are concatenated per ``group_col`` in ``id_col`` order; a
+    doc starting at running-token offset ``o`` goes to sequence
+    ``floor(o / budget)`` (docs can span a boundary — the loader splits
+    them, exactly like GPT-style chunked pretraining)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ntok = token_count(text_col)
+    return df.select(
+        F.col(id_col), F.col(group_col), ntok.cast("long").alias("n_tokens")
+    ).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long").alias("seq_id"),
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Packed-sequence rollup: per (group, seq_id) the doc count and
+    token count that land in that training sequence (tokens attributed
+    to the sequence where the doc STARTS; boundary-spanning docs count
+    once, like sample-level bookkeeping in a chunked loader)."""
+    return (
+        pack_assignments(df, budget, text_col, id_col, group_col)
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically
+    pseudo-random via the Knuth scramble of the id, total-ordered so
+    every engine picks the same rows."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        scramble(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

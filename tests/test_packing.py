@@ -1,0 +1,92 @@
+"""Unit tests for sequence packing, stratified sampling, and TF-IDF."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_pipeline_spark.functions.text import tfidf_topk
+from reddit_etl_pipeline_spark.operators.packing import (
+    pack_assignments,
+    sequence_pack,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pack_assignments_boundaries(spark):
+    # token counts: 3, 4, 2, 6 against budget 5 -> start offsets 0,3,7,9
+    df = _docs(
+        spark,
+        [
+            (1, "a b c", "s"),
+            (2, "a b c d", "s"),
+            (3, "a b", "s"),
+            (4, "a b c d e f", "s"),
+        ],
+    )
+    got = {r.doc_id: (r.n_tokens, r.seq_id) for r in pack_assignments(df, budget=5).collect()}
+    assert got == {1: (3, 0), 2: (4, 0), 3: (2, 1), 4: (6, 1)}
+
+
+def test_pack_groups_independent(spark):
+    # each source starts its own running count at offset 0
+    df = _docs(spark, [(1, "a b c d e f", "x"), (2, "a b", "y")])
+    got = {r.doc_id: r.seq_id for r in pack_assignments(df, budget=4).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_sequence_pack_rollup(spark):
+    df = _docs(spark, [(i, "w " * 10, "s") for i in range(1, 11)])  # 10 docs x 10 tokens
+    rows = {(r.source, r.seq_id): (r.n_docs, r.seq_tokens) for r in sequence_pack(df, budget=25).collect()}
+    # offsets 0,10,20,...,90 -> seq floor(offset/25): 0,0,0,1,1,2,2,2,3,3
+    assert rows == {("s", 0): (3, 30), ("s", 1): (2, 20), ("s", 2): (3, 30), ("s", 3): (2, 20)}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, documents):
+    s1 = stratified_sample(documents, k=5, stratum_col="lang")
+    s2 = stratified_sample(documents, k=5, stratum_col="lang")
+    per = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {
+        r.lang: r.n
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert n == min(5, strata[lang])
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids1 == ids2
+    # the scramble actually permutes: the sample isn't just the lowest ids
+    lowest = sorted(
+        r.doc_id
+        for lang in strata
+        for r in documents.filter(f"lang = '{lang}'").orderBy("doc_id").limit(5).collect()
+    )
+    assert ids1 != lowest
+
+
+def test_tfidf_ranks_rare_tokens_first(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common rare rare", "s"),
+            (2, "common filler", "s"),
+            (3, "common other", "s"),
+        ],
+    )
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.keyword, r.score))
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "rare"
+    # tf=2, df=1, N=3 -> 2*ln(4/2)
+    assert top1[2] == pytest.approx(round(2 * math.log(2.0), 6))
+    # 'common' appears in all docs -> idf = ln(4/4) = 0
+    for ranks in by_doc.values():
+        for _, kw, score in ranks:
+            if kw == "common":
+                assert score == 0.0
