@@ -70,6 +70,10 @@ def main() -> None:
         "text_stats",
         "bpe_token_stats",
         "lang_id_rollup",
+        "repetition_stats",
+        "tfidf_keywords",
+        "sequence_pack",
+        "contamination_check",
         "jaccard_pairs",
         "minhash_neardup",
         "simhash_neardup",

@@ -18,6 +18,11 @@ from .multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from .packing import (  # noqa: F401
+    pack_assignments,
+    sequence_pack,
+    stratified_sample,
+)
 from .quality import (  # noqa: F401
     assert_not_null,
     assert_unique,
@@ -33,4 +38,10 @@ from .similarity import (  # noqa: F401
     ivf_topk,
 )
 from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
+from .text_quality import (  # noqa: F401
+    contaminated_doc_ids,
+    contamination_summary,
+    repetition_stats,
+    word_ngrams,
+)
 from .upsert import upsert_anti_join, upsert_latest_wins, upsert_window_dedup  # noqa: F401
