@@ -225,6 +225,14 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-partitioned embedding dedup (rows-only check —
+    k-means isn't SQL-expressible; within-cluster exactness is pinned by
+    tests/test_semantic_dedup.py property tests)."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.97, n_centroids=16)
+
+
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document."""
     return TX.tfidf_topk(Q.load(spark, sf_dir, "documents"), k=3)
@@ -434,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _cosine_topk_ivf,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "semantic_dedup": _semantic_dedup,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
         "media_frame_counts": _media_frame_counts,

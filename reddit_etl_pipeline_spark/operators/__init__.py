@@ -36,6 +36,7 @@ from .similarity import (  # noqa: F401
     embedding_neardup_exact,
     embedding_neardup_pairs,
     ivf_topk,
+    semantic_dedup,
 )
 from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
 from .text_quality import (  # noqa: F401

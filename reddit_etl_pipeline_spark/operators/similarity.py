@@ -472,3 +472,77 @@ def embedding_neardup_pairs(
             yield out[out["sim"] >= threshold]
 
     return paired.mapInPandas(verify, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.97,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the deterministic coarse k-means, then inside each
+    cluster drop every vector that has a LOWER-id cluster-mate at cosine
+    >= ``threshold`` (keep-lowest is the engine's deterministic stand-in
+    for the paper's keep-farthest-from-centroid variant).
+
+    Returns (id, cid, keep) for every vector — ``keep`` = 1 for cluster
+    representatives/uniques, 0 for semantic duplicates.
+
+    Spark shape: centroid assignment is a map-only Arrow numpy projection;
+    the pairwise pass is applyInPandas per cluster — ONE shuffle keyed by
+    centroid id, and the O(m^2) gram matrix is per-cluster (m ~ n/k), not
+    corpus-wide. At 100 TB, n_centroids scales with the corpus (the paper
+    used 50k clusters for LAION-scale) so m stays bounded; cross-cluster
+    near-dups are the documented approximation, exactly as in the paper.
+    Cluster skew is the operational risk: AQE splits oversized clusters'
+    shuffle partitions, and a degenerate corpus (everything in one
+    cluster) degrades to the exact-pairs baseline cost.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = train_ivf_centroids(
+        df, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cid": (mn @ cents.T).argmax(axis=1),
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    assigned = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, "id long, cid long, vec array<float>"
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        m = np.stack(pdf["vec"].to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        # strict upper triangle: sims[i, j] with i < j -> j is a duplicate
+        # of the earlier (lower-id) i
+        dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "keep": (~dup).astype("int64"),
+            }
+        )
+
+    return (
+        assigned.groupBy("cid")
+        .applyInPandas(dedup_cluster, "id long, cid long, keep long")
+        .withColumnRenamed("id", id_col)
+    )
