@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": Q.cube_order_stats,
         "events_pivot": Q.events_pivot,
         "value_percentiles": Q.value_percentiles,
+        "hourly_gapfill": Q.hourly_gapfill,
+        "trailing_hour_value": Q.trailing_hour_value,
         "approx_distinct_stats": Q.approx_distinct_stats,
         "buyer_segments": Q.buyer_segments,
         "ohlc_by_type": Q.ohlc_by_type,
@@ -865,6 +867,38 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, source FROM documents WHERE doc_id % 13 <> 3) c
             LEFT JOIN hits h USING (doc_id)
             GROUP BY source
+        """,
+        "hourly_gapfill": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                     count(*) AS n_events, round(sum(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), spans AS (
+              SELECT event_type,
+                     date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM events GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(CAST(h0 AS TIMESTAMP),
+                                            CAST(h1 AS TIMESTAMP),
+                                            INTERVAL 1 HOUR)) AS hour_ts
+              FROM spans
+            )
+            SELECT g.event_type, g.hour_ts,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   coalesce(sum_value, 0.0) AS sum_value
+            FROM grid g
+            LEFT JOIN hourly h
+              ON h.event_type = g.event_type AND h.hour_ts = g.hour_ts
+        """,
+        "trailing_hour_value": """
+            SELECT event_id, user_id, ts,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ), 6) AS trailing_1h_value
+            FROM events WHERE event_type = 'purchase'
         """,
         "sequence_pack": f"""
             WITH d AS (

@@ -392,3 +392,64 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), ROUND_DP).alias("session_value"),
     )
+
+
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable-style rollup): per event_type,
+    a dense hourly grid from that type's first to last hour, with
+    zero-filled hours where no events landed.
+
+    Scale shape: the grid is generated PER GROUP from the group's own
+    min/max (sequence + explode) — no driver scalar, no 1-row cross join
+    (which would plan as BroadcastNestedLoopJoin); the join back to the
+    observed hourly rollup is an equi-join on (event_type, hour). Grid
+    size is bounded by time span, not row count."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour_ts"),
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: for each purchase, the same user's
+    total purchase value in the trailing hour (inclusive both ends) —
+    the event-time analogue of the rows-frame running_order_total.
+
+    RANGE frames include ALL peer rows at equal order values (SQL
+    standard), so the result is deterministic under ts ties without an
+    id tiebreak. One shuffle on user_id."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), ROUND_DP).alias("trailing_1h_value"),
+    )
