@@ -255,6 +255,27 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang_pred", "quality")
 
 
+def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup signals per document
+    (single-line corpora degrade to whole-doc dup detection)."""
+    return D.line_dedup_stats(Q.load(spark, sf_dir, "documents"))
+
+
+def _duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate 5-token-span fraction per document."""
+    return D.duplicate_span_stats(Q.load(spark, sf_dir, "documents"), k=5)
+
+
+def _ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram frequency table (vocab/stopword mining)."""
+    return TQ.ngram_frequency(Q.load(spark, sf_dir, "documents"), n=2, top_k=50)
+
+
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way training-export shard manifest."""
+    return PK.shard_manifest(Q.load(spark, sf_dir, "documents"), n_shards=16)
+
+
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(
         Q.load(spark, sf_dir, "documents"), threshold=0.7
@@ -416,6 +437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": Q.value_percentiles,
         "hourly_gapfill": Q.hourly_gapfill,
         "trailing_hour_value": Q.trailing_hour_value,
+        "cohort_retention": Q.cohort_retention,
+        "funnel_conversion": Q.funnel_conversion,
+        "stats_moments": Q.stats_moments,
         "approx_distinct_stats": Q.approx_distinct_stats,
         "buyer_segments": Q.buyer_segments,
         "ohlc_by_type": Q.ohlc_by_type,
@@ -436,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _sequence_pack,
         "stratified_sample": _stratified_sample,
         "tfidf_keywords": _tfidf_keywords,
+        "line_dedup_stats": _line_dedup_stats,
+        "duplicate_span_stats": _duplicate_span_stats,
+        "ngram_frequency": _ngram_frequency,
+        "shard_manifest": _shard_manifest,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -899,6 +927,131 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
                    ), 6) AS trailing_1h_value
             FROM events WHERE event_type = 'purchase'
+        """,
+        "cohort_retention": """
+            WITH fw AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts
+              FROM events
+            )
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST(floor(date_diff('day', cohort_week, week_ts) / 7)
+                        AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM act JOIN fw USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "funnel_conversion": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     date_trunc('microseconds', ts) AS ts
+              FROM events
+            ), v AS (
+              SELECT user_id, min(ts) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM ev e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+            ), s AS (
+              SELECT 1 AS stage_num, 'view' AS stage, count(*) AS n_users FROM v
+              UNION ALL SELECT 2, 'click', count(*) FROM c
+              UNION ALL SELECT 3, 'purchase', count(*) FROM p
+            )
+            SELECT CAST(stage_num AS BIGINT) AS stage_num, stage,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   round(CASE WHEN first_n = 0 THEN 0.0
+                         ELSE n_users / CAST(first_n AS DOUBLE) END,
+                         6) AS frac_of_first
+            FROM (SELECT *, max(CASE WHEN stage_num = 1 THEN n_users END)
+                            OVER () AS first_n
+                  FROM s)
+        """,
+        "stats_moments": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS avg_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(var_samp(value), 6) AS var_value,
+                   round(corr(value, CAST(hour(ts) AS DOUBLE)), 6)
+                     AS corr_value_hour,
+                   round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6)
+                     AS covar_value_hour
+            FROM events GROUP BY 1
+        """,
+        "line_dedup_stats": """
+            WITH ln AS (
+              SELECT doc_id, trim(lower(l)) AS seg
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents) u
+              WHERE length(trim(lower(l))) > 0
+            ), docfreq AS (
+              SELECT seg, count(*) AS seg_docs
+              FROM (SELECT DISTINCT doc_id, seg FROM ln) GROUP BY 1
+            ), per AS (
+              SELECT ln.doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN seg_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM ln JOIN docfreq USING (seg) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_lines,
+                   round(coalesce(CAST(n_dup AS DOUBLE) / n_lines, 0.0), 6)
+                     AS dup_line_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "duplicate_span_stats": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            g AS (
+              SELECT doc_id,
+                     l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                     l[i+3] || ' ' || l[i+4] AS seg
+              FROM d, unnest(range(1, len(l) - 3)) AS t(i)
+            ), docfreq AS (
+              SELECT seg, count(*) AS seg_docs
+              FROM (SELECT DISTINCT doc_id, seg FROM g) GROUP BY 1
+            ), per AS (
+              SELECT g.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN seg_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM g JOIN docfreq USING (seg) GROUP BY 1
+            )
+            SELECT d2.doc_id,
+                   CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   round(coalesce(CAST(n_dup AS DOUBLE) / n_spans, 0.0), 6)
+                     AS dup_span_frac
+            FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+        """,
+        "ngram_frequency": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            g AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+              FROM d, unnest(range(1, len(l))) AS t(i)
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, gram
+            LIMIT 50
+        """,
+        "shard_manifest": f"""
+            WITH s AS (
+              SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard_id,
+                     len({_TOKENS}) AS n_tokens,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM s GROUP BY 1
         """,
         "sequence_pack": f"""
             WITH d AS (

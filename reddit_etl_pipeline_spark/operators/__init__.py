@@ -2,11 +2,15 @@ from .asof import asof_join, range_join_bucketed  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     dedup_exact,
+    doc_lines,
+    duplicate_span_stats,
     exact_duplicate_groups,
     jaccard_pairs,
+    line_dedup_stats,
     minhash_neardup_pairs,
     minhash_signatures,
     neardup_clusters,
+    segment_dedup_stats,
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
@@ -21,6 +25,8 @@ from .multimodal import (  # noqa: F401
 from .packing import (  # noqa: F401
     pack_assignments,
     sequence_pack,
+    shard_assignments,
+    shard_manifest,
     stratified_sample,
 )
 from .quality import (  # noqa: F401
@@ -42,6 +48,7 @@ from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa
 from .text_quality import (  # noqa: F401
     contaminated_doc_ids,
     contamination_summary,
+    ngram_frequency,
     repetition_stats,
     word_ngrams,
 )

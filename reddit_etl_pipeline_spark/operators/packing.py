@@ -106,3 +106,46 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-export shard per row: Knuth-scrambled id
+    mod ``n_shards``. Pure projection — embarrassingly parallel, no
+    shuffle, identical assignment on any cluster/partitioning (unlike
+    a global row_number round-robin, which needs a single-partition
+    window and dies at scale). Token balance across shards follows from
+    the scramble's uniformity at corpus cardinalities."""
+    return df.withColumn(
+        "shard_id", (scramble(id_col) % n_shards).cast("long")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard export manifest: (shard_id, n_docs, n_tokens, n_chars)
+    — what a training-data writer emits alongside the shard files so
+    loaders can plan epochs without re-scanning. One map-side-combined
+    groupBy on the (tiny-cardinality) shard id."""
+    ntok = token_count(text_col)
+    return (
+        shard_assignments(df, n_shards, id_col)
+        .select(
+            "shard_id",
+            ntok.cast("long").alias("_ntok"),
+            F.length(F.col(text_col)).cast("long").alias("_nchar"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.sum("_nchar").alias("n_chars"),
+        )
+    )

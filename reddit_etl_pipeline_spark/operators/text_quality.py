@@ -194,3 +194,37 @@ def contamination_summary(
         )
         .orderBy(group_col)
     )
+
+
+def ngram_frequency(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-``top_k`` word n-grams: (gram, n_occurrences,
+    n_docs) — the frequency table a BPE/vocab-building or stopword-mining
+    stage reads. Totally ordered by (count desc, gram asc) so the top-k
+    is deterministic.
+
+    Scale shape: gram stream -> one map-side-combined groupBy on the gram
+    string (at 100 TB: xxhash64 the gram for the shuffle key, carry one
+    example string); count(DISTINCT id) is a partial-aggregated two-level
+    agg, not a re-shuffle; the limit plans as TakeOrderedAndProject — only
+    top_k rows per partition ever reach the driver side of the sort."""
+    grams = word_ngrams(df, n, text_col, id_col)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .select(
+            "gram",
+            F.col("n_occurrences").cast("long"),
+            F.col("n_docs").cast("long"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )

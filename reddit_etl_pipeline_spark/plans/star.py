@@ -453,3 +453,111 @@ def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.sum("value").over(w), ROUND_DP).alias("trailing_1h_value"),
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users bucketed by the ISO
+    week of their first event; for each (cohort_week, week_offset) the
+    count of cohort members active that week.
+
+    Scale shape: first-week agg and the distinct active-weeks set both
+    shuffle on user_id (map-side combined); the join is an equi-join on
+    user_id (same key — AQE can reuse the partitioning); the final
+    rollup's cardinality is weeks^2 — tiny. No windows, no driver
+    scalars."""
+    ev = load(spark, sf_dir, "events")
+    first_week = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week_ts")
+    ).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week_ts", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): users who
+    viewed, then clicked strictly after their first view, then purchased
+    strictly after that first qualifying click. One row per stage with
+    the drop-off fraction vs stage 1.
+
+    Scale shape: each stage is a user_id-keyed agg + equi-join on
+    user_id — same shuffle key throughout, no windows over the fact
+    table, no 1-row cross joins (the stage-1 denominator is carried by
+    an unpartitioned window over the THREE-row union, not a broadcast
+    of a scalar subquery)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, num: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(num).cast("long").alias("stage_num"),
+            F.lit(name).alias("stage"),
+            F.col("n_users").cast("long"),
+        )
+
+    s = stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
+        stage(p, 3, "purchase")
+    )
+    w = Window.partitionBy()
+    first = F.max(F.when(F.col("stage_num") == 1, F.col("n_users"))).over(w)
+    return s.select(
+        "stage_num",
+        "stage",
+        "n_users",
+        F.round(
+            F.when(first == 0, F.lit(0.0)).otherwise(
+                F.col("n_users") / first.cast("double")
+            ),
+            ROUND_DP,
+        ).alias("frac_of_first"),
+    )
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dispersion/association stats: sample stddev and
+    variance of value, and Pearson correlation + sample covariance of
+    value vs hour-of-day. Single map-side-combined groupBy — the moment
+    sums are partial-aggregable, so this is one shuffle of 5 keys no
+    matter the corpus size. Floats rounded to 6 dp for oracle parity."""
+    ev = load(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("double")
+    return (
+        ev.select("event_type", F.col("value"), hr.alias("hr"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+            F.round(F.stddev_samp("value"), ROUND_DP).alias("stddev_value"),
+            F.round(F.var_samp("value"), ROUND_DP).alias("var_value"),
+            F.round(F.corr("value", "hr"), ROUND_DP).alias("corr_value_hour"),
+            F.round(F.covar_samp("value", "hr"), ROUND_DP).alias("covar_value_hour"),
+        )
+    )
