@@ -399,6 +399,12 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_purchase_click_join(spark, sf_dir)
 
 
+def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous warehouse merge (last-write-wins upsert);
+    converges to the batch latest_event_per_user_type result."""
+    return ST.streamed_upsert_latest(spark, sf_dir)
+
+
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction surface: props is a JSON string column."""
     ev = Q.load(spark, sf_dir, "events")
@@ -482,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "stream_distinct_users": _stream_distinct,
         "stream_purchase_click_join": _stream_join,
+        "stream_upsert_latest": _stream_upsert,
     }
 
 
@@ -1298,6 +1305,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_distinct_users": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_upsert_latest": """
+            SELECT user_id, event_type,
+                   last_event_id,
+                   CAST(date_trunc('microseconds', last_ts) AS TIMESTAMP) AS last_ts,
+                   round(last_value, 6) AS last_value
+            FROM (
+              SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+                     value AS last_value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
         """,
         "stream_purchase_click_join": """
             SELECT p.event_id AS purchase_id,

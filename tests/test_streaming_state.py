@@ -128,3 +128,38 @@ def test_stream_join_on_real_timestamp_column(spark, tmp_path):
         for r in ST.streamed_purchase_click_join(spark, str(tmp_path)).collect()
     }
     assert got == {(2, 1): 1.5, (5, 4): 0.5}
+
+
+def test_merge_latest_out_of_order_batches(spark, tmp_path):
+    """The foreachBatch merge must converge regardless of micro-batch
+    arrival order: the winning row (latest ts) arrives FIRST, then an
+    older row for the same key tries to overwrite it."""
+    wh = str(tmp_path / "wh")
+    rows_late_first = spark.createDataFrame(
+        [(1, "click", 200, 9.0)], "user_id long, event_type string, ts long, value double"
+    )
+    rows_old_second = spark.createDataFrame(
+        [(1, "click", 100, 1.0), (2, "view", 50, 2.0)],
+        "user_id long, event_type string, ts long, value double",
+    )
+    for b in (rows_late_first, rows_old_second):
+        ST.merge_latest_into_warehouse(
+            b, wh, keys=["user_id", "event_type"], order_cols=["ts"]
+        )
+    got = {
+        (r.user_id, r.event_type): (r.ts, r.value)
+        for r in spark.read.parquet(wh).collect()
+    }
+    assert got == {(1, "click"): (200, 9.0), (2, "view"): (50, 2.0)}
+
+
+def test_streamed_upsert_equals_batch(spark, sf_dir):
+    got = {
+        (r.user_id, r.event_type): (r.last_event_id, r.last_ts)
+        for r in ST.streamed_upsert_latest(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.last_event_id, r.last_ts)
+        for r in Q.latest_event_per_user_type(spark, sf_dir).collect()
+    }
+    assert got == want
