@@ -80,6 +80,12 @@ def main() -> None:
         "cosine_topk",
         "embedding_neardup_lsh",
         "media_byte_stats",
+        "cohort_retention",
+        "funnel_conversion",
+        "stats_moments",
+        "duplicate_span_stats",
+        "ngram_frequency",
+        "shard_manifest",
         "stream_hourly_counts",
         "stream_sessionize",
         "stream_distinct_users",
