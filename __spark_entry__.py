@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_stats": Q.approx_distinct_stats,
         "buyer_segments": Q.buyer_segments,
         "ohlc_by_type": Q.ohlc_by_type,
+        "shipping_priority": Q.shipping_priority,
+        "late_shipment_priority": Q.late_shipment_priority,
+        "spend_deciles_by_nation": Q.spend_deciles_by_nation,
+        "nation_directory": Q.nation_directory,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -728,6 +732,64 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
                    count(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "spend_deciles_by_nation": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend
+              FROM orders GROUP BY o_custkey
+            ), ranked AS (
+              SELECT n_name, total_spend,
+                     ntile(10) OVER (PARTITION BY n_name
+                                     ORDER BY total_spend DESC, o_custkey) AS decile
+              FROM spend
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT n_name, decile,
+                   count(*) AS n_customers,
+                   CAST(max(total_spend) AS DOUBLE) AS max_spend,
+                   CAST(min(total_spend) AS DOUBLE) AS min_spend,
+                   CAST(sum(total_spend) AS DOUBLE) AS decile_spend
+            FROM ranked GROUP BY n_name, decile
+        """,
+        "nation_directory": """
+            WITH cpn AS (
+              SELECT c_nationkey, count(*) AS n_cust
+              FROM customer GROUP BY c_nationkey
+            )
+            SELECT r_name,
+                   count(*) AS n_nations,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(sum(coalesce(n_cust, 0)) AS BIGINT) AS n_customers
+            FROM nation
+            LEFT JOIN cpn ON n_nationkey = c_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "buyer_segments": """
             SELECT user_id, 'buyer_with_errors' AS segment FROM (

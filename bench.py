@@ -82,6 +82,8 @@ def main() -> None:
         "media_byte_stats",
         "cohort_retention",
         "funnel_conversion",
+        "shipping_priority",
+        "spend_deciles_by_nation",
         "stats_moments",
         "duplicate_span_stats",
         "ngram_frequency",

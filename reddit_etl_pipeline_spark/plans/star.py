@@ -561,3 +561,131 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("value", "hr"), ROUND_DP).alias("covar_value_hour"),
         )
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ open orders ⋈
+    late-shipping lineitems, revenue per order, top-K by revenue.
+
+    Scale shape: both date filters and the segment filter push into the
+    parquet scans; the customer side shrinks to one segment (~1/5) before
+    joining, so orders⋈customer shuffles a reduced build side and AQE can
+    flip it to broadcast when small enough. The fact-fact join
+    (lineitem⋈orders) shuffles on the order key; revenue sums in DECIMAL
+    (order-independent exactness) and the top-K plans as
+    TakeOrderedAndProject — no global sort materialization."""
+    cutoff = "1998-06-01"
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in a quarter that have at least one
+    lineitem shipped more than 90 days after the order date — an EXISTS
+    correlated subquery, planned as a LEFT SEMI join on the order key with
+    the date comparison as a residual condition.
+
+    Scale shape: the orders date-range filter pushes to the scan; the
+    semi-join shuffles both sides on the equi key (no BNL — the non-equi
+    predicate rides on the hash join as a post-probe filter); the final
+    rollup has priority-level cardinality."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def spend_deciles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer-spend deciles: total spend per customer, NTILE
+    decile within the customer's nation, then per (nation, decile) count
+    and spend range.
+
+    Scale shape: the spend agg shuffles once on custkey (map-side
+    combined); nation joins broadcast. The NTILE window partitions by
+    nation — bounded per-partition sort, never a global single-partition
+    window (the unpartitioned-NTILE formulation would serialize the whole
+    corpus through one task). Spend carried as DECIMAL into the window so
+    ties rank identically on every engine, cast to DOUBLE only at the
+    boundary."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_spend")
+    )
+    per_cust = spend.join(
+        F.broadcast(cust), spend.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_spend"), F.asc("o_custkey")
+    )
+    return (
+        per_cust.select(
+            "n_name", "total_spend", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("n_name", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max(F.col("total_spend")).cast("double").alias("max_spend"),
+            F.min(F.col("total_spend")).cast("double").alias("min_spend"),
+            F.sum(F.col("total_spend")).cast("double").alias("decile_spend"),
+        )
+    )
+
+
+def nation_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg parity): per
+    region, the comma-joined alphabetical list of its nations plus member
+    and customer counts.
+
+    Scale shape: collect_list is bounded by group cardinality (nations per
+    region ≤ 5 here; in general listagg output must fit one row — this op
+    is for dimension-directory shapes, not fact tables). The customer
+    count aggregates BEFORE joining the dims, so the big side reduces to
+    one row per nation first; dims broadcast. sort_array makes the
+    concatenation order engine-independent."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cust = load(spark, sf_dir, "customer")
+    cust_per_nation = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    return (
+        nation.join(
+            cust_per_nation, nation.n_nationkey == cust_per_nation.c_nationkey, "left"
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.sum(F.coalesce(F.col("n_cust"), F.lit(0))).cast("long").alias(
+                "n_customers"
+            ),
+        )
+    )

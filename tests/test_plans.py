@@ -107,3 +107,31 @@ def test_every_query_plan_is_bnl_free(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-equi join shapes in: {offenders}"
+
+
+def test_shipping_priority_pushdown_topk(spark, sf_dir):
+    p = plan_of(Q.shipping_priority(spark, sf_dir))
+    # both date filters and the segment filter reach their parquet scans
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_late_shipment_semi_join_residual(spark, sf_dir):
+    """EXISTS plans as a left-semi hash/sort-merge join on the equi key;
+    the 90-day comparison rides as a residual condition, never a BNL."""
+    p = plan_of(Q.late_shipment_priority(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # range filter at the scan
+
+
+def test_spend_deciles_window_is_partitioned(spark, sf_dir):
+    """The NTILE window must partition by nation — a global (unpartitioned)
+    window would serialize the corpus through a single task."""
+    p = plan_of(Q.spend_deciles_by_nation(spark, sf_dir))
+    assert "Window" in p
+    # hashpartitioning on the nation name (not SinglePartition) feeds the sort
+    assert "SinglePartition" not in p.split("Window")[0].splitlines()[-1]
+    assert "n_name" in p
