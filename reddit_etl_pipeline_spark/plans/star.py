@@ -23,12 +23,20 @@ ROUND_DP = 6
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a star-schema table, normalizing timestamp encodings.
 
-    The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
-    refuses by default; ``nanosAsLong`` reads them as int64 nanoseconds and
-    we truncate to microseconds (Spark timestamp precision — matches the
-    oracle's ``date_trunc('microseconds', ts)``). Integer division (DIV)
-    keeps the conversion exact; double division would lose sub-microsecond
-    bits at 2^60-scale nanosecond values.
+    The events table's ``ts`` column arrives in one of two parquet
+    encodings depending on how the dataset was generated, and both are
+    normalized to a session-TZ TIMESTAMP (the session is pinned UTC, so
+    wall-clock values match the oracle's naive timestamps):
+
+    - TIMESTAMP(NANOS): Spark refuses it by default; ``nanosAsLong``
+      reads it as int64 nanoseconds and we truncate to microseconds
+      (Spark timestamp precision — matches the oracle's
+      ``date_trunc('microseconds', ts)``). Integer division (DIV) keeps
+      the conversion exact; double division would lose sub-microsecond
+      bits at 2^60-scale nanosecond values.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+      TIMESTAMP_NTZ, which watermarks and epoch casts reject — cast to
+      TIMESTAMP (identity on wall-clock under the UTC session).
     """
     # runtime-settable confs the query surface depends on, pinned here so
     # results are identical even under a caller-provided SparkSession
@@ -38,8 +46,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if f.name == "ts":
+            st = f.dataType.simpleString()
+            if st == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            elif st == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,6 +18,26 @@ from pyspark.sql import functions as F
 from .bounded import run_stream_to_batch, stage_bounded_stream  # noqa: F401
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a session-TZ TIMESTAMP (sessions are
+    pinned UTC). Handles both parquet encodings of the events table:
+    TIMESTAMP(NANOS) read as int64 under ``nanosAsLong`` (truncated to
+    micros — exact integer DIV), and TIMESTAMP(MICROS, NTZ) read as
+    TIMESTAMP_NTZ (cast — identity on wall-clock under UTC), which
+    watermarks and epoch casts would otherwise reject. Works on batch and
+    streaming DataFrames alike."""
+    for f in df.schema.fields:
+        if f.name == "ts":
+            st = f.dataType.simpleString()
+            if st == "bigint":
+                return df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            if st == "timestamp_ntz":
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema pinned from the
     batch read — file streams must declare schemas up front).
@@ -43,13 +63,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = reader.option("pathGlobFilter", "events.parquet").parquet(
             sf_dir
         )
-    for f in schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            # TIMESTAMP(NANOS) read as int64 -> truncate to micros (exact DIV)
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-    return stream
+    return _normalize_ts(stream)
 
 
 def windowed_event_counts(
@@ -81,14 +95,17 @@ def windowed_event_counts(
     )
 
 
-def _event_sentinel(
-    batch: DataFrame, sentinel_ts, ns_ts: bool
-) -> DataFrame:
+def _event_sentinel(batch: DataFrame, sentinel_ts) -> DataFrame:
     """One watermark-advancing sentinel row in the events schema
-    (event_id/user_id = -1; filtered out of every aggregate)."""
+    (event_id/user_id = -1; filtered out of every aggregate). The ts
+    column is cast to the batch's EXACT ts type (int64 nanos, NTZ, or
+    TIMESTAMP) so staged sentinel files carry the same parquet logical
+    type as the staged data files — a mixed NTZ/LTZ source directory
+    would fail the stream's fixed schema."""
+    ts_type = batch.schema["ts"].dataType
     return batch.sparkSession.range(1).select(
         F.lit(-1).cast("long").alias("event_id"),
-        F.lit(sentinel_ts).cast("long" if ns_ts else "timestamp").alias("ts"),
+        F.lit(sentinel_ts).cast(ts_type).alias("ts"),
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("__sentinel__").alias("event_type"),
         F.lit(0.0).alias("value"),
@@ -133,8 +150,8 @@ def _bounded_events_stream(
     d = stage_bounded_stream(
         [
             f"{sf_dir}/events.parquet",
-            _event_sentinel(batch, sentinel_ts, ns_ts),
-            _event_sentinel(batch, sentinel_ts, ns_ts),
+            _event_sentinel(batch, sentinel_ts),
+            _event_sentinel(batch, sentinel_ts),
         ],
         prefix="events_bounded_",
     )
@@ -143,9 +160,7 @@ def _bounded_events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    if ns_ts:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream, ns_ts
+    return _normalize_ts(stream), ns_ts
 
 
 def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +222,7 @@ def streamed_purchase_click_join(
         return stage_bounded_stream(
             [
                 batch.filter(F.col("event_type") == event_type),
-                _event_sentinel(batch, sentinel_ts, ns_ts),
+                _event_sentinel(batch, sentinel_ts),
             ],
             prefix=f"ssj_{event_type}_",
         )
@@ -218,8 +233,7 @@ def streamed_purchase_click_join(
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
         )
-        if ns_ts:
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        s = _normalize_ts(s)
         return s.select(
             F.col("event_id").alias(f"{alias}_id"),
             F.col("user_id").alias(f"{alias}_user"),
@@ -540,14 +554,7 @@ def streamed_upsert_latest(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    ns_ts = any(
-        f.name == "ts" and f.dataType.simpleString() == "bigint"
-        for f in batch.schema.fields
-    )
-    if ns_ts:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    stream = _normalize_ts(stream)
     warehouse = tempfile.mkdtemp(prefix="upsert_wh_") + "/events_latest"
 
     def merge(b: DataFrame, _batch_id: int) -> None:
