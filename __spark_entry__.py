@@ -271,6 +271,13 @@ def _ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.ngram_frequency(Q.load(spark, sf_dir, "documents"), n=2, top_k=50)
 
 
+def _vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit per source against the
+    corpus-mined top-500 token vocab."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return TQ.vocab_oov_stats(docs, vocab_size=500)
+
+
 def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-way training-export shard manifest."""
     return PK.shard_manifest(Q.load(spark, sf_dir, "documents"), n_shards=16)
@@ -453,6 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": Q.late_shipment_priority,
         "spend_deciles_by_nation": Q.spend_deciles_by_nation,
         "nation_directory": Q.nation_directory,
+        "small_quantity_revenue": Q.small_quantity_revenue,
+        "order_count_distribution": Q.order_count_distribution,
+        "promo_revenue_share": Q.promo_revenue_share,
+        "top_value_parts": Q.top_value_parts,
+        "returned_items_report": Q.returned_items_report,
+        "dominant_suppliers": Q.dominant_suppliers,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -473,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _line_dedup_stats,
         "duplicate_span_stats": _duplicate_span_stats,
         "ngram_frequency": _ngram_frequency,
+        "vocab_oov_stats": _vocab_oov_stats,
         "shard_manifest": _shard_manifest,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
@@ -791,6 +805,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
+        # TPC-H Q17 shape: the ANSI correlated-scalar-subquery form — the
+        # Spark side decorrelates it into a per-part aggregate join
+        "small_quantity_revenue": """
+            SELECT p.p_brand,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            GROUP BY p.p_brand
+        """,
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "promo_revenue_share": """
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                           AS DOUBLE), 6) AS promo_pct,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         2) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        # TPC-H Q11 shape: HAVING against a global scalar subquery
+        "top_value_parts": """
+            WITH pv AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS part_value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   round(CAST(part_value AS DOUBLE), 2) AS part_value,
+                   round(CAST(part_value AS DOUBLE)
+                         / (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv), 6)
+                     AS value_share
+            FROM pv
+            WHERE CAST(part_value AS DOUBLE)
+                  > 0.0006 * (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv)
+        """,
+        "returned_items_report": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         2) AS lost_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY lost_revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "dominant_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), tot AS (
+              SELECT l_partkey, sum(supp_qty) AS part_qty
+              FROM ps GROUP BY l_partkey
+            )
+            SELECT ps.l_partkey, ps.l_suppkey, s.s_name,
+                   CAST(supp_qty AS BIGINT) AS supp_qty,
+                   CAST(part_qty AS BIGINT) AS part_qty,
+                   round(supp_qty / part_qty, 6) AS qty_share
+            FROM ps
+            JOIN tot ON ps.l_partkey = tot.l_partkey
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            WHERE supp_qty > 0.15 * part_qty
+        """,
         "buyer_segments": """
             SELECT user_id, 'buyer_with_errors' AS segment FROM (
               SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -1108,6 +1207,30 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, gram
             LIMIT 50
+        """,
+        "vocab_oov_stats": f"""
+            WITH ex AS (
+              SELECT doc_id, t.tok
+              FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+                ORDER BY cnt DESC, tok ASC LIMIT 500)
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM ex LEFT JOIN vocab v USING (tok)
+              GROUP BY doc_id
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS total_tokens,
+                   CAST(sum(coalesce(n_oov, 0)) AS BIGINT) AS oov_tokens,
+                   round(avg(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                             ELSE CAST(n_oov AS DOUBLE) / n_tokens END), 6)
+                     AS avg_oov_ratio
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+            GROUP BY d.source
         """,
         "shard_manifest": f"""
             WITH s AS (

@@ -228,3 +228,69 @@ def ngram_frequency(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary-coverage audit: mine the corpus' top-``vocab_size``
+    tokens (count desc, token asc — totally ordered), then report
+    per-``group_col`` how much of each document falls OUTSIDE that
+    vocabulary: (group, n_docs, total_tokens, oov_tokens, avg_oov_ratio).
+
+    This is the tokenizer-fit signal a training pipeline checks before
+    committing a vocab: a source whose OOV ratio is high will fragment
+    into byte-fallback tokens and inflate sequence lengths.
+
+    Scale shape: token stream -> one map-side-combined groupBy(token) for
+    the frequency table; the top-k plans as TakeOrderedAndProject and the
+    resulting ``vocab_size``-row vocab BROADCASTS to a left join marking
+    in-vocab tokens (map-only probe — corpus tokens never shuffle for
+    the membership test); per-doc rollup keys the doc id, group rollup
+    keys the group — both cardinality-bounded. Docs with zero tokens
+    count with ratio 0.0 via the left join from ``df`` itself."""
+    from ..functions.text import tokens
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("raw")
+    ).select(id_col, F.lower("raw").alias("tok")).filter(F.col("tok") != "")
+    vocab = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return (
+        df.select(id_col, group_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_tokens": 0, "n_oov": 0})
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_oov").cast("long").alias("oov_tokens"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_oov") / F.col("n_tokens")
+                    )
+                ),
+                6,
+            ).alias("avg_oov_ratio"),
+        )
+    )

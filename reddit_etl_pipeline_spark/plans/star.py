@@ -703,3 +703,188 @@ def nation_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of that part's average quantity, rolled up per brand — a
+    correlated scalar subquery (ANSI form), decorrelated here into an
+    explicit per-part aggregate + equi-join, which is exactly the plan
+    Catalyst would derive.
+
+    Scale shape: the per-part threshold table has part cardinality (tiny
+    next to lineitem) and joins on the same key the aggregate produced,
+    so at scale the agg's shuffle partitioning is reused by the join;
+    part dim broadcasts. Quantities are integral doubles, so 0.2*avg is
+    bit-identical on any summation order — the threshold comparison is
+    engine-independent. Revenue sums in DECIMAL, cast at the boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    threshold = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(threshold, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, including zero — LEFT OUTER join then two stacked aggregates.
+
+    Scale shape: one shuffle on custkey for the join+first agg (the join
+    output feeds the count directly — same key, partitioning reused);
+    the second agg's domain is order-count cardinality (tiny). count() of
+    a nullable column does the zero-orders accounting for free — no
+    special-casing unmatched customers."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue coming from promo-class
+    parts — conditional aggregation over a dim attribute.
+
+    Scale shape: part broadcasts; one shuffle to the month rollup. Both
+    sums stay DECIMAL (exact under any partial-agg order); the percentage
+    divides the two exact sums as doubles at the boundary, so the ratio
+    is bit-identical on every engine."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    is_promo = F.col("p_type") == "ECONOMY"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(is_promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_pct",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds a fixed
+    fraction of GLOBAL revenue — HAVING against a scalar subquery.
+
+    Scale shape: per-part revenue aggregates first (one shuffle); the
+    global total is a 1-row re-aggregate of that small table, attached
+    via a constant-key BROADCAST HASH join — never a BroadcastNestedLoop
+    (the lit(1) equi-key is what keeps the join hash-based; a bare cross
+    join of the 1-row side would plan as BNL and trip the plan sweep).
+    DECIMAL sums make the share division exact-input-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_value"))
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value")
+    ).withColumn("__k", F.lit(1))
+    return (
+        per_part.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .filter(
+            F.col("part_value").cast("double")
+            > 0.0006 * F.col("total_value").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+            F.round(
+                F.col("part_value").cast("double")
+                / F.col("total_value").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+    )
+
+
+def returned_items_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-K customers by revenue lost to returned
+    items — 3-way join, rollup per customer, ordered limit.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan;
+    customer/nation dims broadcast; one fact-fact shuffle on orderkey;
+    the top-K plans as TakeOrderedAndProject (no global sort). DECIMAL
+    revenue, total-order tiebreak on custkey."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavored shape: suppliers who shipped an outsized share of a
+    part's total shipped quantity — a two-level aggregate where the outer
+    level (per-part totals) re-aggregates the inner one (per
+    part+supplier), then a fraction filter and a dim join.
+
+    Scale shape: the per-(part,supplier) agg shuffles once; the per-part
+    total derives from THAT small table, not a second scan of lineitem;
+    the totals join back on the agg's own key (partitioning reused) and
+    supplier broadcasts. Quantities are integral doubles — sums are exact,
+    the strict > comparison engine-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    totals = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    return (
+        ps.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.15 * F.col("part_qty"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            F.col("supp_qty").cast("long").alias("supp_qty"),
+            F.col("part_qty").cast("long").alias("part_qty"),
+            F.round(F.col("supp_qty") / F.col("part_qty"), 6).alias("qty_share"),
+        )
+    )
