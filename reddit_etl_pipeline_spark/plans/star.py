@@ -797,38 +797,36 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose lineitem revenue exceeds a fixed
-    fraction of GLOBAL revenue — HAVING against a scalar subquery.
+    fraction of GLOBAL revenue — HAVING against a scalar subquery,
+    expressed through the spark.sql surface (dialect-shared with the
+    DuckDB oracle, like big_spenders_sql).
 
-    Scale shape: per-part revenue aggregates first (one shuffle); the
-    global total is a 1-row re-aggregate of that small table, attached
-    via a constant-key BROADCAST HASH join — never a BroadcastNestedLoop
-    (the lit(1) equi-key is what keeps the join hash-based; a bare cross
-    join of the 1-row side would plan as BNL and trip the plan sweep).
-    DECIMAL sums make the share division exact-input-identical."""
-    li = load(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        1 - F.col("l_discount").cast("decimal(18,4)")
-    )
-    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_value"))
-    total = per_part.agg(
-        F.sum("part_value").alias("total_value")
-    ).withColumn("__k", F.lit(1))
-    return (
-        per_part.withColumn("__k", F.lit(1))
-        .join(F.broadcast(total), "__k")
-        .filter(
-            F.col("part_value").cast("double")
-            > 0.0006 * F.col("total_value").cast("double")
+    Scale shape: per-part revenue aggregates once; the global total is a
+    SCALAR SUBQUERY — Spark executes it as its own tiny job and injects
+    the result as a literal (subquery reuse dedups the two references),
+    which is the one plan shape for a global total that involves NO
+    nested-loop join and NO single-partition window. (A DataFrame-side
+    constant-key join gets its equi-key constant-folded away and falls
+    back to BroadcastNestedLoop — the plan sweep rejects that.) DECIMAL
+    sums make the share division exact-input-identical."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS part_value
+          FROM lineitem GROUP BY l_partkey
         )
-        .select(
-            "l_partkey",
-            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
-            F.round(
-                F.col("part_value").cast("double")
-                / F.col("total_value").cast("double"),
-                6,
-            ).alias("value_share"),
-        )
+        SELECT l_partkey,
+               round(CAST(part_value AS DOUBLE), 2) AS part_value,
+               round(CAST(part_value AS DOUBLE)
+                     / (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv), 6)
+                 AS value_share
+        FROM pv
+        WHERE CAST(part_value AS DOUBLE)
+              > 0.0006 * (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv)
+        """
     )
 
 
