@@ -406,6 +406,19 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_purchase_click_join(spark, sf_dir)
 
 
+def _stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native gap sessionization (F.session_window keyed state) —
+    the built-in complement to the custom stateful sessionizer. Split
+    rule verified strictly-greater-than-gap at microsecond precision."""
+    return ST.streamed_session_window(spark, sf_dir)
+
+
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window (2h window / 1h slide) counts — each
+    event lands in two overlapping windows."""
+    return ST.streamed_sliding_counts(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -507,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_users": _stream_distinct,
         "stream_purchase_click_join": _stream_join,
         "stream_upsert_latest": _stream_upsert,
+        "stream_session_window": _stream_session_window,
+        "stream_sliding_counts": _stream_sliding,
     }
 
 
@@ -1503,6 +1518,47 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        # session_window splits strictly when the gap exceeds 30 min at
+        # MICROSECOND precision (empirically verified: an exactly-1800s
+        # gap still merges), unlike the floor-seconds batch sessionize
+        "stream_session_window": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microsecond', lag(ts) OVER w, ts)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM marked)
+            SELECT user_id,
+                   CAST(date_trunc('microseconds', min(ts)) AS TIMESTAMP)
+                     AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS session_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        # sliding 2h/1h: every event belongs to exactly two hourly-aligned
+        # window starts
+        "stream_sliding_counts": """
+            WITH w AS (
+              SELECT unnest([date_trunc('hour', ts),
+                             date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                       AS window_start,
+                     event_type, value
+              FROM events
+            )
+            SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "stream_purchase_click_join": """
             SELECT p.event_id AS purchase_id,

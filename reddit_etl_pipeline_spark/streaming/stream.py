@@ -588,3 +588,85 @@ def streamed_upsert_latest(
         F.col("ts").alias("last_ts"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+# ------------------------------------------- native windowed session / slide
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Spark-native gap sessionization: ``F.session_window`` keeps session
+    state in the streaming state store and MERGES windows whose gap-extended
+    spans touch — empirically (and per SessionWindowStateStore semantics) a
+    new session starts only when the time since the previous event is
+    STRICTLY greater than the gap, at full microsecond precision. This is
+    the built-in operator complementing the custom applyInPandasWithState
+    sessionizer (``sessionize_stateful``): no Python in the loop at all,
+    state merge/eviction handled by the engine.
+
+    Output: (user_id, session_start, n_events, session_value) — session
+    window start == min event ts of the session."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streamed_session_window(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """End-to-end native session_window over the bounded events table.
+    The watermark sentinel sits 2*gap past max(ts), so every real session's
+    gap-extended span closes; the sentinel's own session stays open in
+    state and is never emitted (append mode) — no output filter needed."""
+    stream, _ = _bounded_events_stream(
+        spark, sf_dir, margin_seconds=2 * gap_minutes * 60 + 60
+    )
+    agg = session_window_stats(stream, f"{gap_minutes} minutes")
+    return run_stream_to_batch(agg, spark, output_mode="append")
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate: each event lands in
+    window/slide overlapping windows (2 here), the late-data-tolerant
+    trend-curve shape. Spark expands the window set per row and keeps
+    per-(window, key) state; append mode emits a window once the
+    watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streamed_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sliding-window counts over the bounded events table.
+    Margin 5h: the latest real window ends at floor_hour(max_ts)+2h and
+    the 2h watermark delay must still pass it, while the sentinel's own
+    windows stay unemitted."""
+    stream, _ = _bounded_events_stream(spark, sf_dir, margin_seconds=5 * 3600)
+    agg = sliding_event_counts(stream)
+    return run_stream_to_batch(agg, spark, output_mode="append")
