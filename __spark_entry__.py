@@ -225,6 +225,17 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table + per-cluster
+    quality rollup. Rows-only check (numpy float geometry); monotone
+    inertia / nearest-centroid properties pinned in
+    tests/test_clustering.py."""
+    from reddit_etl_pipeline_spark.operators import clustering as CL
+
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return CL.kmeans_cluster_stats(emb, k=8, max_iter=10)
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-partitioned embedding dedup (rows-only check —
     k-means isn't SQL-expressible; within-cluster exactness is pinned by
@@ -510,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "semantic_dedup": _semantic_dedup,
+        "kmeans_cluster_stats": _kmeans_cluster_stats,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
         "media_frame_counts": _media_frame_counts,

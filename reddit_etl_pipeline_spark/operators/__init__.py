@@ -44,12 +44,14 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     semantic_dedup,
 )
+from .clustering import kmeans_assign, kmeans_cluster_stats, kmeans_fit  # noqa: F401
 from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
 from .text_quality import (  # noqa: F401
     contaminated_doc_ids,
     contamination_summary,
     ngram_frequency,
     repetition_stats,
+    vocab_oov_stats,
     word_ngrams,
 )
 from .upsert import upsert_anti_join, upsert_latest_wins, upsert_window_dedup  # noqa: F401

@@ -1,0 +1,103 @@
+"""Distributed Lloyd k-means: geometry and convergence properties.
+
+The driver check for kmeans_cluster_stats is rows-only (numpy float
+work isn't SQL-expressible), so these tests carry the correctness load:
+assignments must be exact nearest-centroid, inertia must never increase
+across iterations, and results must be partitioning-invariant to float
+tolerance.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from reddit_etl_pipeline_spark.operators.clustering import (  # noqa: E402
+    kmeans_assign,
+    kmeans_cluster_stats,
+    kmeans_fit,
+)
+
+
+def _blob_df(spark, n=300, dim=8, n_blobs=4, parts=4):
+    """Deterministic well-separated blobs (no RNG seeds in the cluster:
+    values derived from the row index)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_blobs, dim)) * 10.0
+    rows = []
+    for i in range(n):
+        b = i % n_blobs
+        v = centers[b] + rng.normal(size=dim) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(parts)
+
+
+def test_assignment_is_nearest_centroid(spark):
+    df = _blob_df(spark)
+    cents, _ = kmeans_fit(df, k=4, max_iter=5)
+    got = {
+        r.vec_id: (r.cluster, r.sqdist) for r in kmeans_assign(df, cents).collect()
+    }
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    for vid, v in x.items():
+        d2 = ((v - cents) ** 2).sum(axis=1)
+        j = int(d2.argmin())
+        assert got[vid][0] == j
+        assert got[vid][1] == pytest.approx(float(d2[j]), rel=1e-9)
+
+
+def test_inertia_monotone_nonincreasing(spark):
+    df = _blob_df(spark)
+    _, history = kmeans_fit(df, k=4, max_iter=8)
+    assert len(history) >= 1
+    for a, b in zip(history, history[1:]):
+        assert b <= a * (1 + 1e-12)
+
+
+def test_recovers_separated_blobs(spark):
+    # 4 well-separated blobs, k=4: every cluster should be pure and the
+    # per-cluster SSE far below the blob separation scale
+    df = _blob_df(spark, n=200, n_blobs=4)
+    cents, history = kmeans_fit(df, k=4, max_iter=10)
+    assigned = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+    # purity: all members of one blob land in one cluster
+    for b in range(4):
+        labels = {assigned[i] for i in range(200) if i % 4 == b}
+        assert len(labels) == 1, f"blob {b} split across {labels}"
+    # and the 4 clusters are distinct
+    assert len({assigned[i] for i in range(4)}) == 4
+
+
+def test_partitioning_invariance(spark):
+    df1 = _blob_df(spark, parts=2)
+    df7 = _blob_df(spark, parts=7)
+    c1, h1 = kmeans_fit(df1, k=4, max_iter=6)
+    c7, h7 = kmeans_fit(df7, k=4, max_iter=6)
+    assert np.allclose(c1, c7, rtol=1e-9, atol=1e-9)
+    assert np.allclose(h1, h7, rtol=1e-9)
+
+
+def test_more_clusters_than_distinct_points(spark):
+    # k exceeds distinct vectors: extra centroids freeze at their seed,
+    # no crash, every point still assigned to its nearest
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _ = kmeans_fit(df, k=5, max_iter=3)
+    assert len(cents) == 2  # only 2 distinct seed vectors exist
+    out = kmeans_assign(df, cents).collect()
+    assert len(out) == 10
+    assert all(r.sqdist == pytest.approx(0.0, abs=1e-12) for r in out)
+
+
+def test_cluster_stats_shape(spark):
+    df = _blob_df(spark, n=120, n_blobs=4)
+    stats = kmeans_cluster_stats(df, k=4, max_iter=6)
+    rows = stats.collect()
+    assert {c for r in rows for c in [r.cluster]} <= set(range(4))
+    assert sum(r.n_points for r in rows) == 120
+    assert all(r.avg_sqdist >= 0 for r in rows)
