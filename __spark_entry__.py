@@ -430,6 +430,19 @@ def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_sliding_counts(spark, sf_dir)
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static dimension enrichment: streamed events ⋈
+    broadcast customer dim. No watermark, no state store."""
+    return ST.streamed_enriched_events(spark, sf_dir)
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus rebalancing (p_i ∝ n_i^0.75) with
+    deterministic Knuth-scramble selection."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return PK.temperature_mix(docs, alpha=0.75)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -484,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": Q.late_shipment_priority,
         "spend_deciles_by_nation": Q.spend_deciles_by_nation,
         "nation_directory": Q.nation_directory,
+        "state_history_scd2": Q.state_history_scd2,
         "small_quantity_revenue": Q.small_quantity_revenue,
         "order_count_distribution": Q.order_count_distribution,
         "promo_revenue_share": Q.promo_revenue_share,
@@ -534,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_latest": _stream_upsert,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
+        "stream_static_enrich": _stream_static_enrich,
+        "temperature_mix": _temperature_mix,
     }
 
 
@@ -1530,6 +1546,64 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "state_history_scd2": """
+            WITH marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS run_id
+              FROM marked
+            ), collapsed AS (
+              SELECT user_id, run_id, event_type,
+                     min(ts) AS valid_from, count(*) AS n_events
+              FROM runs GROUP BY 1, 2, 3
+            )
+            SELECT user_id, event_type,
+                   CAST(date_trunc('microseconds', valid_from) AS TIMESTAMP)
+                     AS valid_from,
+                   CAST(date_trunc('microseconds',
+                        lead(valid_from) OVER (PARTITION BY user_id
+                                               ORDER BY run_id)) AS TIMESTAMP)
+                     AS valid_to,
+                   n_events
+            FROM collapsed
+        """,
+        "temperature_mix": f"""
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ), rates AS (
+              SELECT source, n_docs,
+                     round(pow(CAST(n_docs AS DOUBLE) / min(n_docs) OVER (),
+                               -0.25), 6) AS keep_rate
+              FROM counts
+            ), kept AS (
+              SELECT d.source, count(*) AS n_kept,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS kept_tokens
+              FROM documents d JOIN rates r ON d.source = r.source
+              WHERE (d.doc_id * 2654435761) % 4294967296 / 4294967296.0
+                    < r.keep_rate
+              GROUP BY d.source
+            )
+            SELECT r.source, r.n_docs,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   r.keep_rate,
+                   coalesce(k.kept_tokens, 0) AS kept_tokens
+            FROM rates r LEFT JOIN kept k ON r.source = k.source
+        """,
+        "stream_static_enrich": """
+            SELECT event_id, user_id,
+                   c_mktsegment AS segment,
+                   CAST(c_nationkey AS BIGINT) AS nationkey,
+                   event_type,
+                   round(value, 6) AS value
+            FROM events JOIN customer ON user_id = c_custkey
         """,
         # session_window splits strictly when the gap exceeds 30 min at
         # MICROSECOND precision (empirically verified: an exactly-1800s

@@ -91,6 +91,12 @@ def main() -> None:
         "stream_hourly_counts",
         "stream_sessionize",
         "stream_distinct_users",
+        "small_quantity_revenue",
+        "order_count_distribution",
+        "returned_items_report",
+        "vocab_oov_stats",
+        "kmeans_cluster_stats",
+        "stream_session_window",
     ]
 
     timings: dict[str, float] = {}

@@ -28,6 +28,7 @@ from .packing import (  # noqa: F401
     shard_assignments,
     shard_manifest,
     stratified_sample,
+    temperature_mix,
 )
 from .quality import (  # noqa: F401
     assert_not_null,

@@ -149,3 +149,57 @@ def shard_manifest(
             F.sum("_nchar").alias("n_chars"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-pretraining
+    ``p_i ∝ n_i^alpha`` rule): per-``group_col`` keep-rates proportional
+    to ``count^alpha``, normalized so the SMALLEST source keeps
+    everything (rate 1.0) and every larger source keeps
+    ``(n_i/n_min)^(alpha-1) <= 1`` — downsampling big sources toward the
+    temperature-flattened distribution. Selection is the deterministic Knuth scramble of the doc
+    id against the per-source rate, so the mix is reproducible under any
+    partitioning and any engine (no rand()).
+
+    Returns the per-source audit: (group, n_docs, n_kept, keep_rate,
+    kept_tokens).
+
+    Scale shape: source counts are one map-side-combined agg over a
+    column-pruned scan; rates live on a source-cardinality table (tiny)
+    where a single-partition window is FINE (it never touches fact rows);
+    the rate table broadcasts back onto the corpus — the keep decision is
+    a map-only filter, no fact shuffle at all."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        group_col,
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs") / F.min("n_docs").over(w_all), F.lit(alpha - 1.0)),
+            6,
+        ).alias("keep_rate"),
+    )
+    ntok = token_count(text_col)
+    kept = (
+        df.select(F.col(id_col), F.col(group_col), ntok.cast("long").alias("_nt"))
+        .join(F.broadcast(rates), group_col)
+        .filter(
+            (scramble(id_col) / F.lit(float(_MOD))) < F.col("keep_rate")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("_nt").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, group_col, "left")
+        .na.fill({"n_kept": 0, "kept_tokens": 0})
+        .select(group_col, "n_docs", "n_kept", "keep_rate", "kept_tokens")
+    )

@@ -886,3 +886,45 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("supp_qty") / F.col("part_qty"), 6).alias("qty_share"),
         )
     )
+
+
+def state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 state history (gaps-and-islands): collapse each user's
+    consecutive runs of the same event_type into validity intervals
+    (user_id, event_type, valid_from, valid_to, n_events) — valid_to is
+    the next run's start, NULL for the current (open) state. The
+    dimension-history shape every warehouse keeps for slowly changing
+    attributes.
+
+    Scale shape: three window passes ALL partitioned by user_id — one
+    shuffle total, the per-user sort is reused across lag/cumsum/lead.
+    Run boundaries via lag != current, run ids via cumulative sum, the
+    interval close via lead over the collapsed (already tiny) run table.
+    Total order inside a user via (ts, event_id) so ties collapse
+    identically on every engine."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+    )

@@ -670,3 +670,40 @@ def streamed_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, _ = _bounded_events_stream(spark, sf_dir, margin_seconds=5 * 3600)
     agg = sliding_event_counts(stream)
     return run_stream_to_batch(agg, spark, output_mode="append")
+
+
+# ----------------------------------------------------- stream-static join
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static (stream ⋈ batch dimension) enrichment join — the
+    zero-state streaming shape: no watermark, no state store, each
+    micro-batch probes the static side (broadcast when small). The
+    canonical "attach dimension attributes to a firehose" operator."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def streamed_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream the events table joined to the STATIC customer
+    dimension (user_id = c_custkey) and emit enriched rows to the file
+    sink. Stateless, so no sentinel staging is needed — the raw
+    table-as-stream reader drains it in listing order."""
+    from reddit_etl_pipeline_spark.plans.star import load as star_load
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = star_load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    enriched = stream_static_enrich(
+        ev, cust, ev.user_id == F.col("c_custkey")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+    return run_stream_to_batch(enriched, spark, output_mode="append")
