@@ -801,32 +801,41 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed through the spark.sql surface (dialect-shared with the
     DuckDB oracle, like big_spenders_sql).
 
-    Scale shape: per-part revenue aggregates once; the global total is a
-    SCALAR SUBQUERY — Spark executes it as its own tiny job and injects
-    the result as a literal (subquery reuse dedups the two references),
-    which is the one plan shape for a global total that involves NO
-    nested-loop join and NO single-partition window. (A DataFrame-side
-    constant-key join gets its equi-key constant-folded away and falls
-    back to BroadcastNestedLoop — the plan sweep rejects that.) DECIMAL
-    sums make the share division exact-input-identical."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        WITH pv AS (
-          SELECT l_partkey,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS part_value
-          FROM lineitem GROUP BY l_partkey
+    Scale shape: ONE lineitem scan. The naive scalar-subquery SQL form
+    rescans+re-aggregates lineitem for every subquery reference (measured:
+    3 full scans); a constant-key join gets its equi-key constant-folded
+    and falls back to BroadcastNestedLoop (plan sweep rejects it); an
+    unpartitioned window serializes the part table through one task. So:
+    aggregate to part grain once, localCheckpoint that small table (cuts
+    lineage — the repo's cache-hygiene pattern), and take the global
+    total from it as a 1-row driver scalar injected as a literal —
+    exactly what Catalyst's ScalarSubquery execution does, minus the
+    rescans. DECIMAL sums make the share division
+    exact-input-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).alias("part_value"))
+        .localCheckpoint()
+    )
+    total = F.lit(
+        float(
+            per_part.agg(
+                F.sum("part_value").cast("double").alias("t")
+            ).first()[0]
         )
-        SELECT l_partkey,
-               round(CAST(part_value AS DOUBLE), 2) AS part_value,
-               round(CAST(part_value AS DOUBLE)
-                     / (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv), 6)
-                 AS value_share
-        FROM pv
-        WHERE CAST(part_value AS DOUBLE)
-              > 0.0006 * (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv)
-        """
+    )
+    return per_part.filter(
+        F.col("part_value").cast("double") > 0.0006 * total
+    ).select(
+        "l_partkey",
+        F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        F.round(F.col("part_value").cast("double") / total, 6).alias(
+            "value_share"
+        ),
     )
 
 
