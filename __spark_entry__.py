@@ -504,6 +504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_value_parts": Q.top_value_parts,
         "returned_items_report": Q.returned_items_report,
         "dominant_suppliers": Q.dominant_suppliers,
+        "large_order_customers": Q.large_order_customers,
+        "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
+        "idle_customer_balance": Q.idle_customer_balance,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -1546,6 +1549,51 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "large_order_customers": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(date_trunc('microseconds', o_orderdate) AS TIMESTAMP)
+                     AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(total_qty AS BIGINT) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "disjunctive_promo_revenue": """
+            SELECT p_brand,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+            GROUP BY p_brand
+        """,
+        "idle_customer_balance": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS total_balance
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c_nationkey
         """,
         "state_history_scd2": """
             WITH marked AS (

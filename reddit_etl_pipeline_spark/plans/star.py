@@ -937,3 +937,109 @@ def state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_run).alias("valid_to"),
         "n_events",
     )
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250, k: int = 20) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose TOTAL lineitem
+    quantity exceeds a threshold — an IN/semi-join against an
+    aggregate-filtered key set, then a top-K report.
+
+    Scale shape: the qty rollup shuffles lineitem once on the order key
+    (map-side combined, integral-double sums exact); the filtered key set
+    is tiny and the orders join happens on the SAME key so AQE can
+    broadcast it; customer dim broadcasts; the top-K plans as
+    TakeOrderedAndProject with a total-order tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-conjunctions predicate
+    spanning both join sides (brand x size x quantity bands) — the
+    classic disjunctive-pushdown exercise, rolled up per brand.
+
+    Scale shape: Catalyst extracts the common join key, pushes the
+    side-local conjuncts below the join (part-side brand/size bands prune
+    the broadcast build; the quantity bands prune the lineitem scan via
+    a derived OR filter), and evaluates the residual disjunction on the
+    joined row inside codegen — never a cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & (F.col("p_size").between(1, 50))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    customers with ABOVE-POSITIVE-AVERAGE account balance and NO RECENT
+    orders (none since 2001-01-01) — NOT EXISTS (anti-join) plus a
+    global-average scalar.
+
+    Scale shape: the positive-average is a driver scalar off one
+    customer-dim aggregate (injected literal — same execution as a
+    ScalarSubquery, no rescan); the NOT EXISTS plans as a LEFT ANTI hash
+    join on custkey against an orders scan pruned to its join column
+    with the recency filter pushed into the scan;
+    final rollup has nation cardinality. Balance totals in DECIMAL."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = float(
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()[0]
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    rich_idle = (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich_idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_balance"),
+    )
