@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_value_parts": Q.top_value_parts,
         "returned_items_report": Q.returned_items_report,
         "dominant_suppliers": Q.dominant_suppliers,
+        "grouping_sets_revenue": Q.grouping_sets_revenue,
         "large_order_customers": Q.large_order_customers,
         "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
         "idle_customer_balance": Q.idle_customer_balance,
@@ -1549,6 +1550,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "large_order_customers": """
             WITH big AS (

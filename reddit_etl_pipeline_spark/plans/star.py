@@ -1043,3 +1043,26 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total_balance"),
     )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube): the
+    (returnflag) and (linestatus) marginals plus the grand total — but
+    NOT the full cross grid — in ONE Expand + single shuffle, with
+    grouping_id() disambiguating which set each output row came from
+    (a NULL dimension value vs a NULL from the grouping set itself).
+    Dialect-shared SQL text with the oracle."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -90,3 +90,39 @@ def test_tfidf_ranks_rare_tokens_first(spark):
         for _, kw, score in ranks:
             if kw == "common":
                 assert score == 0.0
+
+
+def test_temperature_mix_rates_and_selection(spark):
+    from reddit_etl_pipeline_spark.operators.packing import temperature_mix
+
+    # sources with 10x count imbalance
+    rows = [(i, "w " * 5, "big") for i in range(100)] + [
+        (1000 + i, "w " * 5, "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in temperature_mix(df, alpha=0.75).collect()}
+    # smallest source keeps everything
+    assert out["small"].keep_rate == 1.0
+    assert out["small"].n_kept == 10
+    # bigger source downsampled toward (n/n_min)^(alpha-1) = 10^-0.25
+    expected = round(10.0 ** -0.25, 6)
+    assert out["big"].keep_rate == pytest.approx(expected)
+    assert 0 < out["big"].n_kept < 100
+    # deterministic under repartitioning
+    out2 = {
+        r.source: r.n_kept
+        for r in temperature_mix(df.repartition(7), alpha=0.75).collect()
+    }
+    assert out2 == {s: r.n_kept for s, r in out.items()}
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    from reddit_etl_pipeline_spark.operators.packing import temperature_mix
+
+    rows = [(i, "x y z", "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in temperature_mix(df, alpha=1.0).collect()}
+    # alpha=1 -> no flattening -> every source keeps rate 1.0
+    for r in out.values():
+        assert r.keep_rate == 1.0
+        assert r.n_kept == r.n_docs
