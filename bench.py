@@ -97,6 +97,17 @@ def main() -> None:
         "vocab_oov_stats",
         "kmeans_cluster_stats",
         "stream_session_window",
+        "top_value_parts",
+        "promo_revenue_share",
+        "dominant_suppliers",
+        "large_order_customers",
+        "disjunctive_promo_revenue",
+        "idle_customer_balance",
+        "grouping_sets_revenue",
+        "state_history_scd2",
+        "temperature_mix",
+        "stream_sliding_counts",
+        "stream_static_enrich",
     ]
 
     timings: dict[str, float] = {}
