@@ -69,3 +69,42 @@ def test_write_sorted_clusters_values(spark, events):
         assert hi1 <= lo2
     # round-trip integrity
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_write_zordered_clusters_both_dims(spark):
+    from reddit_etl_pipeline_spark.sources.lake import write_zordered
+
+    import glob as _glob
+    import pyarrow.parquet as pq
+
+    # uniform 2-D grid: 64x64 points
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    d = tempfile.mkdtemp()
+    path = f"{d}/zorder"
+    write_zordered(df, path, "x", "y", n_files=16)
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 1
+
+    def file_span(f, col):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        return hi - lo
+
+    # Z-order: EVERY file must cover well under the full 0..63 span on
+    # BOTH dimensions (a 1-D sort leaves the second dim at full span in
+    # every file). 16 files over a 64x64 grid -> ideal span ~16; allow 32.
+    for f in files:
+        assert file_span(f, "x") <= 32, (f, file_span(f, "x"))
+        assert file_span(f, "y") <= 32, (f, file_span(f, "y"))
+
+    # row preservation
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(4096))
