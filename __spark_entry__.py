@@ -282,6 +282,14 @@ def _ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.ngram_frequency(Q.load(spark, sf_dir, "documents"), n=2, top_k=50)
 
 
+def _chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (256/32-overlap) document-chunking manifest —
+    the long-document splitting stage of an embedding/pretraining
+    loader."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return PK.chunk_manifest(docs, chunk=256, overlap=32)
+
+
 def _vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage / OOV-rate audit per source against the
     corpus-mined top-500 token vocab."""
@@ -505,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_report": Q.returned_items_report,
         "dominant_suppliers": Q.dominant_suppliers,
         "grouping_sets_revenue": Q.grouping_sets_revenue,
+        "batch_session_window": Q.batch_session_window,
         "large_order_customers": Q.large_order_customers,
         "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
         "idle_customer_balance": Q.idle_customer_balance,
@@ -529,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_stats": _duplicate_span_stats,
         "ngram_frequency": _ngram_frequency,
         "vocab_oov_stats": _vocab_oov_stats,
+        "chunk_manifest": _chunk_manifest,
         "shard_manifest": _shard_manifest,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
@@ -1255,6 +1265,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, gram
             LIMIT 50
         """,
+        "chunk_manifest": f"""
+            WITH d AS (
+              SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     unnest(range(0, n_tokens, 224)) AS start_tok
+              FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id,
+                   CAST(start_tok // 224 AS BIGINT) AS chunk_id,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(least(start_tok + 256, n_tokens) AS BIGINT) AS end_tok,
+                   CAST(least(start_tok + 256, n_tokens) - start_tok AS BIGINT)
+                     AS n_chunk_tokens
+            FROM s
+        """,
         "vocab_oov_stats": f"""
             WITH ex AS (
               SELECT doc_id, t.tok
@@ -1667,7 +1693,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # session_window splits strictly when the gap exceeds 30 min at
         # MICROSECOND precision (empirically verified: an exactly-1800s
-        # gap still merges), unlike the floor-seconds batch sessionize
+        # gap still merges), unlike the floor-seconds batch sessionize.
+        # batch_session_window is the SAME operator in batch mode — same
+        # oracle text.
+        "batch_session_window": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microsecond', lag(ts) OVER w, ts)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM marked)
+            SELECT user_id,
+                   CAST(date_trunc('microseconds', min(ts)) AS TIMESTAMP)
+                     AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS session_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
         "stream_session_window": """
             WITH marked AS (
               SELECT user_id, event_id, ts, value,

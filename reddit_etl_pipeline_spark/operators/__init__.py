@@ -23,6 +23,7 @@ from .multimodal import (  # noqa: F401
     sample_frames,
 )
 from .packing import (  # noqa: F401
+    chunk_manifest,
     pack_assignments,
     sequence_pack,
     shard_assignments,

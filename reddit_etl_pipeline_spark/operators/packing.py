@@ -203,3 +203,43 @@ def temperature_mix(
         .na.fill({"n_kept": 0, "kept_tokens": 0})
         .select(group_col, "n_docs", "n_kept", "keep_rate", "kept_tokens")
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    chunk: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking manifest: (id, chunk_id,
+    start_tok, end_tok, n_chunk_tokens) for ``chunk``-token windows
+    advancing by ``chunk - overlap`` — the long-document splitting stage
+    of an embedding/pretraining loader (the loader slices text by these
+    offsets; the manifest is the distributed part).
+
+    Scale shape: token counts are a pure projection; chunk starts
+    materialize via sequence() + explode — output rows ~ total_tokens /
+    (chunk - overlap), each derived map-only with no shuffle at all.
+    Documents with zero tokens produce zero chunks."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    step = chunk - overlap
+    base = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    starts = base.select(
+        id_col,
+        "n_tokens",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(step))
+        ).alias("chunk_id", "start_tok"),
+    )
+    end = F.least(F.col("start_tok") + chunk, F.col("n_tokens"))
+    return starts.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
+    )

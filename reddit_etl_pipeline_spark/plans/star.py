@@ -1066,3 +1066,28 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+def batch_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """``F.session_window`` in a plain BATCH aggregation — the unified
+    batch/stream API: identical query text to the streaming
+    ``session_window_stats`` (streaming/stream.py), identical results,
+    no state store. Complements the window-function ``sessionize``
+    (lag + cumsum) with the engine-native gap-merge operator."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_DP).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

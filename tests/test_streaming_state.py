@@ -163,3 +163,65 @@ def test_streamed_upsert_equals_batch(spark, sf_dir):
         for r in Q.latest_event_per_user_type(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark):
+    """dropDuplicatesWithinWatermark — the production streaming-dedup API:
+    duplicates arriving while the key is inside the watermark horizon are
+    suppressed; once the watermark passes the first occurrence the key's
+    state is EVICTED, so a much-later recurrence is treated as new (the
+    documented semantics: dedup within the horizon, bounded state)."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batches = [
+        # batch 0: key 7 first seen at 01:00
+        [(1, t(1, 0), 7, "click", 1.0, None)],
+        # batch 1: duplicate inside the 2h horizon -> suppressed;
+        # max ts 2:00 keeps watermark at 0:00
+        [(2, t(2, 0), 7, "click", 1.0, None)],
+        # batch 2: advance the watermark far past 01:00 + 2h
+        [(3, t(10, 0), 99, "click", 1.0, None)],
+        # batch 3: another unrelated event — eviction runs at batch
+        # COMMIT, so key 7's expired state is dropped at the end of the
+        # first batch processed under the advanced watermark
+        [(4, t(10, 15), 98, "click", 1.0, None)],
+        # batch 4: key 7 again at 10:30 — state evicted, counts as new
+        [(5, t(10, 30), 7, "click", 1.0, None)],
+    ]
+    d = tempfile.mkdtemp()
+    sdir = tempfile.mkdtemp()
+    schema_df = None
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        schema_df = b
+        b.coalesce(1).write.parquet(f"{d}/f{i}")
+        part = next(p for p in g.glob(f"{d}/f{i}/*.parquet"))
+        shutil.copy(part, f"{sdir}/{i}.parquet")
+        os.utime(f"{sdir}/{i}.parquet", (time.time() + i * 3, time.time() + i * 3))
+
+    stream = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("event_id", "user_id")
+    )
+    out = ST.run_stream_to_batch(deduped, spark, output_mode="append")
+    got = sorted((r.user_id, r.event_id) for r in out.collect())
+    # event 2 suppressed (duplicate in-horizon); event 5 re-admitted
+    assert got == [(7, 1), (7, 5), (98, 4), (99, 3)]
