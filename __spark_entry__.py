@@ -72,6 +72,32 @@ def _purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase annotated with the same user's
+    EARLIEST click value at-or-after the purchase (carry-backward
+    window, mirrored frame of the backward variant)."""
+    ev = Q.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.struct("event_id", "value").alias("__r"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("__r", F.col("__r.event_id")).alias("r"))
+        .select("user_id", "ts", F.round(F.col("r.value"), 6).alias("value"))
+    )
+    out = AS.asof_join(
+        purchases, clicks,
+        by="user_id", left_ts="ts", right_ts="ts", value_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_value").alias("next_click_value"),
+    )
+
+
 def _purchase_clicks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join via time-bucket equi-join: same-user clicks in
     the hour strictly before each purchase, aggregated per purchase."""
@@ -487,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "props_rollup": _props_rollup,
         "purchase_asof_click": _purchase_asof_click,
+        "purchase_next_click": _purchase_next_click,
         "purchase_clicks_window": _purchase_clicks_window,
         "big_spenders_sql": _big_spenders_sql,
         "rollup_revenue": Q.rollup_revenue,
@@ -726,6 +753,23 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "purchase_next_click": """
+            WITH clicks AS (
+              SELECT user_id, ts, round(value, 6) AS value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') t
+              WHERE rn = 1
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
+                   c.value AS next_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "purchase_clicks_window": """
             SELECT p.event_id,

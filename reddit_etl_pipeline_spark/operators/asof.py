@@ -38,13 +38,22 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all left columns + ``suffix+c`` for each value
-    column of ``right`` (NULL when no right row is at-or-before).
+    column of ``right`` (NULL when no right row matches).
+
+    ``direction="backward"`` (default) attaches the LATEST right row
+    at-or-before the left timestamp (carry-forward);
+    ``direction="forward"`` attaches the EARLIEST right row at-or-after
+    it (carry-backward) — same single-shuffle union+window plan, with
+    the window frame and tie order mirrored.
 
     ``right`` should be unique per (by, right_ts); pre-dedupe if not —
     ties at identical timestamps are otherwise engine-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     # right values are carried inside a single struct: last(ignorenulls)
     # then distinguishes "no right row yet" (struct NULL) from a matched
     # row whose value column is legitimately NULL (struct non-null,
@@ -68,16 +77,27 @@ def asof_join(
         rstruct.alias("__vrow"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort first at equal ts -> "at or before" includes ties
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort first at equal ts -> "at or before" includes ties
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__vrow", ignorenulls=True).over(w)
+    else:
+        # mirrored: right rows sort AFTER left at equal ts so the
+        # [current, following] frame sees an equal-ts right row
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__vrow", ignorenulls=True).over(w)
     carried = unioned.select(
         "__is_left",
         "__lrow",
-        F.last("__vrow", ignorenulls=True).over(w).alias("__cv"),
+        carry.alias("__cv"),
     )
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__cv.{c}").alias(f"{suffix}{c}") for c in value_cols]

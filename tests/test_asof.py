@@ -71,3 +71,25 @@ def test_asof_join_carries_null_value_of_matched_row(spark):
         left, right, by="k", left_ts="ots", right_ts="ts", value_cols=["value"]
     ).collect()
     assert out[0].asof_value is None
+
+
+def test_asof_join_forward_at_or_after(spark):
+    """direction='forward': earliest right row at-or-after each left ts;
+    equal timestamps match; rows with nothing after get NULL."""
+    t = lambda h: dt.datetime(2025, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(12)), (3, "u", t(23)), (4, "v", t(5))],
+        "order_id long, k string, ots timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 1.0), ("u", t(11), 2.0), ("u", t(15), 3.0)],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        r.order_id: r.asof_value
+        for r in asof_join(
+            left, right, by="k", left_ts="ots", right_ts="ts",
+            value_cols=["value"], direction="forward",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0, 3: None, 4: None}
