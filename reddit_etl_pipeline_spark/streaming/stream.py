@@ -504,6 +504,16 @@ def merge_latest_into_warehouse(
     import tempfile
 
     spark = batch.sparkSession
+    # crash recovery (same pattern as plans/pipeline.py and
+    # lake.compact_table): a crash between the two moves below leaves the
+    # table only at __old — restore it before merging, and clear a stale
+    # __old left after a successful swap's failed cleanup
+    old = f"{warehouse_path}__old"
+    if os.path.exists(old):
+        if not os.path.exists(warehouse_path):
+            os.replace(old, warehouse_path)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
     merged = batch
     if os.path.exists(warehouse_path):
         current = spark.read.parquet(warehouse_path)
@@ -518,7 +528,6 @@ def merge_latest_into_warehouse(
     )
     tmp = tempfile.mkdtemp(prefix="wh_merge_")
     latest.write.mode("overwrite").parquet(tmp)
-    old = f"{warehouse_path}__old"
     if os.path.exists(warehouse_path):
         os.replace(warehouse_path, old)
     shutil.move(tmp, warehouse_path)

@@ -225,3 +225,28 @@ def test_drop_duplicates_within_watermark_evicts_state(spark):
     got = sorted((r.user_id, r.event_id) for r in out.collect())
     # event 2 suppressed (duplicate in-horizon); event 5 re-admitted
     assert got == [(7, 1), (7, 5), (98, 4), (99, 3)]
+
+
+def test_merge_recovers_stranded_old_dir(spark, tmp_path):
+    """A crash between the atomic-swap moves leaves the warehouse only at
+    __old; the next merge must restore it instead of silently starting
+    from an empty table."""
+    import datetime as dt
+    import os
+
+    wh = str(tmp_path / "wh")
+    schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    t = dt.datetime(2025, 1, 1, 12)
+    b0 = spark.createDataFrame([(1, "click", 10, t, 1.0)], schema)
+    ST.merge_latest_into_warehouse(b0, wh, ["user_id", "event_type"], ["ts", "event_id"])
+    # simulate the crash window: table moved aside, new table never landed
+    os.replace(wh, f"{wh}__old")
+    assert not os.path.exists(wh)
+    b1 = spark.createDataFrame(
+        [(2, "click", 11, t, 2.0)], schema
+    )
+    ST.merge_latest_into_warehouse(b1, wh, ["user_id", "event_type"], ["ts", "event_id"])
+    rows = {r.user_id: r.event_id for r in spark.read.parquet(wh).collect()}
+    # user 1 (pre-crash) survived the recovery; user 2 merged on top
+    assert rows == {1: 10, 2: 11}
+    assert not os.path.exists(f"{wh}__old")
