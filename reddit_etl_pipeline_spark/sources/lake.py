@@ -26,10 +26,16 @@ def write_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     dynamic_overwrite: bool = True,
+    fmt: str = "parquet",
 ) -> None:
     """Write a relation to the lake, partitioned (default by batch_date
     when present). ``dynamic_overwrite`` limits overwrite mode to the
-    partitions present in ``df`` — the idempotent-reload primitive."""
+    partitions present in ``df`` — the idempotent-reload primitive.
+    ``fmt`` selects the columnar container: ``parquet`` (default) or
+    ``orc`` — both zstd-compressed, both carrying the min/max statistics
+    the scan planner prunes on."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported lake format: {fmt}")
     if partition_by is None:
         partition_by = [BATCH_DATE_COL] if BATCH_DATE_COL in df.columns else []
     writer = df.write.mode(mode)
@@ -37,14 +43,22 @@ def write_table(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if fmt == "orc":
+        writer.option("compression", "zstd").orc(path)
+    else:
+        writer.parquet(path)
 
 
-def read_table(spark: SparkSession, path: str, batch_date: str | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    batch_date: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
     """Read a lake table; ``batch_date='YYYYMMDD'`` prunes to one day's
     partition (filter on the partition column — pruned at planning, no
     directory listing of other days)."""
-    df = spark.read.parquet(path)
+    df = spark.read.format(fmt).load(path)
     if batch_date is not None:
         df = df.filter(F.col(BATCH_DATE_COL) == batch_date)
     return df

@@ -71,3 +71,26 @@ def test_compact_partitioned_table_one_file_per_partition(spark):
     for v in range(3):
         assert len(glob.glob(f"{path}/batch_date={v}/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 3000
+
+
+def test_orc_lake_round_trip(spark, tmp_path):
+    """ORC is a first-class lake container: partitioned write, pruned
+    read, identical rows."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.sources.lake import read_table, write_table
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2.0).alias("v"),
+        F.when(F.col("id") < 50, "20250101").otherwise("20250102").alias(
+            "batch_date"
+        ),
+    )
+    path = str(tmp_path / "orc_lake")
+    write_table(df, path, mode="overwrite", fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert back.count() == 100
+    one_day = read_table(spark, path, batch_date="20250101", fmt="orc")
+    assert one_day.count() == 50
+    assert one_day.agg(F.sum("id")).first()[0] == sum(range(50))
