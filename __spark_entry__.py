@@ -251,6 +251,29 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (distinct edges
+    from orders ⋈ lineitem). Rows-only check (iterative float algorithm);
+    mass conservation / symmetry / partitioning-invariance properties are
+    pinned in tests/test_graph.py."""
+    from reddit_etl_pipeline_spark.operators.graph import pagerank
+
+    orders = Q.load(spark, sf_dir, "orders")
+    li = Q.load(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # suppliers share the customer id space in the synthetic
+            # tables; offset them into their own node-id range
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=8)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table + per-cluster
     quality rollup. Rows-only check (numpy float geometry); monotone
@@ -577,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "semantic_dedup": _semantic_dedup,
         "kmeans_cluster_stats": _kmeans_cluster_stats,
+        "supplier_pagerank": _supplier_pagerank,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
         "media_frame_counts": _media_frame_counts,

@@ -47,6 +47,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup,
 )
 from .clustering import kmeans_assign, kmeans_cluster_stats, kmeans_fit  # noqa: F401
+from .graph import degree_stats, pagerank  # noqa: F401
 from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
 from .text_quality import (  # noqa: F401
     contaminated_doc_ids,

@@ -1,0 +1,56 @@
+"""PageRank / degree properties (operators/graph.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+from reddit_etl_pipeline_spark.operators.graph import (  # noqa: E402
+    degree_stats,
+    pagerank,
+)
+
+
+def _edges(spark, pairs, parts=4):
+    return spark.createDataFrame(pairs, "src long, dst long").repartition(parts)
+
+
+def test_rank_mass_conserved_with_dangling_redistribution(spark):
+    # node 3 is dangling (no out-edges)
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    ranks = {r.node: r.rank for r in pagerank(e, iters=12).collect()}
+    assert sum(ranks.values()) == pytest.approx(3.0, rel=1e-6)
+
+
+def test_star_graph_center_dominates(spark):
+    # everyone points at node 0
+    e = _edges(spark, [(i, 0) for i in range(1, 8)])
+    ranks = {r.node: r.rank for r in pagerank(e, iters=10).collect()}
+    assert ranks[0] == max(ranks.values())
+    leaves = [ranks[i] for i in range(1, 8)]
+    assert max(leaves) == pytest.approx(min(leaves), rel=1e-9)
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    # 4-cycle: perfectly symmetric -> uniform ranks = 1.0
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ranks = [r.rank for r in pagerank(e, iters=15).collect()]
+    for r in ranks:
+        assert r == pytest.approx(1.0, rel=1e-9)
+
+
+def test_partitioning_invariance(spark):
+    pairs = [(i, (i * 7 + 3) % 20) for i in range(60)]
+    r2 = {r.node: r.rank for r in pagerank(_edges(spark, pairs, 2), iters=8).collect()}
+    r7 = {r.node: r.rank for r in pagerank(_edges(spark, pairs, 7), iters=8).collect()}
+    assert set(r2) == set(r7)
+    for n in r2:
+        assert r2[n] == pytest.approx(r7[n], rel=1e-9)
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    d = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(e).collect()}
+    assert d == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
