@@ -135,3 +135,36 @@ def test_spend_deciles_window_is_partitioned(spark, sf_dir):
     # hashpartitioning on the nation name (not SinglePartition) feeds the sort
     assert "SinglePartition" not in p.split("Window")[0].splitlines()[-1]
     assert "n_name" in p
+
+
+def test_top_value_parts_scans_lineitem_once(spark, sf_dir):
+    """The global-total-as-driver-scalar rewrite: exactly ONE lineitem
+    scan (the scalar-subquery SQL form measured three)."""
+    p = plan_of(Q.top_value_parts(spark, sf_dir))
+    assert p.count("lineitem.parquet") <= 1
+    assert "Subquery" not in p
+
+
+def test_idle_customer_balance_anti_join_with_pushed_recency(spark, sf_dir):
+    p = plan_of(Q.idle_customer_balance(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # recency reached the scan
+    assert "GreaterThan(c_acctbal" in p  # driver scalar reached the scan
+
+
+def test_disjunctive_predicate_splits_to_both_scans(spark, sf_dir):
+    p = plan_of(Q.disjunctive_promo_revenue(spark, sf_dir))
+    # quantity bands pushed to the lineitem scan, brand/size to part
+    assert "l_quantity,1.0" in p or "GreaterThanOrEqual(l_quantity,1.0" in p
+    assert "EqualTo(p_brand,Brand#12)" in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_small_quantity_revenue_reuses_agg_partitioning(spark, sf_dir):
+    """The per-part threshold joins on the aggregate's own key: the join
+    must be hash-based with no extra Exchange between agg and join on
+    the threshold side beyond the single keyed shuffle."""
+    p = plan_of(Q.small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    # part dim broadcasts
+    assert "BroadcastHashJoin" in p
