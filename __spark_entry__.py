@@ -251,6 +251,26 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based data-quality report over orders — one aggregate pass
+    for all rules, stack() unpivot to one row per rule."""
+    from reddit_etl_pipeline_spark.operators.quality import dq_report
+
+    orders = Q.load(spark, sf_dir, "orders")
+    return dq_report(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_in_range": (
+                F.col("o_orderdate") >= F.lit("1990-01-01")
+            ) & (F.col("o_orderdate") < F.lit("2005-01-01")),
+            "status_known": F.col("o_orderstatus").isin("F", "O", "P"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "priority_prefixed": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+
+
 def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (distinct edges
     from orders ⋈ lineitem). Rows-only check (iterative float algorithm);
@@ -601,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "kmeans_cluster_stats": _kmeans_cluster_stats,
         "supplier_pagerank": _supplier_pagerank,
+        "dq_report": _dq_report,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
         "media_frame_counts": _media_frame_counts,
@@ -1700,6 +1721,33 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey
+        """,
+        "dq_report": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
+                     sum(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                              AND o_orderdate < TIMESTAMP '2005-01-01')
+                         THEN 1 ELSE 0 END) AS v2,
+                     sum(CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+                         THEN 1 ELSE 0 END) AS v3,
+                     sum(CASE WHEN NOT (o_custkey IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS v4,
+                     sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS v5
+              FROM orders
+            )
+            SELECT 'totalprice_positive' AS rule, n AS n_rows,
+                   CAST(v1 AS BIGINT) AS n_violations,
+                   round(CAST(v1 AS DOUBLE) / n, 6) AS violation_rate FROM a
+            UNION ALL SELECT 'orderdate_in_range', n, CAST(v2 AS BIGINT),
+                   round(CAST(v2 AS DOUBLE) / n, 6) FROM a
+            UNION ALL SELECT 'status_known', n, CAST(v3 AS BIGINT),
+                   round(CAST(v3 AS DOUBLE) / n, 6) FROM a
+            UNION ALL SELECT 'custkey_not_null', n, CAST(v4 AS BIGINT),
+                   round(CAST(v4 AS DOUBLE) / n, 6) FROM a
+            UNION ALL SELECT 'priority_prefixed', n, CAST(v5 AS BIGINT),
+                   round(CAST(v5 AS DOUBLE) / n, 6) FROM a
         """,
         "state_history_scd2": """
             WITH marked AS (

@@ -34,6 +34,7 @@ from .packing import (  # noqa: F401
 from .quality import (  # noqa: F401
     assert_not_null,
     assert_unique,
+    dq_report,
     duplicate_keys,
     null_counts,
     total_nulls,

@@ -69,3 +69,37 @@ def summary_stats(df: DataFrame) -> dict:
         F.max("num_comments").alias("max_comments"),
     ).first()
     return row.asDict()
+
+
+def dq_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Rule-based data-quality report (dbt-test / Great-Expectations
+    shape): ``rules`` maps rule name -> boolean Column that must hold per
+    row. Returns one row per rule: (rule, n_rows, n_violations,
+    violation_rate).
+
+    Scale shape: ONE aggregate pass computes every rule's violation
+    count simultaneously (map-side combined — a rule per column, not a
+    scan per rule); the per-rule rows come from a stack() unpivot of the
+    single 1-row aggregate. Adding a rule adds a counter, not a scan."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(~cond, 1).otherwise(0)).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
