@@ -213,3 +213,25 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_with_blooms(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with BLOOM FILTERS on the named columns: point
+    lookups (`col = x`) on non-clustered columns can then skip whole
+    row groups that min/max statistics cannot exclude (high-cardinality
+    ids scattered across the file). The write-side complement to
+    ``write_sorted``/``write_zordered`` — cluster what you range-scan,
+    bloom what you point-probe."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)

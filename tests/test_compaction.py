@@ -94,3 +94,29 @@ def test_orc_lake_round_trip(spark, tmp_path):
     one_day = read_table(spark, path, batch_date="20250101", fmt="orc")
     assert one_day.count() == 50
     assert one_day.agg(F.sum("id")).first()[0] == sum(range(50))
+
+
+def test_write_with_blooms_emits_bloom_filters(spark, tmp_path):
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.sources.lake import write_with_blooms
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("grp")
+    )
+    path = str(tmp_path / "bloomed")
+    plain = str(tmp_path / "plain")
+    write_with_blooms(df.coalesce(1), path, ["user_id"], expected_ndv=10_000)
+    df.coalesce(1).write.mode("overwrite").parquet(plain)
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in _glob.glob(f"{d}/*.parquet")
+    )
+    # the bloom filter physically lands in the file (this pyarrow build
+    # doesn't expose bloom offsets in metadata, so assert via the size
+    # delta: ~10k-NDV bloom is >= a few KB) and reads stay correct
+    assert size(path) > size(plain) + 2048, (size(path), size(plain))
+    back = spark.read.parquet(path).filter(F.col("user_id") == 1234)
+    assert [r.user_id for r in back.collect()] == [1234]

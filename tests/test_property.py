@@ -149,3 +149,56 @@ def test_jaccard_exact_threshold_pair_survives_float_bounds(spark):
     )
     rows = jaccard_pairs(df, threshold=0.9).collect()
     assert len(rows) == 1 and rows[0].jaccard == 0.9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    rts=st.lists(st.integers(0, 50), min_size=0, max_size=8, unique=True),
+)
+def test_asof_forward_is_time_reversed_backward(spark, lts, rts):
+    """Duality: forward as-of on t equals backward as-of on -t. Pins the
+    mirrored window frame/tie order against the canonical backward
+    implementation for arbitrary timestamp sets (incl. exact ties)."""
+    import datetime as dt
+
+    from reddit_etl_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2025, 1, 1)
+    t = lambda x: base + dt.timedelta(hours=x)  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, "k", t(x)) for i, x in enumerate(lts)],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t(x), float(x)) for x in rts],
+        "k string, ts timestamp, value double",
+    )
+    fwd = {
+        r.lid: r.asof_value
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="forward",
+        ).collect()
+    }
+    # mirror time: negate hours around the base
+    left_m = spark.createDataFrame(
+        [(i, "k", t(-x)) for i, x in enumerate(lts)],
+        "lid long, k string, ts timestamp",
+    )
+    right_m = spark.createDataFrame(
+        [("k", t(-x), float(x)) for x in rts],
+        "k string, ts timestamp, value double",
+    )
+    bwd = {
+        r.lid: r.asof_value
+        for r in asof_join(
+            left_m, right_m, by="k", left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="backward",
+        ).collect()
+    }
+    assert fwd == bwd
