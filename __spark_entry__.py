@@ -494,6 +494,13 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_purchase_click_join(spark, sf_dir)
 
 
+def _stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: purchases with no click in the
+    preceding hour are ALSO emitted (NULL click columns) once the
+    right-side watermark proves no future match can arrive."""
+    return ST.streamed_purchase_click_join(spark, sf_dir, how="left_outer")
+
+
 def _stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native gap sessionization (F.session_window keyed state) —
     the built-in complement to the custom stateful sessionizer. Split
@@ -631,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "stream_distinct_users": _stream_distinct,
         "stream_purchase_click_join": _stream_join,
+        "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
@@ -1871,6 +1879,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "stream_purchase_click_left_join": """
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   round(c.value, 6) AS click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
         """,
         "stream_purchase_click_join": """
             SELECT p.event_id AS purchase_id,

@@ -189,13 +189,22 @@ def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streamed_purchase_click_join(
-    spark: SparkSession, sf_dir: str, window_seconds: int = 3600
+    spark: SparkSession, sf_dir: str, window_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with event-time bounds: purchases joined
-    to the same user's clicks in the strict hour before each purchase.
+    """Stream-stream join with event-time bounds: purchases joined to
+    the same user's clicks in the strict hour before each purchase.
     Both sides are watermarked; the join buffers each side's state only
     within the time bound, and rows are emitted once the watermark passes
     their join window.
+
+    ``how="left_outer"``: purchases with NO click in the window are ALSO
+    emitted (click columns NULL) — the engine holds an unmatched left row
+    until the right-side watermark proves no future click can match, then
+    releases it. The left-side sentinel row necessarily surfaces as an
+    unmatched left row in this mode; it is filtered from the RETURNED
+    batch (post-sink — filtering inside the streaming plan would push the
+    predicate below the watermark node and break the drain).
 
     For the bounded run, a sentinel event far past max(ts) in a SECOND
     file per side advances the watermark over all real data so every
@@ -219,9 +228,16 @@ def streamed_purchase_click_join(
         sentinel_ts = max_ts + datetime.timedelta(seconds=window_seconds + 7200)
 
     def side_dir(event_type: str) -> str:
+        # TWO sentinel batches per side (same reasoning as
+        # _bounded_events_stream): outer-join unmatched-row emission
+        # happens during state eviction in a batch processed UNDER the
+        # already-advanced watermark — the second sentinel provides that
+        # batch, since processAllAvailable does not wait for
+        # watermark-triggered no-data micro-batches.
         return stage_bounded_stream(
             [
                 batch.filter(F.col("event_type") == event_type),
+                _event_sentinel(batch, sentinel_ts),
                 _event_sentinel(batch, sentinel_ts),
             ],
             prefix=f"ssj_{event_type}_",
@@ -244,20 +260,29 @@ def streamed_purchase_click_join(
 
     purchases = read_side(side_dir("purchase"), "p")
     clicks = read_side(side_dir("click"), "c")
+    # NO event_type predicates in the join condition: each side is
+    # already staged pre-filtered, and a side-local predicate here gets
+    # pushed below that side's EventTimeWatermark node into the scan —
+    # pruning the sentinel and freezing the watermark at the real-data
+    # max (observed: the last hour of unmatched left rows never evicted).
+    # Sentinels can't self-join: equal timestamps fail c_ts < p_ts.
     joined = purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
-        & (F.col("c_ts") < F.col("p_ts"))
-        & (F.col("p_type") == "purchase")
-        & (F.col("c_type") == "click"),
-        "inner",
+        & (F.col("c_ts") < F.col("p_ts")),
+        how,
     ).select(
         F.col("p_id").alias("purchase_id"),
         F.col("c_id").alias("click_id"),
         F.round("c_value", 6).alias("click_value"),
     )
-    return run_stream_to_batch(joined, spark, output_mode="append")
+    out = run_stream_to_batch(joined, spark, output_mode="append")
+    if how == "left_outer":
+        # drop the left-side sentinel (post-sink: this filter runs on the
+        # read-back batch, never inside the streaming plan)
+        out = out.filter(F.col("purchase_id") >= 0)
+    return out
 
 
 # ------------------------------------------------ custom stateful operator
