@@ -108,6 +108,10 @@ def main() -> None:
         "temperature_mix",
         "stream_sliding_counts",
         "stream_static_enrich",
+        "dq_report",
+        "batch_session_window",
+        "purchase_next_click",
+        "chunk_manifest",
     ]
 
     timings: dict[str, float] = {}
