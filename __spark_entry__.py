@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_report": Q.returned_items_report,
         "dominant_suppliers": Q.dominant_suppliers,
         "grouping_sets_revenue": Q.grouping_sets_revenue,
+        "order_stats_unpivot": Q.order_stats_unpivot,
         "batch_session_window": Q.batch_session_window,
         "large_order_customers": Q.large_order_customers,
         "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
@@ -1673,6 +1674,20 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "order_stats_unpivot": """
+            WITH wide AS (
+              SELECT o_orderstatus,
+                     round(avg(o_totalprice), 6) AS avg_price,
+                     round(max(o_totalprice), 6) AS max_price,
+                     CAST(count(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'max_price', max_price FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'n_orders', n_orders FROM wide
         """,
         "grouping_sets_revenue": """
             SELECT l_returnflag, l_linestatus,

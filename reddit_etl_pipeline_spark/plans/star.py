@@ -1091,3 +1091,28 @@ def batch_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 30
             "session_value",
         )
     )
+
+
+def order_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the native ``unpivot`` (melt) operator:
+    per-orderstatus wide metrics (avg/max price, order count) unpivoted
+    to (status, metric, value) rows — the reverse of PIVOT
+    (events_pivot), closing the reshape pair.
+
+    Scale shape: unpivot is a zero-shuffle Expand projection (each input
+    row fans out to one row per metric); here it runs over an
+    already-aggregated status-cardinality table, so cost is nil. Values
+    are cast to one DOUBLE type at the boundary (unpivot requires a
+    common value type)."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["avg_price", "max_price", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
