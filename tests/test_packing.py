@@ -126,3 +126,32 @@ def test_temperature_mix_alpha_one_keeps_everything(spark):
     for r in out.values():
         assert r.keep_rate == 1.0
         assert r.n_kept == r.n_docs
+
+
+def test_chunk_manifest_covers_every_token_with_exact_overlap(spark):
+    from reddit_etl_pipeline_spark.operators.packing import chunk_manifest
+
+    # doc lengths spanning: empty, shorter than one chunk, exact
+    # multiples, and off-by-one around the 224-token stride
+    rows = [
+        (i, "t " * n, "s")
+        for i, n in enumerate([0, 1, 200, 224, 256, 257, 448, 1000])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {}
+    for r in chunk_manifest(df, chunk=256, overlap=32).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.end_tok))
+    lengths = dict(enumerate([0, 1, 200, 224, 256, 257, 448, 1000]))
+    assert 0 not in out  # empty doc -> zero chunks
+    for did, chunks in out.items():
+        n = lengths[did]
+        chunks.sort()
+        # chunk ids consecutive from 0; starts at stride 224
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert all(c[1] == i * 224 for i, c in enumerate(chunks))
+        # full coverage of [0, n): consecutive chunks overlap by 32
+        assert chunks[0][1] == 0 and chunks[-1][2] == n
+        for (_, s1, e1), (_, s2, e2) in zip(chunks, chunks[1:]):
+            assert s2 < e1 and e1 - s2 == 32
+        # every chunk bounded by the budget
+        assert all(c[2] - c[1] <= 256 for c in chunks)
