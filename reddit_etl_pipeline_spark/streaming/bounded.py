@@ -86,6 +86,7 @@ def run_stream_to_batch(
     output_mode: str = "complete",
     state_partitions: int | None = 8,
     debug: bool = False,
+    available_now: bool = False,
 ) -> DataFrame:
     """Execute a streaming query over a bounded source and return the
     final result as a batch DataFrame.
@@ -101,6 +102,12 @@ def run_stream_to_batch(
     micro-batch, so partition count should track state size — for bounded
     local runs with small keyed state, 8 beats the batch-tuned 32. On a
     real cluster leave None and size via the session.
+
+    ``available_now=True`` drains via ``Trigger.AvailableNow`` — the
+    production batch-drain trigger (process everything present, respect
+    maxFilesPerTrigger as rate limit, then STOP on its own): the query is
+    awaited to termination instead of processAllAvailable+stop. Same
+    results; use it for scheduled incremental runs over a growing source.
     """
     use_file_sink = output_mode == "append" and not debug
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -110,13 +117,15 @@ def run_stream_to_batch(
         if use_file_sink:
             out_dir = tempfile.mkdtemp(prefix="stream_sink_")
             chk = tempfile.mkdtemp(prefix="stream_chk_")
-            q = (
+            w = (
                 agg.writeStream.outputMode("append")
                 .format("parquet")
                 .option("path", out_dir)
                 .option("checkpointLocation", chk)
-                .start()
             )
+            if available_now:
+                w = w.trigger(availableNow=True)
+            q = w.start()
         else:
             name = f"stream_out_{uuid.uuid4().hex[:8]}"
             q = (
@@ -126,7 +135,10 @@ def run_stream_to_batch(
                 .start()
             )
         try:
-            q.processAllAvailable()
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
         finally:
             q.stop()
     finally:

@@ -250,3 +250,19 @@ def test_merge_recovers_stranded_old_dir(spark, tmp_path):
     # user 1 (pre-crash) survived the recovery; user 2 merged on top
     assert rows == {1: 10, 2: 11}
     assert not os.path.exists(f"{wh}__old")
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir):
+    """Trigger.AvailableNow (the production batch-drain): processes every
+    staged file under the rate limit, terminates on its own, and produces
+    the same windows as the processAllAvailable harness."""
+    got = ST.run_stream_to_batch(
+        ST.windowed_event_counts(ST._bounded_events_stream(spark, sf_dir, 4 * 3600)[0]),
+        spark,
+        output_mode="append",
+        available_now=True,
+    )
+    want = ST.streamed_hourly_counts(spark, sf_dir)
+    g = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    w = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in want.collect()}
+    assert g == w
