@@ -591,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": Q.dominant_suppliers,
         "grouping_sets_revenue": Q.grouping_sets_revenue,
         "order_stats_unpivot": Q.order_stats_unpivot,
+        "order_value_distribution": Q.order_value_distribution,
         "batch_session_window": Q.batch_session_window,
         "large_order_customers": Q.large_order_customers,
         "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
@@ -1674,6 +1675,22 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "order_value_distribution": """
+            WITH ranked AS (
+              SELECT o_orderpriority,
+                     round(percent_rank() OVER w, 6) AS pr,
+                     round(cume_dist() OVER w, 6) AS cd
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice ASC, o_orderkey ASC)
+            )
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CASE WHEN pr >= 0.4 AND pr < 0.6 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mid_quintile_orders,
+                   round(avg(cd), 6) AS avg_cume_dist
+            FROM ranked GROUP BY o_orderpriority
         """,
         "order_stats_unpivot": """
             WITH wide AS (

@@ -1116,3 +1116,30 @@ def order_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: per order-priority class, each
+    order's percent_rank and cume_dist over totalprice, rolled up to the
+    per-priority median-band count (orders sitting in the middle quintile
+    of their class) plus distribution edges.
+
+    Scale shape: one window partitioned by priority (bounded per-class
+    sort), aggregate on top — no global sort. Ties broken by orderkey so
+    both rank functions are engine-deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when((F.col("pr") >= 0.4) & (F.col("pr") < 0.6), 1).otherwise(0)
+        ).cast("long").alias("mid_quintile_orders"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )
