@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": Q.large_order_customers,
         "disjunctive_promo_revenue": Q.disjunctive_promo_revenue,
         "idle_customer_balance": Q.idle_customer_balance,
+        "blamed_suppliers": Q.blamed_suppliers,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
@@ -1748,6 +1749,28 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 50
                    AND l_quantity BETWEEN 20 AND 40)
             GROUP BY p_brand
+        """,
+        # ANSI double-correlated form; the Spark side uses the
+        # semantically-equal per-order aggregate formulation
+        "blamed_suppliers": """
+            SELECT s.s_suppkey, s.s_name,
+                   count(DISTINCT l1.l_orderkey) AS n_blamed_orders
+            FROM lineitem l1
+            JOIN orders o ON l1.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o3.o_orderdate
+                                    + INTERVAL 90 DAY)
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY n_blamed_orders DESC, s.s_suppkey ASC
+            LIMIT 25
         """,
         "idle_customer_balance": """
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1143,3 +1143,50 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("mid_quintile_orders"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+def blamed_suppliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — in ANSI form a double-correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier on the order), the hardest decorrelation pattern in the
+    suite.
+
+    Spark formulation: instead of two correlated probes per row, one
+    per-order aggregate computes (distinct suppliers, distinct late
+    suppliers, the single late supplier when unique) and a filter keeps
+    orders with >1 supplier and exactly 1 late one — semantically
+    identical (verified against the ANSI oracle), one lineitem shuffle
+    total. Late = shipped >90 days after the order date."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+        .join(F.broadcast(supplier), F.col("late_supp") == supplier.s_suppkey)
+        .select(
+            F.col("late_supp").alias("s_suppkey"),
+            "s_name",
+            "n_blamed_orders",
+        )
+        .orderBy(F.desc("n_blamed_orders"), F.asc("s_suppkey"))
+        .limit(k)
+    )
