@@ -181,7 +181,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -234,7 +234,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> Da
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     w = Window.partitionBy("n_name").orderBy(
@@ -651,7 +651,7 @@ def spend_deciles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_spend")
     )
     per_cust = spend.join(
-        F.broadcast(cust), spend.o_custkey == cust.c_custkey
+        cust, spend.o_custkey == cust.c_custkey
     ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     w = Window.partitionBy("n_name").orderBy(
         F.desc("total_spend"), F.asc("o_custkey")
@@ -726,7 +726,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(threshold, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -776,7 +776,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_promo = F.col("p_type") == "ECONOMY"
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
@@ -856,7 +856,7 @@ def returned_items_report(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("lost_revenue"))
@@ -885,7 +885,7 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.join(totals, "l_partkey")
         .filter(F.col("supp_qty") > 0.15 * F.col("part_qty"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select(
             "l_partkey",
             "l_suppkey",
@@ -959,7 +959,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str, min_qty: int = 250, 
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -982,7 +982,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined row inside codegen — never a cross product."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1181,7 +1181,7 @@ def blamed_suppliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame
     return (
         blamed.groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
-        .join(F.broadcast(supplier), F.col("late_supp") == supplier.s_suppkey)
+        .join(supplier, F.col("late_supp") == supplier.s_suppkey)
         .select(
             F.col("late_supp").alias("s_suppkey"),
             "s_name",

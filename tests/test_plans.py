@@ -160,6 +160,58 @@ def test_disjunctive_predicate_splits_to_both_scans(spark, sf_dir):
     assert "BroadcastNestedLoop" not in p
 
 
+def test_no_forced_broadcast_of_sf_proportional_tables():
+    """Broadcast hints in the star plans may target only bounded dims
+    (nation: 25 rows, region: 5 rows). customer/part/supplier/orders/
+    lineitem/events/documents/embeddings all grow with sf — a forced
+    F.broadcast() on any of them overrides Spark's size check and becomes
+    a driver OOM at 100x scale (seen: returned_items_report 11.2x at 10x
+    with a forced customer broadcast). AQE picks broadcast-vs-shuffle by
+    measured size for those; the hint must not."""
+    import re
+
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "reddit_etl_pipeline_spark",
+            "plans",
+            "star.py",
+        )
+    ).read()
+    targets = re.findall(r"F\.broadcast\((\w+)", src)
+    assert targets, "expected broadcast hints on bounded dims to remain"
+    bad = [t for t in targets if t not in {"nation", "region"}]
+    assert not bad, f"forced broadcast of sf-proportional tables: {bad}"
+
+
+def test_customer_join_not_forced_broadcast(spark, sf_dir):
+    """With the auto-broadcast threshold disabled, the customer join must
+    fall back to a shuffle join — proving no F.broadcast hint forces it."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in (
+            Q.revenue_by_nation,
+            Q.top_customers_per_nation,
+            Q.spend_deciles_by_nation,
+            Q.returned_items_report,
+            Q.large_order_customers,
+        ):
+            p = plan_of(q(spark, sf_dir))
+            # nation/region hints still force their (bounded) broadcasts;
+            # the customer side must not appear as a broadcast build.
+            for line in p.splitlines():
+                if "BroadcastExchange" in line or "BroadcastHashJoin" in line:
+                    continue
+            # the plan must contain at least one non-broadcast join now
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, (
+                f"{q.__name__}: all joins still broadcast with threshold=-1 "
+                "=> a hint is forcing an sf-proportional table"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_small_quantity_revenue_reuses_agg_partitioning(spark, sf_dir):
     """The per-part threshold joins on the aggregate's own key: the join
     must be hash-based with no extra Exchange between agg and join on
