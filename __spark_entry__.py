@@ -446,12 +446,33 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers (driver-side metadata read, no Spark
+    job) — feeds auto-sized operators without an extra count() scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH (rows-only:
     hash-family bucket semantics aren't SQL-expressible)."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(
-        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        k=5,
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
     )
 
 

@@ -146,30 +146,6 @@ def auto_planes(n_rows: int, target_bucket: int = 32) -> int:
     return max(4, min(16, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
 
 
-def hyperplane_bucket(
-    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
-) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of <v, r_i> for n_planes
-    pseudo-random hyperplanes. Hyperplane components are deterministic
-    hash-derived pseudo-gaussians (sum of 4 uniform hashes), so the same
-    bucket function works driver-free on any cluster."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # deterministic pseudo-random components in [-1, 1): hash(p, j)
-        # scaled; a literal array keeps the expression tree shallow (one
-        # zip_with+aggregate per plane, not dim chained additions).
-        plane = F.array(
-            *[F.lit(_plane_component(seed, p, j)) for j in range(dim)]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, r: x.cast("double") * r),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), p)
-    return bucket
-
-
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,6 +155,7 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing ANY
     of ``n_tables`` hyperplane buckets with the query (multi-table OR for
@@ -187,9 +164,14 @@ def cosine_topk_lsh(
     ``n_planes=None`` sizes the bucket space to the corpus (auto_planes):
     candidate count per query stays ~n_tables * target_bucket instead of
     growing linearly with the corpus. Pass it explicitly to trade recall
-    (fewer planes) against candidate volume (more planes)."""
+    (fewer planes) against candidate volume (more planes). When auto-sizing,
+    pass ``corpus_rows`` (from table stats / parquet footers) to avoid an
+    extra count() job over the corpus — at scale that's a whole scan plan
+    just to pick a constant; only if neither is given do we fall back to
+    ``corpus.count()``."""
     if n_planes is None:
-        n_planes = max(auto_planes(corpus.count()) - 2, 4)  # favor recall
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        n_planes = max(auto_planes(n) - 2, 4)  # favor recall
     cb = lsh_bucket_table(corpus, dim, n_planes, n_tables, id_col, vec_col)
     qb = lsh_bucket_table(queries, dim, n_planes, n_tables, id_col, vec_col)
     cand_ids = (

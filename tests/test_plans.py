@@ -212,6 +212,37 @@ def test_customer_join_not_forced_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_no_interpreted_hof_outside_oracle_baseline():
+    """Catalyst higher-order-function lambdas (F.aggregate / F.zip_with)
+    are interpreted per-element — banned from corpus-scale numeric hot
+    paths (CLAUDE.md). In similarity.py the ONLY functions allowed to
+    carry them are _dot/_norm, the documented left-to-right-summation
+    helpers for the gated O(n^2) oracle baseline. Everything else must
+    score via Arrow numpy. Guards against wiring an interpreted rerank
+    (like the deleted hyperplane_bucket) back in."""
+    import ast
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reddit_etl_pipeline_spark",
+        "operators",
+        "similarity.py",
+    )
+    tree = ast.parse(open(path).read())
+    offenders = []
+    for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+        for node in ast.walk(fn):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in {"aggregate", "zip_with"}
+            ):
+                if fn.name not in {"_dot", "_norm"}:
+                    offenders.append(f"{fn.name}: F.{node.func.attr}")
+    assert not offenders, f"interpreted HOF outside oracle baseline: {offenders}"
+    assert "hyperplane_bucket" not in open(path).read()
+
+
 def test_small_quantity_revenue_reuses_agg_partitioning(spark, sf_dir):
     """The per-part threshold joins on the aggregate's own key: the join
     must be hash-based with no extra Exchange between agg and join on
