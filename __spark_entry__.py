@@ -1799,8 +1799,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
                          2) AS total_balance
             FROM customer c
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                               WHERE c_acctbal > 0)
+            -- exact 2-dp threshold floor(S*100/N)/100: equivalent to
+            -- bal > S/N for 2-dp money, bit-identical to the Spark side
+            -- (which injects the same integer-floored scalar)
+            WHERE c_acctbal > (SELECT (CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+                                       // count(*)) / 100.0
+                               FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01')

@@ -121,24 +121,33 @@ def kmeans_fit(
     history: list[float] = []
     for _ in range(max_iter):
         partials = _partial_stats(df, cents, vec_col)
-        # counts + SSE: one tiny agg; component sums: posexplode ->
-        # groupBy(cluster, pos) — O(partitions * k * dim) rows, codegen
-        counts = {
-            r["cluster"]: (r["n"], r["sse"])
-            for r in partials.groupBy("cluster")
-            .agg(F.sum("n").alias("n"), F.sum("sse").alias("sse"))
-            .collect()
-        }
+        # ONE job per iteration: counts + SSE fold into the same
+        # posexplode aggregate as the component sums, so the expensive
+        # full-corpus assignment pass runs exactly once (two separate
+        # collects would re-trigger mapInPandas — or need a persist whose
+        # cache-build overhead exceeds the recompute at small scale).
+        # Every (cluster, pos) group sums the same partial rows, so n/sse
+        # totals are read off the pos==0 groups. O(partitions * k * dim)
+        # rows into the agg, k * dim out — codegen, driver-bounded.
         comp = (
-            partials.select("cluster", F.posexplode("sums").alias("pos", "v"))
+            partials.select(
+                "cluster", "n", "sse", F.posexplode("sums").alias("pos", "v")
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"))
+            .agg(
+                F.sum("v").alias("s"),
+                F.sum("n").alias("n"),
+                F.sum("sse").alias("sse"),
+            )
             .collect()
         )
         new = cents.copy()
         sums = np.zeros_like(cents)
+        counts: dict[int, tuple[int, float]] = {}
         for r in comp:
             sums[r["cluster"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cluster"]] = (r["n"], r["sse"])
         for j, (n, _sse) in counts.items():
             if n > 0:
                 new[j] = sums[j] / n

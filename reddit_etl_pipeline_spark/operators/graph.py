@@ -72,9 +72,18 @@ def pagerank(
         F.count(F.lit(1)).alias("out_degree")
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    pinned: list[DataFrame] = []
     for i in range(iters):
         with_deg = ranks.join(out_deg, "node", "left")
         if redistribute_dangling:
+            # persist: the dangling-mass aggregate and the contribution
+            # join both consume with_deg — uncached, the aggregate would
+            # recompute the whole rank lineage (every join since the last
+            # checkpoint) as a second full job per iteration. Kept pinned
+            # until the next localCheckpoint cuts the lineage (unpersisting
+            # sooner would force the contribution join to recompute it).
+            with_deg = with_deg.persist()
+            pinned.append(with_deg)
             dangling = (
                 with_deg.filter(F.col("out_degree").isNull())
                 .agg(F.sum("rank"))
@@ -105,4 +114,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+            for df in pinned:
+                df.unpersist()
+            pinned.clear()
+    ranks = ranks.localCheckpoint()
+    for df in pinned:
+        df.unpersist()
     return ranks

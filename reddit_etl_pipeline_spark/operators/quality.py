@@ -80,7 +80,18 @@ def dq_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
     Scale shape: ONE aggregate pass computes every rule's violation
     count simultaneously (map-side combined — a rule per column, not a
     scan per rule); the per-rule rows come from a stack() unpivot of the
-    single 1-row aggregate. Adding a rule adds a counter, not a scan."""
+    single 1-row aggregate. Adding a rule adds a counter, not a scan.
+
+    Rule names are validated as identifiers ([A-Za-z0-9_]+): they are
+    interpolated into the stack() SQL string and column aliases, where a
+    quote or space would break — or inject into — the expression."""
+    import re
+
+    bad = [n for n in rules if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
+    if bad:
+        raise ValueError(
+            f"dq_report rule names must match [A-Za-z0-9_]+, got: {bad}"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules.items():
         aggs.append(

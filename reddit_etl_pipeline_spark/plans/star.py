@@ -1019,22 +1019,36 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (none since 2001-01-01) — NOT EXISTS (anti-join) plus a
     global-average scalar.
 
-    Scale shape: the positive-average is a driver scalar off one
-    customer-dim aggregate (injected literal — same execution as a
-    ScalarSubquery, no rescan); the NOT EXISTS plans as a LEFT ANTI hash
-    join on custkey against an orders scan pruned to its join column
-    with the recency filter pushed into the scan;
-    final rollup has nation cardinality. Balance totals in DECIMAL."""
+    Scale shape: the positive-average threshold comes from one
+    customer-dim aggregate collected as driver scalars (injected
+    literals — same execution as a ScalarSubquery, no rescan); the NOT
+    EXISTS plans as a LEFT ANTI hash join on custkey against an orders
+    scan pruned to its join column with the recency filter pushed into
+    the scan; final rollup has nation cardinality.
+
+    The above-average threshold is exact, not a DOUBLE average (whose
+    engine-specific summation order could flip customers within an ulp
+    of it — repo convention: money in DECIMAL): S (DECIMAL sum) and N
+    (count) come back as driver scalars and the threshold is
+    t = floor(S*100/N)/100, the largest 2-dp value <= S/N. For 2-dp
+    money ``bal > S/N`` <=> ``bal > t``, and t is a plain literal so the
+    comparison still PUSHES DOWN to the parquet scan (a multiplicative
+    ``bal*N > S`` form would not)."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    avg_bal = float(
+    srow = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("a"))
-        .first()[0]
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
     )
+    # exact integer floor: Decimal S has scale 2, so S*100 is integral
+    threshold = float((int(srow["s"] * 100) // srow["n"])) / 100.0
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
     rich_idle = (
-        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        cust.filter(F.col("c_acctbal") > F.lit(threshold))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
     )
     return rich_idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(

@@ -128,12 +128,17 @@ def run_stream_to_batch(
             q = w.start()
         else:
             name = f"stream_out_{uuid.uuid4().hex[:8]}"
-            q = (
+            w = (
                 agg.writeStream.outputMode(output_mode)
                 .format("memory")
                 .queryName(name)
-                .start()
             )
+            # availableNow must reach the memory sink too: without it the
+            # default trigger never terminates and awaitTermination() below
+            # would hang forever on a bounded source.
+            if available_now:
+                w = w.trigger(availableNow=True)
+            q = w.start()
         try:
             if available_now:
                 q.awaitTermination()

@@ -252,6 +252,33 @@ def test_merge_recovers_stranded_old_dir(spark, tmp_path):
     assert not os.path.exists(f"{wh}__old")
 
 
+def test_available_now_with_memory_sink_terminates(spark, sf_dir):
+    """available_now must reach the memory sink (complete/update modes)
+    too: without the trigger the default-trigger query never terminates
+    and awaitTermination() hangs forever. Guarded by an alarm so a
+    regression fails instead of wedging the suite."""
+    import signal
+
+    def boom(signum, frame):
+        raise TimeoutError("memory-sink available_now run did not terminate")
+
+    old = signal.signal(signal.SIGALRM, boom)
+    signal.alarm(300)
+    try:
+        got = ST.run_stream_to_batch(
+            ST.windowed_event_counts(
+                ST._bounded_events_stream(spark, sf_dir, 4 * 3600)[0]
+            ),
+            spark,
+            output_mode="complete",
+            available_now=True,
+        )
+        assert got.count() > 0
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def test_available_now_trigger_drains_and_stops(spark, sf_dir):
     """Trigger.AvailableNow (the production batch-drain): processes every
     staged file under the rate limit, terminates on its own, and produces
