@@ -306,11 +306,16 @@ def _kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: cluster-partitioned embedding dedup (rows-only check —
-    k-means isn't SQL-expressible; within-cluster exactness is pinned by
-    tests/test_semantic_dedup.py property tests)."""
+    """SemDeDup: cluster-partitioned embedding dedup. The driver entry
+    uses the signbit quantizer (axis-aligned hyperplane partition) so the
+    WHOLE pipeline — cluster assignment + within-cluster lower-id
+    keep-one — is SQL-expressible and oracle-checked; the learned
+    (k-means) quantizer path is pinned by tests/test_semantic_dedup.py
+    property tests instead (Lloyd isn't SQL-expressible)."""
     emb = Q.load(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, threshold=0.97, n_centroids=16)
+    return S.semantic_dedup(
+        emb, threshold=0.97, n_centroids=16, quantizer="signbit"
+    )
 
 
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +682,48 @@ _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
+
+
+def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled PageRank as a chain of plain CTEs (one d/c/r triple per
+    iteration) — recursive-CTE aggregation restrictions make the loop
+    form awkward in DuckDB, and a fixed iteration count unrolls exactly.
+    Mirrors operators/graph.py:pagerank incl. dangling-mass
+    redistribution and the (base + damping*contrib) update order."""
+    parts = [
+        """
+        WITH edges AS (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS out_degree
+                FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+        d{i} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+                 FROM r{i} r LEFT JOIN deg USING (node)
+                 WHERE deg.out_degree IS NULL),
+        c{i} AS (SELECT e.dst AS node, sum(r.pr / d.out_degree) AS contrib
+                 FROM r{i} r JOIN deg d USING (node)
+                 JOIN edges e ON e.src = r.node
+                 GROUP BY e.dst),
+        r{i + 1} AS (SELECT n.node,
+                     ({1.0 - damping!r} + {damping} * (SELECT dm FROM d{i})
+                        / (SELECT n FROM nn))
+                     + {damping} * coalesce(c.contrib, 0) AS pr
+                     FROM nodes n LEFT JOIN c{i} c USING (node))"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(pr, 6) AS rank FROM r{iters}"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1983,6 +2030,26 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.ts >= p.ts - INTERVAL 1 HOUR
              AND c.ts < p.ts
+        """,
+        "supplier_pagerank": _pagerank_oracle(iters=8, damping=0.85),
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cid
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id,
+                   CAST(a.cid AS BIGINT) AS cid,
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM e b
+                     WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                       AND list_cosine_similarity(a.v, b.v) >= 0.97
+                   ) THEN 0 ELSE 1 END AS BIGINT) AS keep
+            FROM e a
         """,
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py).

@@ -462,12 +462,24 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "learned",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    embeddings with the deterministic coarse k-means, then inside each
-    cluster drop every vector that has a LOWER-id cluster-mate at cosine
-    >= ``threshold`` (keep-lowest is the engine's deterministic stand-in
-    for the paper's keep-farthest-from-centroid variant).
+    embeddings, then inside each cluster drop every vector that has a
+    LOWER-id cluster-mate at cosine >= ``threshold`` (keep-lowest is the
+    engine's deterministic stand-in for the paper's
+    keep-farthest-from-centroid variant).
+
+    ``quantizer`` picks the clustering:
+    - ``"learned"`` (default): the deterministic coarse k-means
+      (train_ivf_centroids) — the paper's shape, best cluster quality.
+    - ``"signbit"``: axis-aligned hyperplane partition — cid from the
+      sign bits of the first log2(n_centroids) embedding components
+      (requires power-of-two n_centroids). Slightly coarser clusters,
+      but closed-form: the SAME partition is expressible in ANSI SQL,
+      which lets the driver's DuckDB oracle check the full
+      cluster+keep-one pipeline end-to-end (the learned path is covered
+      by property tests instead — Lloyd isn't SQL-expressible).
 
     Returns (id, cid, keep) for every vector — ``keep`` = 1 for cluster
     representatives/uniques, 0 for semantic duplicates.
@@ -482,23 +494,45 @@ def semantic_dedup(
     shuffle partitions, and a degenerate corpus (everything in one
     cluster) degrades to the exact-pairs baseline cost.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    cents = train_ivf_centroids(
-        df, n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    if quantizer == "learned":
+        cents = train_ivf_centroids(
+            df, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+
+        def cid_of(m: "np.ndarray") -> "np.ndarray":
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            return (mn @ cents.T).argmax(axis=1)
+
+    elif quantizer == "signbit":
+        n_bits = int(math.log2(n_centroids))
+        if 2**n_bits != n_centroids:
+            raise ValueError(
+                f"signbit quantizer needs power-of-two n_centroids, got {n_centroids}"
+            )
+
+        def cid_of(m: "np.ndarray") -> "np.ndarray":
+            bits = (m[:, :n_bits] >= 0).astype("int64")
+            return bits @ (1 << np.arange(n_bits, dtype="int64"))
+
+    else:
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
 
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
-                    "cid": (mn @ cents.T).argmax(axis=1),
+                    "cid": cid_of(m),
                     "vec": pdf[vec_col],
                 }
             )
