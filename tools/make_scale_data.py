@@ -14,7 +14,11 @@ keeping per-copy *content* distinct where duplicate density matters:
   random vectors stay random, cross-copy cosine stays ~orthogonal.
 - region/nation: global dims, not replicated.
 
-Usage: python tools/make_scale_data.py SRC_DIR OUT_DIR FACTOR
+Usage: python tools/make_scale_data.py SRC_DIR OUT_DIR FACTOR [--tables t1,t2]
+
+``--tables`` restricts generation to a subset (e.g. documents,embeddings
+for dedup/ANN scale validation at factors where replicating lineitem
+would dominate runtime for no benefit).
 """
 
 from __future__ import annotations
@@ -31,12 +35,17 @@ OFFSET = 100_000_000  # > any key at the source scale
 
 def main() -> None:
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    wanted = None
+    if "--tables" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
     from reddit_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="make_scale_data")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def rep(table: str, shift_cols: list[str], transform=None):
+        if wanted is not None and table not in wanted:
+            return
         base = spark.read.parquet(f"{src}/{table}.parquet")
         copies = []
         for i in range(factor):
@@ -74,6 +83,8 @@ def main() -> None:
         return df.withColumn("embedding", rotated)
 
     for t in ("region", "nation"):
+        if wanted is not None and t not in wanted:
+            continue
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
