@@ -323,6 +323,13 @@ def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_topk(Q.load(spark, sf_dir, "documents"), k=3)
 
 
+def _bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by PMI (min bigram count 5)."""
+    return TX.bigram_pmi_topk(
+        Q.load(spark, sf_dir, "documents"), min_count=5, k=100
+    )
+
+
 def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation chain in ONE plan: keep each
     near-dup cluster's representative, require quality >= 0.45 and a
@@ -616,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_report": Q.returned_items_report,
         "dominant_suppliers": Q.dominant_suppliers,
         "grouping_sets_revenue": Q.grouping_sets_revenue,
+        "min_cost_supplier": Q.min_cost_supplier,
+        "nation_trade_volume": Q.nation_trade_volume,
+        "bigram_pmi": _bigram_pmi,
         "order_stats_unpivot": Q.order_stats_unpivot,
         "order_value_distribution": Q.order_value_distribution,
         "batch_session_window": Q.batch_session_window,
@@ -2030,6 +2040,72 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.ts >= p.ts - INTERVAL 1 HOUR
              AND c.ts < p.ts
+        """,
+        "min_cost_supplier": """
+            WITH quote AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS mc
+              FROM quote
+            )
+            SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+                   round(unit_cost, 6) AS unit_cost
+            FROM best
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE unit_cost = mc
+            ORDER BY p_partkey, s_suppkey
+            LIMIT 100
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l_discount AS DECIMAL(18,4))))
+                              AS DOUBLE), 2) AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            pairs AS (
+              SELECT u.pr[1] AS tok_a, u.pr[2] AS tok_b
+              FROM (SELECT unnest(list_zip(t[1:array_length(t) - 1],
+                                           t[2:array_length(t)])) AS pr
+                    FROM toks WHERE array_length(t) >= 2) u
+              WHERE u.pr[1] <> '' AND u.pr[2] <> ''
+            ),
+            bi AS (SELECT tok_a, tok_b, count(*) AS n_ab
+                   FROM pairs GROUP BY 1, 2),
+            ua AS (SELECT tok_a, sum(n_ab) AS c_a FROM bi GROUP BY 1),
+            ub AS (SELECT tok_b, sum(n_ab) AS c_b FROM bi GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n_bi FROM bi)
+            SELECT tok_a, tok_b, n_ab,
+                   round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_bi FROM tot)
+                            / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))),
+                         6) AS pmi
+            FROM bi JOIN ua USING (tok_a) JOIN ub USING (tok_b)
+            WHERE n_ab >= 5
+            ORDER BY pmi DESC, tok_a, tok_b
+            LIMIT 100
         """,
         "supplier_pagerank": _pagerank_oracle(iters=8, damping=0.85),
         "semantic_dedup": """

@@ -112,6 +112,9 @@ def main() -> None:
         "batch_session_window",
         "purchase_next_click",
         "chunk_manifest",
+        "min_cost_supplier",
+        "nation_trade_volume",
+        "bigram_pmi",
     ]
 
     timings: dict[str, float] = {}

@@ -254,6 +254,77 @@ def tfidf_topk(
     )
 
 
+def bigram_pmi_topk(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    (tok_a, tok_b, n_ab, pmi) — the classic corpus-analysis op for
+    finding multi-word expressions worth protecting from tokenizers.
+
+    pmi = ln(P(ab) / (P(a)·P(b))) with unigram/bigram probabilities from
+    corpus-wide counts; ``min_count`` drops rare bigrams whose PMI is
+    pure noise (standard practice).
+
+    Plan: bigrams come from exploding arrays_zip(slice, slice) — fully
+    codegen, NO array-lambda HOFs and NO per-doc window shuffle; one
+    map-side-combined bigram count agg (localCheckpoint'd so the corpus
+    scan runs once), positional marginals + the single total derived
+    from that vocab²-bounded table, keyed joins back, TakeOrdered top-k.
+    The PMI double expression uses one fixed association order
+    (cast-to-double FIRST — products of raw counts would overflow int64
+    at 100 TB token counts) so any SQL engine reproduces it bit-for-bit.
+    """
+    # lower the STRING, then tokenize — string lower is codegen, while
+    # transform(toks, lower) would be an interpreted array-lambda HOF
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    ex = (
+        df.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+    )
+    bi = (
+        ex.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    # positional marginals of the bigram distribution: c_a = sum_b n(a,b),
+    # c_b = sum_a n(a,b); both sum to n_bi, so PMI needs ONE total scalar
+    ua = bi.groupBy("tok_a").agg(F.sum("n_ab").alias("c_a"))
+    ub = bi.groupBy("tok_b").agg(F.sum("n_ab").alias("c_b"))
+    n_bi = bi.agg(F.sum("n_ab")).first()[0] or 0
+    scored = (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_bi))
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                ROUND_DP,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(k)
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """64-bit content fingerprint of normalized text (lower, collapsed
     whitespace) — the exact-dedup key. xxhash64 is Spark-native and

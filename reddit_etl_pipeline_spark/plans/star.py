@@ -1204,3 +1204,111 @@ def blamed_suppliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame
         .orderBy(F.desc("n_blamed_orders"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the supplier(s) quoting the MINIMUM
+    unit price — the correlated-scalar-subquery pattern (`WHERE cost =
+    (SELECT min(cost) ... WHERE partkey = outer.partkey)`) decorrelated
+    into one aggregate + a per-part window min.
+
+    Scale shape: ONE lineitem scan -> ONE shuffle: the explicit
+    repartition on l_partkey satisfies BOTH the composite-key aggregate
+    (partkey-partitioning clusters (partkey, suppkey) groups) and the
+    window's partkey distribution, so agg -> window min -> filter run in
+    a single post-shuffle stage with no join back (the decorrelation
+    avoids the self-join most engines plan here) -> bounded-dim joins
+    for names (supplier/part sf-proportional: AQE decides
+    broadcast-vs-shuffle; nation is hinted). Top-k totally ordered via
+    TakeOrderedAndProject. Unit price is a per-row double division
+    (deterministic on any engine; min is order-independent), so the
+    equality filter against the window min is exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    quote = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        quote.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(k)
+    )
+
+
+def nation_trade_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, by year — the two-sided dimension pattern where ONE fact
+    table joins two independent dim lineages (supplier->nation and
+    orders->customer->nation) with a cross-pair filter.
+
+    Scale shape: the nation filter pushes into both bounded dim sides
+    BEFORE the fact joins (each side prunes to 1/25 of its dim), the
+    pair condition collapses to a residual on two already-joined small
+    columns, and the final agg has (2 directions x years) cardinality.
+    customer/supplier stay AQE-sized; nation broadcasts by hint. Revenue
+    in DECIMAL, emitted as rounded DOUBLE.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    wanted = (nation_a, nation_b)
+    n1 = nation.filter(F.col("n_name").isin(*wanted)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*wanted)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    cst = cust.join(
+        F.broadcast(n2), cust.c_nationkey == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cst, orders.o_custkey == cst.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("volume"),
+        )
+    )

@@ -180,7 +180,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
     ).read()
     targets = re.findall(r"F\.broadcast\((\w+)", src)
     assert targets, "expected broadcast hints on bounded dims to remain"
-    bad = [t for t in targets if t not in {"nation", "region"}]
+    # n1/n2 are nation_trade_volume's filtered projections of nation
+    bad = [t for t in targets if t not in {"nation", "region", "n1", "n2"}]
     assert not bad, f"forced broadcast of sf-proportional tables: {bad}"
 
 
@@ -210,6 +211,47 @@ def test_customer_join_not_forced_broadcast(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_min_cost_supplier_decorrelated_single_scan(spark, sf_dir):
+    """The Q2 correlated-min shape must decorrelate to one lineitem scan
+    + a partitioned window min (no self-join rescans, no BNL) and a
+    TakeOrderedAndProject top-k."""
+    p = plan_of(Q.min_cost_supplier(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p and "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    # the partkey repartition must serve BOTH the composite-key agg and
+    # the window: exactly ONE shuffle Exchange in the whole plan (the
+    # rest are broadcast exchanges for the dim joins)
+    import re
+
+    shuffle_nodes = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(shuffle_nodes) == 1, p
+    assert "hashpartitioning(l_partkey" in p
+
+
+def test_nation_trade_volume_pushes_nation_filter(spark, sf_dir):
+    """The Q7 two-sided dim shape: the nation pair filter must prune
+    each bounded dim side at its scan, never ride as a post-join filter
+    over the fact."""
+    p = plan_of(Q.nation_trade_volume(spark, sf_dir))
+    assert "In(n_name" in p or "EqualTo(n_name" in p
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_bigram_pmi_codegen_no_window(spark, sf_dir):
+    """Bigram extraction must be the arrays_zip/slice codegen form: no
+    per-doc window shuffle, no interpreted array-lambda HOFs in the
+    explode path, top-k as TakeOrderedAndProject."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["bigram_pmi"](spark, sf_dir))
+    assert "Window" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
 
 
 def test_no_interpreted_hof_outside_oracle_baseline():

@@ -113,3 +113,35 @@ def test_pii_clean_text_untouched(spark):
     row = df.select(scrub_pii("text").alias("s"), *pii_counts("text")).collect()[0]
     assert row.s == "no pii here at all"
     assert row.n_email == row.n_phone == row.n_ip == 0
+
+
+def test_bigram_pmi_favors_exclusive_collocation(spark):
+    """A bigram whose tokens appear ONLY together must out-score one
+    whose tokens also occur independently; counts below min_count drop."""
+    from reddit_etl_pipeline_spark.functions.text import bigram_pmi_topk
+
+    docs = spark.createDataFrame(
+        [
+            # "new york" always together (5x); "big apple" tokens also
+            # appear apart (apple pie, big deal), diluting its PMI
+            (1, "new york new york new york big apple apple pie"),
+            (2, "new york new york big apple big deal apple pie"),
+            (3, "rare pair"),  # count 1 < min_count -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = bigram_pmi_topk(docs, min_count=2, k=10)
+    rows = {(r["tok_a"], r["tok_b"]): r for r in out.collect()}
+    assert ("rare", "pair") not in rows
+    assert ("new", "york") in rows and ("big", "apple") in rows
+    assert rows[("new", "york")]["pmi"] > rows[("big", "apple")]["pmi"]
+    assert rows[("new", "york")]["n_ab"] == 5
+
+
+def test_bigram_pmi_empty_and_single_token_docs(spark):
+    from reddit_etl_pipeline_spark.functions.text import bigram_pmi_topk
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "  ")], ["doc_id", "text"]
+    )
+    assert bigram_pmi_topk(docs, min_count=1).count() == 0
