@@ -475,6 +475,14 @@ def _parquet_rows(sf_dir: str, table: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization asymmetric-distance top-k (rows-only:
+    codebook k-means isn't SQL-expressible; recall floor pinned in
+    tests/test_skew.py)."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH (rows-only:
     hash-family bucket semantics aren't SQL-expressible)."""
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "cosine_topk_lsh": _cosine_topk_lsh,
         "cosine_topk_ivf": _cosine_topk_ivf,
+        "cosine_topk_pq": _cosine_topk_pq,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "semantic_dedup": _semantic_dedup,
@@ -2130,7 +2139,8 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py).
         # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
-        # cosine_topk_lsh / media_features: hash-family
+        # cosine_topk_lsh / cosine_topk_pq / media_features: hash-family /
+        # learned-quantizer
         # semantics (xxhash64 permutations, hyperplane LSH) are not
         # SQL-expressible -> rows-only checks.
     }

@@ -329,6 +329,170 @@ def ivf_topk(
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 16,
+    n_codes: int = 16,
+    sample_size: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``m`` contiguous sub-vectors and k-means each subspace to
+    ``n_codes`` centroids (driver-side mini-Lloyd on the deterministic
+    lowest-id sample — same regime as train_ivf_centroids: the model is
+    a tiny m x n_codes x (dim/m) tensor that ships to executors).
+
+    PQ is the memory-bounded ANN layout: a 64-dim float32 vector (256 B)
+    compresses to m code bytes (16 B at m=16), so a 100 TB embedding
+    corpus scans as ~6 TB of codes — the difference between an
+    in-memory rescan and a disk-bound one. Returns ndarray
+    (m, n_codes, dim//m)."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    x = np.array([list(r[0]) for r in rows], dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, n_codes, sub))
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        k_eff = min(n_codes, len(xs))
+        idx = np.unique(np.linspace(0, len(xs) - 1, k_eff).astype(int))
+        c = xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[s, : len(c)] = c
+        if len(c) < n_codes:  # degenerate sample: repeat last centroid
+            books[s, len(c):] = c[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest sub-centroid per subspace, from
+    the L2-normalized vector. Map-only Arrow numpy; one (batch x n_codes)
+    distance block per subspace, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    m, n_codes, sub = codebooks.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype="int64")
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                # ||a-c||^2 = ||a||^2 - 2 a.c + ||c||^2; argmin drops ||a||^2
+                d = -2.0 * (xs @ codebooks[s].T) + (codebooks[s] ** 2).sum(axis=1)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, "id long, codes array<bigint>"
+    ).withColumnRenamed("id", id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance cosine top-k: corpus vectors are scanned as
+    code arrays; each query precomputes an (m x n_codes) lookup table of
+    sub-dot-products against its own (exact) sub-vectors, so the
+    approximate dot is m table lookups per corpus vector — no float
+    vector ever rescanned.
+
+    Spark shape: encode is map-only; the scan is map-only over the code
+    table with a batch-local top-``rerank`` prune (same contract as the
+    brute-force scan's local_topk); only the pruned candidate ids join
+    back to raw vectors for the exact rerank window. At 100 TB the scan
+    reads the ~16x-smaller code table instead of the embeddings — the
+    standard IVF-PQ decomposition's PQ half (compose with ivf_topk's
+    lists for the full FAISS-style layout).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    sub = books.shape[2]
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _rank_topk(
+            corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double"
+            ),
+            k,
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # LUT[q, s, c] = <q_sub_s, codebook[s, c]>
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
+
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            ids = pdf[id_col].to_numpy()
+            # approx[q, x] = sum_s LUT[q, s, c[x, s]]
+            approx = lut[:, np.arange(m)[None, :], c].sum(axis=2)
+            out = []
+            for qi in range(len(qids)):
+                keep = np.argsort(-approx[qi])[:rerank]
+                keep = keep[ids[keep] != qids[qi]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": ids[keep],
+                            "approx": approx[qi, keep],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double"
+    ).select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
+
+
 def _plane_component(seed: int, p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     return ((hash((seed, p, j)) % 2_000_001) / 1_000_000.0) - 1.0

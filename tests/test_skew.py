@@ -74,6 +74,39 @@ def test_cosine_topk_lsh_recall(spark, embeddings):
     assert len(approx & exact) >= len(exact) * 0.3
 
 
+def test_cosine_topk_pq_recall(spark, embeddings):
+    """PQ asymmetric-distance top-k must recover most of the exact top-k
+    even on random vectors (the quantization-hostile case); measured 0.8
+    mean recall@5 at m=16/rerank=32 — floor set with slack."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(embeddings, q, k=5).collect()
+    }
+    assert len(approx & exact) >= len(exact) * 0.5
+
+
+def test_pq_encode_shape_and_determinism(spark, embeddings):
+    """Codes are m int codes in [0, n_codes) per vector; same session,
+    same data -> identical codes (deterministic sample + init)."""
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    books = S.train_pq_codebooks(embeddings, m=16, n_codes=16)
+    assert books.shape == (16, 16, 4)
+    a = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(embeddings, books).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(embeddings, books).collect()}
+    assert a == b
+    assert all(len(v) == 16 and all(0 <= c < 16 for c in v) for v in a.values())
+
+
 def test_salted_join_rejects_right_outer(spark):
     import pytest as _pytest
 
