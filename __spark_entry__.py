@@ -633,6 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": Q.grouping_sets_revenue,
         "min_cost_supplier": Q.min_cost_supplier,
         "nation_trade_volume": Q.nation_trade_volume,
+        "market_share": Q.market_share,
+        "product_profit": Q.product_profit,
+        "forecast_revenue": Q.forecast_revenue,
+        "supplier_part_variety": Q.supplier_part_variety,
         "bigram_pmi": _bigram_pmi,
         "order_stats_unpivot": Q.order_stats_unpivot,
         "order_value_distribution": Q.order_value_distribution,
@@ -2069,6 +2073,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE unit_cost = mc
             ORDER BY p_partkey, s_suppkey
             LIMIT 100
+        """,
+        "forecast_revenue": """
+            SELECT count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
+                         2) AS forecast_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "supplier_part_variety": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            kept AS (
+              SELECT * FROM pairs
+              WHERE l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM kept
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            LIMIT 100
+        """,
+        "market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   round(CAST(sum(CASE WHEN n_name = 'NATION_1'
+                                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                            * (CAST(1 AS DECIMAL(18,4))
+                                               - CAST(l_discount AS DECIMAL(18,4)))
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (CAST(1 AS DECIMAL(18,4))
+                                       - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1
+        """,
+        "product_profit": """
+            SELECT n_name AS supp_nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l_discount AS DECIMAL(18,4)))
+                                  - CAST(p_retailprice AS DECIMAL(18,4))
+                                    * CAST(l_quantity AS DECIMAL(18,4))
+                                    * CAST(0.1 AS DECIMAL(18,4))) AS DOUBLE),
+                         2) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation,

@@ -115,6 +115,11 @@ def main() -> None:
         "min_cost_supplier",
         "nation_trade_volume",
         "bigram_pmi",
+        "market_share",
+        "product_profit",
+        "forecast_revenue",
+        "supplier_part_variety",
+        "cosine_topk_pq",
     ]
 
     timings: dict[str, float] = {}

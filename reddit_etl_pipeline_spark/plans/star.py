@@ -1312,3 +1312,204 @@ def nation_trade_volume(
             F.round(F.sum(rev).cast("double"), 2).alias("volume"),
         )
     )
+
+
+def market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    part_type: str = "PROMO",
+    target_nation: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q8 shape: within one part-type's market, the revenue share
+    supplied by one nation's suppliers, by order year — the
+    conditional-share-of-aggregate pattern (`sum(CASE WHEN nation THEN
+    rev END) / sum(rev)`) computed in a single grouped pass instead of
+    the nested-subquery formulation.
+
+    Scale shape: the p_type filter prunes part BEFORE the fact join
+    (part is the selective dim here, 1/6 of rows), supplier->nation is a
+    bounded lineage folded to one `is_target` boolean before the fact
+    join, so lineitem shuffles once for the year aggregate and the CASE
+    split rides the same shuffle (map-side partials). Revenue sums stay
+    DECIMAL end-to-end; the share is an exact-DECIMAL division emitted
+    as a 6 dp DOUBLE, so engine summation order cannot flip it.
+    Reference parity: the share-of-group pattern generalizes the
+    reference's avg-per-group marts (models/marts/reddit_summary.sql).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    typed = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    supp = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == target_nation).alias("is_target"),
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(typed, li.l_partkey == typed.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("_t"),
+            F.sum(rev).alias("_a"),
+        )
+        .select(
+            "order_year",
+            F.round(
+                F.col("_t").cast("double") / F.col("_a").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def product_profit(
+    spark: SparkSession,
+    sf_dir: str,
+    name_fragment: str = "gear",
+    cost_factor: str = "0.1",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name fragment — the widest join tree in the relational
+    surface (lineitem x orders x part x supplier x nation) with a
+    derived per-row margin. The reference schema has no partsupp table,
+    so supply cost is proxied as `p_retailprice * l_quantity *
+    cost_factor` (documented, exact-DECIMAL).
+
+    Scale shape: the p_name LIKE filter prunes part before the fact
+    join (substring filters can't push to parquet stats but DO prune
+    the join build side), nation rides the bounded supplier lineage,
+    and profit is a DECIMAL expression folded into one grouped pass —
+    one lineitem shuffle on the (nation, year) agg key. All money stays
+    DECIMAL until the final rounded-DOUBLE cast, so Spark's and the
+    oracle's summation orders agree bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    named = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    profit = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity") * F.lit(cost_factor).cast("decimal(18,4)")
+    )
+    return (
+        li.join(named, li.l_partkey == named.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(profit).cast("double"), 2).alias("profit"),
+        )
+    )
+
+
+def forecast_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q6 shape: the pure-pushdown aggregate — a conjunctive range
+    filter on three fact columns feeding one global sum, the canonical
+    "did the filters reach the scan" probe.
+
+    Scale shape: all three predicates (shipdate year range, discount
+    band, quantity cap) push to the parquet scan as min/max-stat prunes;
+    no join, no shuffle beyond the single-row global aggregate's partial
+    merge. Discount x price stays DECIMAL so the one output number is
+    summation-order-proof.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("forecast_revenue"),
+        )
+    )
+
+
+def supplier_part_variety(
+    spark: SparkSession,
+    sf_dir: str,
+    excluded_brand: str = "Brand#1",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each part
+    segment, excluding one brand and a complaint-list of suppliers —
+    the count-distinct-over-join + NOT IN pattern. The reference schema
+    has no partsupp, so the supplier-part relation is derived from
+    lineitem's observed (partkey, suppkey) pairs (documented proxy);
+    "complaints" are suppliers with negative account balance.
+
+    Scale shape: the (partkey, suppkey) dedup collapses lineitem's ~4x
+    multiplicity BEFORE the part join (one shuffle on the pair);
+    the NOT IN is a broadcast anti-join against the tiny negative-
+    balance list (null-safe: keys are non-null by construction); the
+    distinct count rides the part-segment shuffle. Top-k totally
+    ordered for determinism.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    # no broadcast hint: the complaint list is sf-proportional (a fixed
+    # fraction of supplier); AQE broadcasts it while it is actually small
+    kept = pairs.join(
+        complaints,
+        pairs.l_suppkey == F.col("bad_suppkey"),
+        "left_anti",
+    )
+    seg = part.filter(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        kept.join(seg, kept.l_partkey == seg.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(k)
+    )

@@ -293,3 +293,44 @@ def test_small_quantity_revenue_reuses_agg_partitioning(spark, sf_dir):
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
     # part dim broadcasts
     assert "BroadcastHashJoin" in p
+
+
+def test_market_share_pushes_type_filter_and_decimal_sums(spark, sf_dir):
+    """Q8 shape: p_type equality must reach the part scan; the share
+    split must ride one aggregate (partial+final), not two joins."""
+    p = plan_of(Q.market_share(spark, sf_dir))
+    assert "EqualTo(p_type,PROMO)" in p
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_product_profit_prunes_part_and_single_agg(spark, sf_dir):
+    """Q9 shape: the name-fragment filter prunes part before the fact
+    join; unused wide columns never reach any scan."""
+    p = plan_of(Q.product_profit(spark, sf_dir))
+    assert "StringContains(p_name,gear)" in p
+    assert "l_returnflag" not in p and "o_orderpriority" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_forecast_revenue_all_filters_reach_scan(spark, sf_dir):
+    """Q6 shape: every predicate must appear in PushedFilters — this is
+    the canonical pushdown probe; a regression here means stats-based
+    row-group pruning is lost at scale."""
+    p = plan_of(Q.forecast_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24" in p
+    assert "Exchange" in p  # single-row global agg partial merge only
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_supplier_part_variety_anti_join_and_pair_dedup(spark, sf_dir):
+    """Q16 shape: complaints NOT IN plans as an anti-join (AQE sizes the
+    build side — no forced hint, the list is sf-proportional); the brand
+    exclusion pushes to the part scan."""
+    p = plan_of(Q.supplier_part_variety(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "Not(EqualTo(p_brand,Brand#1))" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
