@@ -139,6 +139,19 @@ def _big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- documents
 
 
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest cross-batch dedup (operators/dedup.incremental_dedup):
+    odd-id docs play today's batch, even-id docs the already-accepted
+    corpus; emit the batch docs whose normalized content is genuinely new.
+    The corpus side reduces to distinct 8-byte fingerprints — the
+    maintained-index shape, no per-ingest corpus text rescan."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keyed on normalized text (oracle-checkable formulation;
     the package also ships the xxhash64-fingerprint variant for scale)."""
@@ -647,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blamed_suppliers": Q.blamed_suppliers,
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
+        "incremental_dedup": _incremental_dedup,
         "text_stats": _text_stats,
         "lang_source_rollup": _lang_source_rollup,
         "bpe_token_stats": _bpe_token_stats,
@@ -1155,6 +1169,20 @@ def oracle_sql() -> dict[str, str]:
                          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                   FROM documents)
             GROUP BY norm
+        """,
+        "incremental_dedup": """
+            WITH normed AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents
+            ),
+            firsts AS (
+              SELECT min(doc_id) AS doc_id, norm
+              FROM normed WHERE doc_id % 2 = 1 GROUP BY norm
+            )
+            SELECT doc_id FROM firsts f
+            WHERE NOT EXISTS (SELECT 1 FROM normed c
+                              WHERE c.doc_id % 2 = 0 AND c.norm = f.norm)
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -120,6 +120,7 @@ def main() -> None:
         "forecast_revenue",
         "supplier_part_variety",
         "cosine_topk_pq",
+        "incremental_dedup",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,35 @@
+
+
+def test_incremental_dedup_cross_and_within_batch(spark):
+    """Batch docs already in the corpus are dropped; within-batch dups
+    collapse to the lowest id; normalization (case/whitespace) applies
+    across the batch boundary."""
+    from reddit_etl_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma  delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "ALPHA   beta"),   # dup of corpus 1 after normalization
+            (12, "epsilon zeta"),   # new
+            (13, "epsilon  ZETA"),  # within-batch dup of 12
+            (14, "eta theta"),      # new
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert kept == [12, 14]
+
+
+def test_incremental_dedup_empty_batch_and_empty_corpus(spark):
+    from reddit_etl_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    empty = docs.limit(0)
+    assert incremental_dedup(empty, docs).count() == 0
+    assert sorted(
+        r["doc_id"] for r in incremental_dedup(docs, empty).collect()
+    ) == [1, 2]
