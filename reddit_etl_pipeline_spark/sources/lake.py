@@ -235,3 +235,48 @@ def write_with_blooms(
             f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
         )
     writer.parquet(path)
+
+
+def vacuum_table(
+    path: str,
+    keep_days: int,
+    as_of: str,
+    partition_col: str = BATCH_DATE_COL,
+) -> list[str]:
+    """Retention sweep: drop lake partitions older than ``keep_days``
+    before ``as_of`` (a YYYYMMDD batch date). Returns the dropped
+    partition values, oldest first.
+
+    Operates on the partition DIRECTORY layout (hive-style
+    ``batch_date=YYYYMMDD``), so retention is a driver-side listing +
+    directory removals — no Spark job, no data scan, no rewrite; at
+    100 TB dropping a day is O(1) metadata work, the same reason the
+    daily reload uses dynamic partition overwrite. Lexicographic
+    comparison is date order for the fixed-width YYYYMMDD form. Refuses
+    to run on a non-partitioned table (nothing safe to drop)."""
+    import datetime
+    import os
+    import shutil
+
+    cutoff = (
+        datetime.datetime.strptime(as_of, "%Y%m%d")
+        - datetime.timedelta(days=keep_days)
+    ).strftime("%Y%m%d")
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d for d in os.listdir(path)
+        if d.startswith(prefix)
+        and os.path.isdir(os.path.join(path, d))
+    )
+    if not parts:
+        raise ValueError(
+            f"vacuum_table: {path} has no {prefix}* partitions; refusing "
+            "to delete from a non-partitioned table"
+        )
+    dropped = []
+    for d in parts:
+        value = d[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(value)
+    return dropped

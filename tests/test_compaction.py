@@ -120,3 +120,40 @@ def test_write_with_blooms_emits_bloom_filters(spark, tmp_path):
     assert size(path) > size(plain) + 2048, (size(path), size(plain))
     back = spark.read.parquet(path).filter(F.col("user_id") == 1234)
     assert [r.user_id for r in back.collect()] == [1234]
+
+
+def test_vacuum_drops_only_expired_partitions(spark, tmp_path):
+    """Retention: partitions strictly older than keep_days before as_of go;
+    the table stays readable with the surviving days intact."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.sources.lake import vacuum_table, write_table
+
+    path = str(tmp_path / "posts")
+    for day in ["20250310", "20250318", "20250320", "20250324"]:
+        df = spark.createDataFrame(
+            [(f"id_{day}", 1)], "id string, score int"
+        ).withColumn("batch_date", F.lit(day))
+        write_table(df, path, partition_by=["batch_date"])
+
+    dropped = vacuum_table(path, keep_days=7, as_of="20250324")
+    assert dropped == ["20250310"]  # 20250318 is exactly 6 days old: kept
+    left = spark.read.parquet(path)
+    # partition values come back type-inferred (int) — compare as strings
+    assert sorted(
+        str(r["batch_date"])
+        for r in left.select("batch_date").distinct().collect()
+    ) == ["20250318", "20250320", "20250324"]
+    # idempotent: nothing further to drop
+    assert vacuum_table(path, keep_days=7, as_of="20250324") == []
+
+
+def test_vacuum_refuses_non_partitioned_table(spark, tmp_path):
+    import pytest
+
+    from reddit_etl_pipeline_spark.sources.lake import vacuum_table
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame([(1,)], "id long").write.parquet(path)
+    with pytest.raises(ValueError):
+        vacuum_table(path, keep_days=7, as_of="20250324")
