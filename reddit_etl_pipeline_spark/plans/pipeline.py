@@ -102,3 +102,52 @@ def run_daily_batch(
         warehouse.createOrReplaceTempView("reddit")
         M.run_models(spark)
     return audits
+
+
+AIRFLOW_RETRIES = 1  # reference reddit_pipeline.py:13-16
+AIRFLOW_RETRY_DELAY_S = 15.0
+
+
+def run_backfill(
+    spark: SparkSession,
+    fetcher_for_date: Callable[[str], Callable[[], Iterable[object]]],
+    lake_path: str,
+    warehouse_path: str,
+    batch_dates: Iterable[str],
+    retries: int = AIRFLOW_RETRIES,
+    retry_delay_s: float = AIRFLOW_RETRY_DELAY_S,
+    sleep: Callable[[float], None] | None = None,
+    **run_kwargs,
+) -> dict:
+    """The DAG's schedule semantics in engine terms: run days in ORDER
+    (catchup), retry a failed day ``retries`` times with a fixed delay
+    (the reference DAG ships retries=1, retry_delay=15 s,
+    ``airflow/dags/reddit_pipeline.py:13-16``), and ABORT the backfill at
+    the first day that exhausts its retries — the warehouse upsert chain
+    is order-dependent, so skipping a failed day silently would reorder
+    last-write-wins history. Completed days stay durable (each day's lake
+    partition + warehouse swap commits independently), so a fixed rerun
+    resumes from the failed date. Returns {batch_date: audit dict}."""
+    import time as _time
+
+    _sleep = sleep if sleep is not None else _time.sleep
+    results: dict = {}
+    for date in batch_dates:
+        attempt = 0
+        while True:
+            try:
+                results[date] = run_daily_batch(
+                    spark,
+                    fetcher_for_date(date),
+                    lake_path,
+                    warehouse_path,
+                    date,
+                    **run_kwargs,
+                )
+                break
+            except Exception:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                _sleep(retry_delay_s)
+    return results

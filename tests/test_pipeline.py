@@ -79,3 +79,62 @@ def test_partition_pruning_on_batch_date(spark, tmp_path):
     assert pruned.count() == 20
     # the filter must reach the scan as a partition filter, not a row filter
     assert "PartitionFilters" in plan
+
+
+def test_backfill_retries_flaky_day_then_succeeds(spark, tmp_path):
+    """DAG-cadence parity: days run in order; a day whose fetch fails once
+    is retried (retries=1, like the reference DAG) and the backfill
+    completes with every day loaded."""
+    from reddit_etl_pipeline_spark.plans.pipeline import run_backfill
+
+    failures = {"20250320": 1}  # first attempt of day 2 blows up
+    sleeps = []
+
+    def fetcher_for_date(date):
+        src = FakeRedditSource(n=50, day=int(date[-2:]) % 7)
+
+        def fetch():
+            if failures.get(date, 0) > 0:
+                failures[date] -= 1
+                raise ConnectionError("transient fetch failure")
+            return src()
+
+        return fetch
+
+    results = run_backfill(
+        spark,
+        fetcher_for_date,
+        lake_path=str(tmp_path / "lake"),
+        warehouse_path=str(tmp_path / "wh"),
+        batch_dates=["20250318", "20250320", "20250324"],
+        sleep=sleeps.append,
+    )
+    assert sorted(results) == ["20250318", "20250320", "20250324"]
+    assert sleeps == [15.0]  # one retry pause, reference delay
+    assert spark.read.parquet(str(tmp_path / "wh")).count() > 0
+
+
+def test_backfill_aborts_after_retry_budget_and_keeps_prior_days(spark, tmp_path):
+    import pytest
+
+    from reddit_etl_pipeline_spark.plans.pipeline import run_backfill
+
+    def fetcher_for_date(date):
+        if date == "20250320":
+            def always_fail():
+                raise ConnectionError("down hard")
+            return always_fail
+        return FakeRedditSource(n=40, day=0)
+
+    with pytest.raises(ConnectionError):
+        run_backfill(
+            spark,
+            fetcher_for_date,
+            lake_path=str(tmp_path / "lake"),
+            warehouse_path=str(tmp_path / "wh"),
+            batch_dates=["20250318", "20250320", "20250324"],
+            sleep=lambda s: None,
+        )
+    # day 1 committed durably; day 3 never ran (order dependence)
+    wh = spark.read.parquet(str(tmp_path / "wh"))
+    assert wh.count() == 40
