@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from reddit_etl_pipeline_spark.operators import asof as AS
 from reddit_etl_pipeline_spark.operators import dedup as D
 from reddit_etl_pipeline_spark.operators import multimodal as MM
+from reddit_etl_pipeline_spark.operators import classify as CL
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
@@ -137,6 +138,22 @@ def _big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- documents
+
+
+def _nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised language classifier evaluation
+    (operators/classify.nb_confusion): train multinomial NB on even-id
+    docs, predict odd-id docs, emit the confusion matrix. Fixed-point
+    integer log-probs make the matrix value-exact against the oracle.
+    (The driver corpus is synthetic with largely lang-independent token
+    distributions, so absolute accuracy is near-prior there; the
+    separable-corpus unit tests in tests/test_classify.py demonstrate the
+    classifier itself.)"""
+    docs = Q.load(spark, sf_dir, "documents")
+    return CL.nb_confusion(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
 
 
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data pipeline: text
         "dedup_exact": _dedup_exact,
         "incremental_dedup": _incremental_dedup,
+        "nb_lang_confusion": _nb_lang_confusion,
         "text_stats": _text_stats,
         "lang_source_rollup": _lang_source_rollup,
         "bpe_token_stats": _bpe_token_stats,
@@ -1169,6 +1187,65 @@ def oracle_sql() -> dict[str, str]:
                          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                   FROM documents)
             GROUP BY norm
+        """,
+        "nb_lang_confusion": f"""
+            WITH train_toks AS (
+              SELECT lang AS label, t.tok
+              FROM documents, unnest({_TOKENS}) AS t(tok)
+              WHERE doc_id % 2 = 0 AND t.tok <> ''
+            ),
+            counts AS (
+              SELECT label, tok, count(*) AS c_tl FROM train_toks GROUP BY 1, 2
+            ),
+            totals AS (SELECT label, sum(c_tl) AS c_l FROM counts GROUP BY 1),
+            vocab AS (SELECT DISTINCT tok FROM train_toks),
+            vsz AS (SELECT count(*) AS v FROM vocab),
+            dc AS (SELECT lang AS label, count(*) AS n_docs
+                   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+            priors AS (
+              SELECT label,
+                     CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1000000)
+                          AS BIGINT) AS prior_unats
+              FROM dc, nt
+            ),
+            likes AS (
+              SELECT v.tok, t.label,
+                     CAST(round(ln(CAST(coalesce(c.c_tl, 0) + 1 AS DOUBLE)
+                                   / (t.c_l + vsz.v)) * 1000000)
+                          AS BIGINT) AS l_unats
+              FROM vocab v CROSS JOIN totals t CROSS JOIN vsz
+              LEFT JOIN counts c ON c.label = t.label AND c.tok = v.tok
+            ),
+            test_toks AS (
+              SELECT doc_id, t.tok, count(*) AS cnt
+              FROM documents, unnest({_TOKENS}) AS t(tok)
+              WHERE doc_id % 2 = 1 AND t.tok <> ''
+              GROUP BY 1, 2
+            ),
+            scores AS (
+              SELECT tt.doc_id, l.label, sum(tt.cnt * l.l_unats) AS tok_unats
+              FROM test_toks tt JOIN likes l ON l.tok = tt.tok
+              GROUP BY 1, 2
+            ),
+            all_scored AS (
+              SELECT d.doc_id, p.label,
+                     p.prior_unats + coalesce(s.tok_unats, 0) AS score
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+              CROSS JOIN priors p
+              LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.label = p.label
+            ),
+            preds AS (
+              SELECT doc_id, label AS predicted
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+                    FROM all_scored)
+              WHERE rn = 1
+            )
+            SELECT a.lang AS actual, p.predicted, count(*) AS n_docs
+            FROM documents a JOIN preds p ON a.doc_id = p.doc_id
+            WHERE a.doc_id % 2 = 1
+            GROUP BY 1, 2
         """,
         "incremental_dedup": """
             WITH normed AS (

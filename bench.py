@@ -121,6 +121,7 @@ def main() -> None:
         "supplier_part_variety",
         "cosine_topk_pq",
         "incremental_dedup",
+        "nb_lang_confusion",
     ]
 
     timings: dict[str, float] = {}

@@ -75,7 +75,15 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
 # - cosine_topk: corpus x broadcast(queries) cross product is the exact
 #   brute-force contract — linear in corpus (the nested side is the tiny
 #   broadcast query set), shuffle-free until the post-prune top-k window
-BNL_ALLOWED = {"embedding_neardup", "cosine_topk"}
+BNL_ALLOWED = {
+    "embedding_neardup",
+    "cosine_topk",
+    # nb_lang_confusion: its two cross joins (vocab x label totals,
+    # docs x priors) both have a label-cardinality nested side (a fixed
+    # vocabulary, like nation), not sf-proportional;
+    # test_nb_confusion_only_bounded_crosses pins that no third one creeps in.
+    "nb_lang_confusion",
+}
 
 # Streaming entries execute the stream when called (run_stream_to_batch),
 # so their "plan" is a memory-table scan — nothing to sweep.
@@ -334,3 +342,17 @@ def test_supplier_part_variety_anti_join_and_pair_dedup(spark, sf_dir):
     assert "LeftAnti" in p
     assert "Not(EqualTo(p_brand,Brand#1))" in p
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_nb_confusion_only_bounded_crosses(spark, sf_dir):
+    """The NB pipeline's ONLY non-equi joins are the two label-bounded
+    grids (vocab x label totals in train, docs x priors in predict) —
+    both have a fixed-vocabulary nested side, so they're linear in the
+    big side. A third one means an accidental all-pairs crept in."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["nb_lang_confusion"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+    assert "CartesianProduct" not in p
