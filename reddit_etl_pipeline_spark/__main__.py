@@ -1,0 +1,136 @@
+"""Command-line entrypoint — the reference's script surface as one CLI.
+
+The reference is operated as date-keyed scripts chained by the DAG
+(``extract-from-reddit.py`` / ``upload_to_s3.py`` / ``s3_to_redshift.py``
+each take the YYYYMMDD batch key, ``s3_to_redshift.py:139``); this CLI is
+the same operational surface against the Spark-native engine:
+
+    python -m reddit_etl_pipeline_spark daily    --date 20250318 \
+        --lake /data/lake --warehouse /data/wh [--conf configuration.conf]
+    python -m reddit_etl_pipeline_spark backfill --dates 20250318,20250320 ...
+    python -m reddit_etl_pipeline_spark compact  --path /data/wh
+    python -m reddit_etl_pipeline_spark vacuum   --path /data/lake \
+        --keep-days 30 --as-of 20250324
+
+``--conf`` points at a reference-shaped configuration.conf: reddit
+credentials build the live HTTP client, the aws bucket becomes the
+``s3a://`` lake root when ``--lake`` is omitted. ``--fake-source N``
+swaps in the deterministic offline source (tests, dry runs, sandboxes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m reddit_etl_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    daily = sub.add_parser("daily", help="one end-to-end daily batch")
+    backfill = sub.add_parser("backfill", help="ordered multi-day catchup")
+    for sp in (daily, backfill):
+        sp.add_argument("--lake", help="lake root (defaults to conf s3a bucket)")
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--conf", help="reference-shaped configuration.conf")
+        sp.add_argument("--subreddit", default="stocks")
+        sp.add_argument("--time-filter", default="week")
+        sp.add_argument("--limit", type=int, default=1000)
+        sp.add_argument(
+            "--fake-source",
+            type=int,
+            metavar="N",
+            help="use the deterministic offline source with N posts",
+        )
+    daily.add_argument("--date", required=True, help="YYYYMMDD batch key")
+    backfill.add_argument(
+        "--dates", required=True, help="comma-separated YYYYMMDD list, in order"
+    )
+
+    compact = sub.add_parser("compact", help="small-file compaction")
+    compact.add_argument("--path", required=True)
+    compact.add_argument(
+        "--target-file-mb", type=int, default=128, help="output file size target"
+    )
+
+    vac = sub.add_parser("vacuum", help="drop lake partitions past retention")
+    vac.add_argument("--path", required=True)
+    vac.add_argument("--keep-days", type=int, required=True)
+    vac.add_argument("--as-of", required=True, help="YYYYMMDD")
+    return p
+
+
+def _fetcher_factory(args):
+    """date -> fetcher callable, from --fake-source or conf credentials."""
+    if args.fake_source is not None:
+        from .sources.reddit_api import FakeRedditSource
+
+        return lambda date: FakeRedditSource(
+            subreddit=args.subreddit, n=args.fake_source, day=int(date) % 7
+        )
+    if not args.conf:
+        raise SystemExit(
+            "either --conf (live Reddit credentials) or --fake-source is required"
+        )
+    from .config import load_config
+    from .sources.reddit_http import client_from_config
+
+    client = client_from_config(load_config(args.conf))
+    return lambda date: client.subreddit_top(
+        args.subreddit, time_filter=args.time_filter, limit=args.limit
+    )
+
+
+def _lake_root(args) -> str:
+    if args.lake:
+        return args.lake
+    if args.conf:
+        from .config import load_config
+
+        return load_config(args.conf).lake_root()
+    raise SystemExit("--lake is required without --conf")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "vacuum":  # driver-side only: no Spark session needed
+        from .sources.lake import vacuum_table
+
+        dropped = vacuum_table(args.path, args.keep_days, args.as_of)
+        print(json.dumps({"dropped_partitions": dropped}))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"reddit_etl_{args.cmd}")
+    if args.cmd == "compact":
+        from .sources.lake import compact_table
+
+        n = compact_table(
+            spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+        print(json.dumps({"output_files": n}))
+        return 0
+
+    fetchers = _fetcher_factory(args)
+    lake = _lake_root(args)
+    from .plans.pipeline import run_backfill, run_daily_batch
+
+    if args.cmd == "daily":
+        audits = run_daily_batch(
+            spark, fetchers(args.date), lake, args.warehouse, args.date
+        )
+        print(json.dumps({args.date: audits}, default=str))
+    else:
+        results = run_backfill(
+            spark, fetchers, lake, args.warehouse, args.dates.split(",")
+        )
+        print(json.dumps(results, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

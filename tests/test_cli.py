@@ -1,0 +1,59 @@
+"""CLI entrypoint: the reference's date-keyed script surface
+(extract/upload/load chained by YYYYMMDD) driven through
+``python -m reddit_etl_pipeline_spark`` subcommands, in-process."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reddit_etl_pipeline_spark.__main__ import main  # noqa: E402
+
+
+def test_daily_then_backfill_then_vacuum(spark, tmp_path, capsys):
+    lake, wh = str(tmp_path / "lake"), str(tmp_path / "wh")
+    rc = main(
+        ["daily", "--date", "20250318", "--lake", lake, "--warehouse", wh,
+         "--fake-source", "40"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["20250318"]["warehouse_rows"] == 40
+
+    rc = main(
+        ["backfill", "--dates", "20250320,20250324", "--lake", lake,
+         "--warehouse", wh, "--fake-source", "40"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(out) == ["20250320", "20250324"]
+
+    rc = main(
+        ["vacuum", "--path", lake, "--keep-days", "5", "--as-of", "20250324"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dropped_partitions"] == ["20250318"]
+    # surviving days still load
+    assert spark.read.parquet(lake).select("batch_date").distinct().count() == 2
+
+
+def test_compact_subcommand(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(16).write.parquet(path)
+    rc = main(["compact", "--path", path])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["output_files"] == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_missing_source_config_is_a_clean_error(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["daily", "--date", "20250318", "--lake", str(tmp_path / "l"),
+             "--warehouse", str(tmp_path / "w")]
+        )
