@@ -62,34 +62,39 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _fetcher_factory(args):
-    """date -> fetcher callable, from --fake-source or conf credentials."""
+def _fetcher_factory(args, cfg):
+    """date -> fetcher callable, from --fake-source or conf credentials.
+    The live path carries the reference's 1 s/100-posts throttle
+    (extract-from-reddit.py:85-88) — the fake source doesn't, so tests
+    and dry runs stay fast."""
     if args.fake_source is not None:
         from .sources.reddit_api import FakeRedditSource
 
         return lambda date: FakeRedditSource(
             subreddit=args.subreddit, n=args.fake_source, day=int(date) % 7
         )
-    if not args.conf:
+    if cfg is None:
         raise SystemExit(
             "either --conf (live Reddit credentials) or --fake-source is required"
         )
-    from .config import load_config
+    from .sources.reddit_api import throttled
     from .sources.reddit_http import client_from_config
 
-    client = client_from_config(load_config(args.conf))
-    return lambda date: client.subreddit_top(
-        args.subreddit, time_filter=args.time_filter, limit=args.limit
-    )
+    client = client_from_config(cfg)
+
+    def fetcher_for(date):
+        return lambda: throttled(
+            client.top(args.subreddit, time_filter=args.time_filter, limit=args.limit)
+        )
+
+    return fetcher_for
 
 
-def _lake_root(args) -> str:
+def _lake_root(args, cfg) -> str:
     if args.lake:
         return args.lake
-    if args.conf:
-        from .config import load_config
-
-        return load_config(args.conf).lake_root()
+    if cfg is not None:
+        return cfg.lake_root()
     raise SystemExit("--lake is required without --conf")
 
 
@@ -103,9 +108,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"dropped_partitions": dropped}))
         return 0
 
+    cfg = None
+    if getattr(args, "conf", None):
+        from .config import load_config
+
+        cfg = load_config(args.conf)
+
     from .session import get_spark
 
-    spark = get_spark(app_name=f"reddit_etl_{args.cmd}")
+    # conf-driven runs need the s3a credentials/region on the session
+    # (config.py spark_s3_conf) or the s3a:// lake write can't authenticate
+    spark = get_spark(
+        app_name=f"reddit_etl_{args.cmd}",
+        extra_conf=cfg.spark_s3_conf() if cfg else None,
+    )
     if args.cmd == "compact":
         from .sources.lake import compact_table
 
@@ -115,8 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output_files": n}))
         return 0
 
-    fetchers = _fetcher_factory(args)
-    lake = _lake_root(args)
+    fetchers = _fetcher_factory(args, cfg)
+    lake = _lake_root(args, cfg)
     from .plans.pipeline import run_backfill, run_daily_batch
 
     if args.cmd == "daily":

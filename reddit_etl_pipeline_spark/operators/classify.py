@@ -61,7 +61,15 @@ def nb_train(
     Two driver scalars (vocab size V, total training docs) — both bounded
     model-side quantities, not data-proportional collects."""
     toks = _label_tokens(docs, label_col, text_col)
-    counts = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c_tl"))
+    # materialize the (label, tok) counts once: vocab/totals/the v_size
+    # driver action and the returned likelihood plan all derive from it,
+    # and without the checkpoint the corpus-wide token explode would
+    # re-execute for each (the single heaviest stage of training)
+    counts = (
+        toks.groupBy("label", "tok")
+        .agg(F.count(F.lit(1)).alias("c_tl"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.groupBy("label").agg(F.sum("c_tl").alias("c_l"))
     vocab = counts.select("tok").distinct()
     v_size = vocab.count()

@@ -258,6 +258,14 @@ def vacuum_table(
     import os
     import shutil
 
+    if "://" in path:
+        # object-store lakes need the same prefix-delete through the
+        # storage API (S3 DeleteObjects per partition prefix) — still
+        # O(1-per-partition) metadata work, but not os.listdir's job
+        raise NotImplementedError(
+            "vacuum_table operates on local paths; for object stores, "
+            "delete the batch_date=<cutoff> prefixes via the storage API"
+        )
     cutoff = (
         datetime.datetime.strptime(as_of, "%Y%m%d")
         - datetime.timedelta(days=keep_days)

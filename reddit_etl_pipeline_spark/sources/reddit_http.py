@@ -119,7 +119,11 @@ class RedditHttpClient:
         url = f"{self.api_url}{path}?{urllib.parse.urlencode(params)}"
         refreshed = False
         last: Exception | None = None
-        for attempt in range(self.retries):
+        attempt = 0
+        # manual attempt accounting: the one-shot 401 refresh must NOT
+        # consume an attempt, or a 401 on the final attempt would acquire
+        # a fresh token and then raise without ever using it
+        while attempt < self.retries:
             req = urllib.request.Request(
                 url,
                 headers={
@@ -133,14 +137,15 @@ class RedditHttpClient:
             except urllib.error.HTTPError as exc:
                 last = exc
                 if exc.code == 401 and not refreshed:
-                    refreshed = True  # expired token: refresh, don't burn a retry
+                    refreshed = True
                     self.connect()
                     continue
                 if exc.code not in TRANSIENT_STATUSES:
                     raise
             except urllib.error.URLError as exc:
                 last = exc
-            if attempt < self.retries - 1:
+            attempt += 1
+            if attempt < self.retries:
                 self._sleep(self.retry_delay_s)
         raise RedditApiError(f"GET {path} failed after {self.retries} attempts") from last
 

@@ -33,3 +33,23 @@ def test_incremental_dedup_empty_batch_and_empty_corpus(spark):
     assert sorted(
         r["doc_id"] for r in incremental_dedup(docs, empty).collect()
     ) == [1, 2]
+
+
+def test_incremental_dedup_null_text_never_matches(spark):
+    """SQL equality semantics: NULL-text docs are not duplicates of each
+    other across the batch boundary (the oracle's NOT EXISTS never
+    matches NULL); within the batch they still collapse to one row, the
+    same way GROUP BY groups NULLs."""
+    from reddit_etl_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "alpha")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(11, None), (12, None), (13, "alpha"), (14, "beta")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert kept == [11, 14]  # null survives (one row); alpha is a corpus dup

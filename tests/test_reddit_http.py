@@ -207,3 +207,15 @@ def test_fetch_posts_df_from_http_source(fake_server, spark):
     assert first["stickied"] == "True"
     nulls = [r for r in rows if r["author"] is None]
     assert nulls  # deleted accounts stay null
+
+
+def test_401_on_last_attempt_still_uses_fresh_token(fake_server):
+    """The one-shot token refresh must not consume a retry attempt: with
+    retries=1 an expired token is refreshed and the request still
+    succeeds on the single budgeted attempt."""
+    _reset_state()
+    c = _client(fake_server, retries=1)
+    assert len(list(c.top("stocks", limit=5))) == 5
+    FakeRedditHandler.state["expire_token"] = True
+    assert len(list(c.top("stocks", limit=5))) == 5
+    assert FakeRedditHandler.state["tokens_issued"] == 2
