@@ -30,6 +30,8 @@ from reddit_etl_pipeline_spark.operators import asof as AS
 from reddit_etl_pipeline_spark.operators import dedup as D
 from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import classify as CL
+from reddit_etl_pipeline_spark.operators import lm as LM
+from reddit_etl_pipeline_spark.operators import dsir as DS
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
@@ -138,6 +140,32 @@ def _big_spenders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- documents
+
+
+def _lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (operators/lm.py): fit a Laplace
+    bigram LM on even-id docs, score odd-id docs by integer micro-nat
+    average NLL, roll up head/middle/tail perplexity terciles per
+    language. Fixed-point model probabilities make the rollup
+    value-exact against the oracle."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return LM.perplexity_buckets(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (operators/dsir.py): fit
+    target (even-id English docs) vs raw (odd-id docs) n-gram
+    multinomials, keep the 50 most target-like raw docs by integer
+    micro-nat log-likelihood-ratio weight."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return DS.dsir_select(
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("lang") == "en")),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=50,
+    )
 
 
 def _nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": Q.product_profit,
         "forecast_revenue": Q.forecast_revenue,
         "supplier_part_variety": Q.supplier_part_variety,
+        "local_supplier_volume": Q.local_supplier_volume,
+        "ship_latency_priority": Q.ship_latency_priority,
+        "top_supplier": Q.top_supplier,
         "bigram_pmi": _bigram_pmi,
         "order_stats_unpivot": Q.order_stats_unpivot,
         "order_value_distribution": Q.order_value_distribution,
@@ -679,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "incremental_dedup": _incremental_dedup,
         "nb_lang_confusion": _nb_lang_confusion,
+        "lm_perplexity_buckets": _lm_perplexity_buckets,
+        "dsir_selection": _dsir_selection,
         "text_stats": _text_stats,
         "lang_source_rollup": _lang_source_rollup,
         "bpe_token_stats": _bpe_token_stats,
@@ -1245,6 +1278,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.lang AS actual, p.predicted, count(*) AS n_docs
             FROM documents a JOIN preds p ON a.doc_id = p.doc_id
             WHERE a.doc_id % 2 = 1
+            GROUP BY 1, 2
+        """,
+        "dsir_selection": f"""
+            WITH tgt AS (
+              SELECT {_TOKENS} AS l FROM documents
+              WHERE doc_id % 2 = 0 AND lang = 'en'
+            ),
+            rawd AS (
+              SELECT doc_id, {_TOKENS} AS l FROM documents WHERE doc_id % 2 = 1
+            ),
+            tf AS (
+              SELECT t.tok AS feat FROM tgt, unnest(l) AS t(tok)
+              WHERE t.tok <> ''
+              UNION ALL
+              SELECT l[i] || ' ' || l[i + 1]
+              FROM tgt, unnest(range(1, len(l))) AS t(i)
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            ),
+            rf AS (
+              SELECT doc_id, t.tok AS feat FROM rawd, unnest(l) AS t(tok)
+              WHERE t.tok <> ''
+              UNION ALL
+              SELECT doc_id, l[i] || ' ' || l[i + 1]
+              FROM rawd, unnest(range(1, len(l))) AS t(i)
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            ),
+            tc AS (SELECT feat, count(*) AS c_t FROM tf GROUP BY 1),
+            rc AS (SELECT feat, count(*) AS c_r FROM rf GROUP BY 1),
+            feats AS (
+              SELECT coalesce(tc.feat, rc.feat) AS feat,
+                     coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+              FROM tc FULL OUTER JOIN rc ON tc.feat = rc.feat
+            ),
+            tot AS (SELECT count(*) AS v, sum(c_t) AS n_t, sum(c_r) AS n_r
+                    FROM feats),
+            w AS (
+              SELECT feat,
+                     CAST(round((ln(CAST(c_t + 1 AS DOUBLE) / (n_t + v))
+                                 - ln(CAST(c_r + 1 AS DOUBLE) / (n_r + v)))
+                                * 1000000) AS BIGINT) AS w_unats
+              FROM feats CROSS JOIN tot
+            ),
+            scored AS (
+              SELECT r.doc_id, count(*) AS n_feats,
+                     sum(coalesce(w.w_unats, 0)) AS w_unats
+              FROM rf r LEFT JOIN w ON r.feat = w.feat
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(coalesce(s.w_unats, 0) AS BIGINT) AS w_unats
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY w_unats DESC, d.doc_id
+            LIMIT 50
+        """,
+        "lm_perplexity_buckets": f"""
+            WITH tr AS (
+              SELECT {_TOKENS} AS l FROM documents WHERE doc_id % 2 = 0
+            ),
+            trb AS (
+              SELECT l[i] AS w1, l[i + 1] AS w2
+              FROM tr, unnest(range(1, len(l))) AS t(i)
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            ),
+            counts AS (
+              SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY 1, 2
+            ),
+            vsz AS (SELECT count(DISTINCT w2) AS v FROM counts),
+            ctx AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
+            likes AS (
+              SELECT c.w1, c.w2,
+                     CAST(round(ln(CAST(c.c12 + 1 AS DOUBLE) / (x.c1 + vsz.v))
+                                * 1000000) AS BIGINT) AS l_unats
+              FROM counts c JOIN ctx x ON c.w1 = x.w1 CROSS JOIN vsz
+            ),
+            floors AS (
+              SELECT w1,
+                     CAST(round(ln(1.0 / (c1 + vsz.v)) * 1000000)
+                          AS BIGINT) AS floor_unats
+              FROM ctx CROSS JOIN vsz
+            ),
+            oov AS (
+              SELECT CAST(round(ln(1.0 / v) * 1000000) AS BIGINT) AS oov_unats
+              FROM vsz
+            ),
+            te AS (
+              SELECT doc_id, lang, {_TOKENS} AS l
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            teb AS (
+              SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+              FROM te, unnest(range(1, len(l))) AS t(i)
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            ),
+            perdoc AS (
+              SELECT b.doc_id, b.lang,
+                     count(*) AS n_bigrams,
+                     sum(-coalesce(lk.l_unats, fl.floor_unats, o.oov_unats))
+                       AS sum_nll
+              FROM teb b
+              LEFT JOIN likes lk ON lk.w1 = b.w1 AND lk.w2 = b.w2
+              LEFT JOIN floors fl ON fl.w1 = b.w1
+              CROSS JOIN oov o
+              GROUP BY 1, 2
+            ),
+            bucketed AS (
+              SELECT lang, sum_nll // n_bigrams AS avg_nll,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY sum_nll // n_bigrams, doc_id)
+                       AS tercile
+              FROM perdoc
+            )
+            SELECT lang,
+                   CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs,
+                   CAST(min(avg_nll) AS BIGINT) AS min_avg_nll,
+                   CAST(max(avg_nll) AS BIGINT) AS max_avg_nll
+            FROM bucketed
             GROUP BY 1, 2
         """,
         "incremental_dedup": """
@@ -2207,6 +2360,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
             LIMIT 100
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l_discount AS DECIMAL(18,4))))
+                              AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "ship_latency_priority": """
+            SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) <= 30
+                        THEN '00-30d'
+                        WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) <= 90
+                        THEN '31-90d'
+                        ELSE '90d+' END AS latency_band,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY latency_band
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name,
+                   round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY suppkey
         """,
         "market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,

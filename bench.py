@@ -122,6 +122,11 @@ def main() -> None:
         "cosine_topk_pq",
         "incremental_dedup",
         "nb_lang_confusion",
+        "local_supplier_volume",
+        "ship_latency_priority",
+        "top_supplier",
+        "lm_perplexity_buckets",
+        "dsir_selection",
     ]
 
     timings: dict[str, float] = {}

@@ -1513,3 +1513,138 @@ def supplier_part_variety(
         )
         .limit(k)
     )
+
+
+def local_supplier_volume(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA"
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the line's supplier sit in the SAME nation of one region — the
+    widest equi-join tree in the suite (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with a cross-table locality predicate.
+
+    Scale shape: the order-date range pushes to the orders scan and the
+    region filter prunes nation before it touches a fact. The locality
+    predicate c_nationkey = s_nationkey is an EQUI key, so it rides the
+    supplier hash join as part of the composite join key
+    (l_suppkey, c_nationkey) — no residual BNL. Fact⋈fact shuffles once
+    on orderkey; customer/supplier are sf-proportional so no forced
+    broadcast (AQE decides); nation⋈region broadcast. Revenue sums in
+    DECIMAL, cast at the boundary, ordered per total-order convention.
+    (Reference parity: SURVEY §2.5 multi-way joins; the reference's
+    widest join is dbt's staging⋈summary — this is that operator class
+    at warehouse scale.)"""
+    nation = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    local_nations = nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    # customer pruned to region members before the fact join; the
+    # supplier join keys on (suppkey, nationkey) so locality is equi
+    regional_cust = cust.join(
+        F.broadcast(local_nations), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(regional_cust, orders.o_custkey == F.col("c_custkey"))
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("n_name", F.round("revenue", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping-latency band, how many lineitems
+    belong to critical-priority orders vs the rest — the conditional
+    CASE-sum pivot over an orders⋈lineitem join. (The synthetic lineitem
+    has no l_shipmode/commitdate; days-from-order-to-ship bands stand in
+    for ship modes, preserving the derived-group + two-way conditional
+    count shape of Q12.)
+
+    Scale shape: the ship-date year filter pushes to the lineitem scan;
+    orders arrives pruned to (orderkey, priority); one shuffle on the
+    order key then a 3-group rollup. The CASE sums are codegen'd — the
+    pivot costs nothing beyond the join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    latency = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(latency <= 30, F.lit("00-30d"))
+        .when(latency <= 90, F.lit("31-90d"))
+        .otherwise(F.lit("90d+"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(band.alias("latency_band"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("latency_band")
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly lineitem revenue
+    equals the GLOBAL maximum — the revenue-view + scalar-max-subquery
+    pattern, with ties kept.
+
+    Scale shape: ONE lineitem scan (the naive view-referenced-twice SQL
+    re-aggregates the fact per reference). Aggregate to supplier grain
+    once, localCheckpoint the supplier-cardinality result (cuts lineage,
+    repo cache-hygiene pattern), take the max back as ONE driver scalar
+    and filter by DECIMAL equality — exact, no double-ulp tie ambiguity,
+    same execution as Catalyst's ScalarSubquery minus the rescan. The
+    supplier-name join broadcasts per AQE (result is ~1 row)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+        .localCheckpoint()
+    )
+    best = per_supp.agg(F.max("total_revenue").alias("m")).first()["m"]
+    return (
+        per_supp.filter(F.col("total_revenue") == F.lit(best))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("suppkey")
+    )

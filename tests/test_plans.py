@@ -188,8 +188,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
     ).read()
     targets = re.findall(r"F\.broadcast\((\w+)", src)
     assert targets, "expected broadcast hints on bounded dims to remain"
-    # n1/n2 are nation_trade_volume's filtered projections of nation
-    bad = [t for t in targets if t not in {"nation", "region", "n1", "n2"}]
+    # n1/n2 are nation_trade_volume's filtered projections of nation;
+    # reg/local_nations are local_supplier_volume's region-filtered
+    # region (1 row) and nation⋈region members (<= 25 rows) — bounded
+    bad = [
+        t
+        for t in targets
+        if t not in {"nation", "region", "n1", "n2", "reg", "local_nations"}
+    ]
     assert not bad, f"forced broadcast of sf-proportional tables: {bad}"
 
 
@@ -356,3 +362,35 @@ def test_nb_confusion_only_bounded_crosses(spark, sf_dir):
     p = plan_of(E.queries()["nb_lang_confusion"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
     assert "CartesianProduct" not in p
+
+
+def test_local_supplier_volume_equi_locality_no_bnl(spark, sf_dir):
+    """Q5 shape: the c_nationkey = s_nationkey locality predicate must
+    ride the supplier join as an EQUI key (composite hash join), the
+    region filter prunes before any fact, and the date range reaches
+    the orders scan."""
+    p = plan_of(Q.local_supplier_volume(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    # locality key is part of a hash-join key list, not a post-join filter
+    assert "c_nationkey" in p
+
+
+def test_ship_latency_priority_pushdown_and_prune(spark, sf_dir):
+    """Q12 shape: the ship-year range reaches the lineitem scan and only
+    the three needed orders columns are read."""
+    p = plan_of(Q.ship_latency_priority(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "o_totalprice" not in p  # orders scan pruned
+    assert p.count("HashAggregate") >= 2  # partial+final CASE sums
+
+
+def test_top_supplier_scans_lineitem_once(spark, sf_dir):
+    """Q15 shape: the max-revenue scalar is a driver literal over the
+    checkpointed supplier-grain aggregate — exactly ONE lineitem scan
+    (the view-referenced-twice SQL form rescans per reference)."""
+    p = plan_of(Q.top_supplier(spark, sf_dir))
+    assert p.count("lineitem.parquet") <= 1
+    assert "Subquery" not in p
