@@ -626,6 +626,14 @@ def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.temperature_mix(docs, alpha=0.75)
 
 
+def _stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous corpus dedup: candidate docs stream in
+    id-ordered micro-batches against a growing accepted-corpus
+    fingerprint index; converges to the batch incremental_dedup result
+    (same oracle)."""
+    return ST.streamed_incremental_dedup(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -757,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
+        "stream_incremental_dedup": _stream_incremental_dedup,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
         "stream_static_enrich": _stream_static_enrich,
@@ -2012,6 +2021,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_distinct_users": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_incremental_dedup": """
+            WITH normed AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents
+            ),
+            firsts AS (
+              SELECT min(doc_id) AS doc_id, norm
+              FROM normed WHERE doc_id % 2 = 1 GROUP BY norm
+            )
+            SELECT doc_id FROM firsts f
+            WHERE NOT EXISTS (SELECT 1 FROM normed c
+                              WHERE c.doc_id % 2 = 0 AND c.norm = f.norm)
         """,
         "stream_upsert_latest": """
             SELECT user_id, event_type,

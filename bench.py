@@ -127,6 +127,7 @@ def main() -> None:
         "top_supplier",
         "lm_perplexity_buckets",
         "dsir_selection",
+        "stream_incremental_dedup",
     ]
 
     timings: dict[str, float] = {}

@@ -12,6 +12,8 @@ in production the same plans run unchanged over kafka/cloud storage.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -622,6 +624,132 @@ def streamed_upsert_latest(
         F.col("ts").alias("last_ts"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+# ------------------------------------- foreachBatch streaming corpus dedup
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    accepted_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Merge one micro-batch of documents into a growing dedup corpus:
+    anti-join the batch's content fingerprints against the accepted-corpus
+    fingerprint index, record the survivors, and extend the index with
+    their fingerprints so later batches reject their duplicates.
+
+    Idempotency under foreachBatch's at-least-once replay: both writes
+    land in a ``batch_id=N`` partition directory with overwrite mode, so
+    a replayed batch overwrites its own partition instead of doubling it
+    (the same per-key idempotency trick as date-partitioned lake writes).
+    The index is only ever APPENDED partitions — 8-byte fingerprints, no
+    text — so the per-batch cost is one fingerprint anti-join; the corpus
+    itself is never rescanned. On Delta/Iceberg the index write is an
+    ACID append and the anti-join can prune index files by fingerprint
+    range; plain-parquet partition dirs are the same shape.
+    """
+    from ..operators.dedup import nullable_fingerprint
+
+    spark = batch.sparkSession
+    new_fp = batch.select(
+        F.col(id_col), nullable_fingerprint(text_col).alias("fp")
+    )
+    firsts = new_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    if os.path.exists(index_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(index_path)
+    ):
+        # only STRICTLY EARLIER partitions: on an at-least-once replay the
+        # index already holds this batch's own fingerprints, and matching
+        # them would overwrite the batch's accepted partition with an
+        # empty one. Partition pruning makes the filter metadata-only.
+        seen = (
+            spark.read.parquet(index_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select("fp")
+        )
+        accepted = firsts.join(seen, "fp", "left_anti")
+    else:
+        accepted = firsts
+    # one computation, two partition writes: checkpoint so the anti-join
+    # doesn't execute twice (and can't flap between the writes)
+    accepted = accepted.localCheckpoint(eager=True)
+    accepted.select(id_col).write.mode("overwrite").parquet(
+        f"{accepted_path}/batch_id={batch_id}"
+    )
+    accepted.select("fp").write.mode("overwrite").parquet(
+        f"{index_path}/batch_id={batch_id}"
+    )
+
+
+def streamed_incremental_dedup(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
+    """Continuous corpus build: seed the fingerprint index from the
+    accepted corpus (even-id docs), stream the candidate docs (odd-id) in
+    ``n_slices`` id-ordered micro-batches through
+    ``dedup_batch_against_index``, and return the accepted ids —
+    equivalent to the batch ``incremental_dedup`` (same DuckDB oracle).
+
+    Slices are CONTIGUOUS id ranges delivered in order (file-source
+    batches are mtime-ordered), so streaming first-arrival acceptance
+    equals the batch min-id rule and the outputs are identical — the
+    property a replayable ingest pipeline needs (id is ingest order in
+    production, so "first arrived" and "lowest id" agree there too)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    from ..operators.dedup import nullable_fingerprint
+
+    base = tempfile.mkdtemp(prefix="inc_dedup_")
+    index_path = f"{base}/fp_index"
+    accepted_path = f"{base}/accepted"
+    # seed the index once per corpus (batch_id=-1 partition)
+    corpus.select(
+        nullable_fingerprint("text").alias("fp")
+    ).distinct().write.mode("overwrite").parquet(f"{index_path}/batch_id=-1")
+
+    hi = new.agg(F.max("doc_id")).first()[0]
+    chunk = (int(hi) + n_slices) // n_slices + 1
+    slices = [
+        new.filter(
+            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
+        )
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="inc_dedup_stream_")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge(b: DataFrame, batch_id: int) -> None:
+        dedup_batch_against_index(b, batch_id, index_path, accepted_path)
+
+    chk = tempfile.mkdtemp(prefix="inc_dedup_chk_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(accepted_path).select("doc_id")
 
 
 # ------------------------------------------- native windowed session / slide

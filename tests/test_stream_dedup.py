@@ -1,0 +1,83 @@
+"""Streaming cross-batch corpus dedup (streaming/stream.py
+dedup_batch_against_index / streamed_incremental_dedup): cross-batch
+rejection through the growing index, within-batch min-id collapse,
+at-least-once replay idempotency, and NULL-text semantics."""
+
+import tempfile
+
+from pyspark.sql import Row
+
+from reddit_etl_pipeline_spark.streaming.stream import (
+    dedup_batch_against_index,
+    streamed_incremental_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows],
+        "doc_id long, text string",
+    )
+
+
+def _setup(tmp_prefix="sd_"):
+    base = tempfile.mkdtemp(prefix=tmp_prefix)
+    return f"{base}/idx", f"{base}/acc"
+
+
+def _accepted(spark, acc):
+    return sorted(
+        r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+    )
+
+
+def test_cross_batch_duplicates_rejected(spark):
+    idx, acc = _setup()
+    dedup_batch_against_index(_docs(spark, [(1, "aa"), (2, "bb")]), 0, idx, acc)
+    # batch 1: "aa" already accepted in batch 0 -> only "cc" survives
+    dedup_batch_against_index(_docs(spark, [(3, "aa"), (4, "cc")]), 1, idx, acc)
+    assert _accepted(spark, acc) == [1, 2, 4]
+
+
+def test_within_batch_collapses_to_min_id(spark):
+    idx, acc = _setup()
+    dedup_batch_against_index(
+        _docs(spark, [(9, "dup"), (3, "dup"), (5, "solo")]), 0, idx, acc
+    )
+    assert _accepted(spark, acc) == [3, 5]
+
+
+def test_replay_same_batch_id_is_idempotent(spark):
+    idx, acc = _setup()
+    b = _docs(spark, [(1, "aa"), (2, "bb")])
+    dedup_batch_against_index(b, 0, idx, acc)
+    dedup_batch_against_index(b, 0, idx, acc)  # foreachBatch replay
+    assert _accepted(spark, acc) == [1, 2]
+
+
+def test_null_text_never_matches_but_collapses_within_batch(spark):
+    idx, acc = _setup()
+    dedup_batch_against_index(_docs(spark, [(1, None), (2, "x")]), 0, idx, acc)
+    # NULL fp in the index must NOT reject later NULL docs (SQL equality);
+    # but the two NULLs within batch 1 group together -> min id survives
+    dedup_batch_against_index(_docs(spark, [(7, None), (5, None)]), 1, idx, acc)
+    assert _accepted(spark, acc) == [1, 2, 5]
+
+
+def test_streamed_matches_batch_incremental_dedup(spark, sf_dir):
+    from reddit_etl_pipeline_spark.operators.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in streamed_incremental_dedup(spark, sf_dir).collect()
+    )
+    assert got == want
