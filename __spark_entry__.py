@@ -32,6 +32,7 @@ from reddit_etl_pipeline_spark.operators import multimodal as MM
 from reddit_etl_pipeline_spark.operators import classify as CL
 from reddit_etl_pipeline_spark.operators import lm as LM
 from reddit_etl_pipeline_spark.operators import dsir as DS
+from reddit_etl_pipeline_spark.operators import bpe as BP
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
@@ -152,6 +153,22 @@ def _lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.perplexity_buckets(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer fit (operators/bpe.py): learn 100 merges from the
+    even-id docs' word histogram (one corpus scan + bounded driver loop),
+    segment odd-id docs map-only, roll up subword counts per language.
+    Deterministic but iterative-argmax — non-SQL-expressible, rows-only
+    (like k-means/pagerank); merge-sequence exactness is pinned by hand
+    in tests/test_bpe.py."""
+    docs = Q.load(spark, sf_dir, "documents")
+    merges = BP.learn_bpe_merges(
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=100
+    )
+    return BP.bpe_segment_stats(
+        docs.filter(F.col("doc_id") % 2 == 1), merges
     )
 
 
@@ -720,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_confusion": _nb_lang_confusion,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
+        "bpe_vocab_stats": _bpe_vocab_stats,
         "text_stats": _text_stats,
         "lang_source_rollup": _lang_source_rollup,
         "bpe_token_stats": _bpe_token_stats,

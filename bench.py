@@ -128,6 +128,7 @@ def main() -> None:
         "lm_perplexity_buckets",
         "dsir_selection",
         "stream_incremental_dedup",
+        "bpe_vocab_stats",
     ]
 
     timings: dict[str, float] = {}

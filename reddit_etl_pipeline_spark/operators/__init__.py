@@ -51,6 +51,7 @@ from .clustering import kmeans_assign, kmeans_cluster_stats, kmeans_fit  # noqa:
 from .graph import degree_stats, pagerank  # noqa: F401
 from .lm import bucket_thresholds, lm_score, lm_train, perplexity_buckets  # noqa: F401
 from .dsir import dsir_fit, dsir_score, dsir_select  # noqa: F401
+from .bpe import bpe_segment_stats, learn_bpe_merges, word_histogram  # noqa: F401
 from .skew import salted_join, two_phase_count, two_phase_distinct_count  # noqa: F401
 from .text_quality import (  # noqa: F401
     contaminated_doc_ids,
