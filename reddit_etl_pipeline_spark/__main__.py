@@ -8,6 +8,8 @@ the same operational surface against the Spark-native engine:
     python -m reddit_etl_pipeline_spark daily    --date 20250318 \
         --lake /data/lake --warehouse /data/wh [--conf configuration.conf]
     python -m reddit_etl_pipeline_spark backfill --dates 20250318,20250320 ...
+    python -m reddit_etl_pipeline_spark curate   --input /data/lake/docs \
+        --output /data/curated [--min-quality 0.45] [--lm-tail-drop]
     python -m reddit_etl_pipeline_spark compact  --path /data/wh
     python -m reddit_etl_pipeline_spark vacuum   --path /data/lake \
         --keep-days 30 --as-of 20250324
@@ -53,6 +55,20 @@ def _build_parser() -> argparse.ArgumentParser:
     compact.add_argument("--path", required=True)
     compact.add_argument(
         "--target-file-mb", type=int, default=128, help="output file size target"
+    )
+
+    cur = sub.add_parser(
+        "curate",
+        help="corpus curation: dedup + quality/language gate + PII scrub",
+    )
+    cur.add_argument("--input", required=True, help="documents parquet path")
+    cur.add_argument("--output", required=True, help="curated output path")
+    cur.add_argument("--min-quality", type=float, default=0.45)
+    cur.add_argument("--neardup-threshold", type=float, default=0.9)
+    cur.add_argument(
+        "--lm-tail-drop",
+        action="store_true",
+        help="also drop each language's worst-perplexity tercile",
     )
 
     vac = sub.add_parser("vacuum", help="drop lake partitions past retention")
@@ -122,6 +138,20 @@ def main(argv: list[str] | None = None) -> int:
         app_name=f"reddit_etl_{args.cmd}",
         extra_conf=cfg.spark_s3_conf() if cfg else None,
     )
+    if args.cmd == "curate":
+        from .plans.curation import curate_corpus
+
+        report = curate_corpus(
+            spark,
+            args.input,
+            args.output,
+            min_quality=args.min_quality,
+            neardup_threshold=args.neardup_threshold,
+            lm_tail_drop=args.lm_tail_drop,
+        )
+        print(json.dumps(report))
+        return 0
+
     if args.cmd == "compact":
         from .sources.lake import compact_table
 

@@ -1,0 +1,97 @@
+"""One-command corpus curation — the training-data build the individual
+operators exist for, composed as an operational driver:
+
+    raw docs → exact dedup → near-dup keep-one → quality / language gate
+             → PII scrub → (optional) LM perplexity tail drop → curated
+
+Each stage is one of the repo's verified operators (operators/dedup.py,
+functions/text.py, functions/pii.py, operators/lm.py); this module only
+sequences them, counts survivors, and writes the result — the
+`python -m reddit_etl_pipeline_spark curate` subcommand a user runs
+instead of the reference's ad-hoc pandas filters.
+
+Scale notes: stage order is cheapest-reduction-first (exact dedup is one
+fingerprint shuffle and typically removes the most volume), each stage's
+output feeds the next as a plan (no materialization besides one
+localCheckpoint after the join-heavy near-dup stage, which cuts lineage
+exactly like the operators' own internals), and the LM tail drop uses the
+SAMPLED-cutoff production path (operators/lm.bucket_thresholds) — a
+map-side comparison, never a per-language NTILE sort of the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pii import scrub_pii
+from ..functions.text import detect_language, quality_score
+from ..operators import dedup as D
+from ..operators import lm as LM
+
+
+def curate_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.45,
+    neardup_threshold: float = 0.9,
+    lm_tail_drop: bool = False,
+) -> dict:
+    """Run the curation chain over a parquet documents table and write
+    the surviving docs (PII-scrubbed text, plus ``lang_pred`` and
+    ``quality`` columns) to ``output_path``. Returns the per-stage
+    survivor counts the ingest dashboard tracks."""
+    docs = spark.read.parquet(input_path)
+    report = {"input": docs.count()}
+
+    kept_ids = D.dedup_exact(docs, text_col, id_col).select(id_col)
+    exact = docs.join(kept_ids, id_col)
+    report["after_exact_dedup"] = exact.count()
+
+    reps = D.neardup_clusters(exact, threshold=neardup_threshold)
+    neard = (
+        exact.join(reps, id_col)
+        .filter(F.col(id_col) == F.col("rep_id"))
+        .drop("rep_id")
+        .localCheckpoint()  # cut the iterative-clustering lineage
+    )
+    report["after_neardup"] = neard.count()
+
+    gated = (
+        neard.withColumn("lang_pred", detect_language(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .filter(
+            (F.col("quality") >= min_quality) & (F.col("lang_pred") != "und")
+        )
+    )
+    curated = gated.withColumn(text_col, scrub_pii(text_col))
+    report["after_quality_gate"] = curated.count()
+
+    if lm_tail_drop:
+        # fit on the survivors themselves (self-perplexity: outliers vs
+        # the corpus's own distribution), drop each language's tail
+        # tercile via sampled cutoffs — map-side, no per-lang sort.
+        # Docs with < 2 tokens are LM-unscorable and dropped here too
+        # (CCNet's convention; the quality gate already removes most)
+        likes, ctxs, oov = LM.lm_train(curated, text_col=text_col)
+        scored = LM.lm_score(
+            curated, likes, ctxs, oov,
+            text_col=text_col, id_col=id_col, extra_cols=["lang_pred"],
+        ).localCheckpoint()
+        cuts = LM.bucket_thresholds(scored, lang_col="lang_pred")
+        cond = None
+        for lang, (_, c2) in cuts.items():
+            this = (F.col("lang_pred") == lang) & (
+                F.col("avg_nll_unats") <= c2
+            )
+            cond = this if cond is None else (cond | this)
+        if cond is not None:
+            keep = scored.filter(cond).select(id_col)
+            curated = curated.join(keep, id_col)
+        report["after_lm_tail_drop"] = curated.count()
+
+    curated.write.mode("overwrite").parquet(output_path)
+    report["written"] = spark.read.parquet(output_path).count()
+    return report

@@ -57,3 +57,39 @@ def test_missing_source_config_is_a_clean_error(tmp_path):
             ["daily", "--date", "20250318", "--lake", str(tmp_path / "l"),
              "--warehouse", str(tmp_path / "w")]
         )
+
+
+def test_curate_subcommand(spark, sf_dir, tmp_path, capsys):
+    """End-to-end corpus curation: dedup + gates + scrub over the real
+    documents table; counts must be monotone non-increasing and the
+    written table must carry the derived columns with scrubbed text."""
+    out_path = str(tmp_path / "curated")
+    rc = main(
+        ["curate", "--input", f"{sf_dir}/documents.parquet",
+         "--output", out_path]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        rep["input"] >= rep["after_exact_dedup"]
+        >= rep["after_neardup"] >= rep["after_quality_gate"]
+        == rep["written"] > 0
+    )
+    curated = spark.read.parquet(out_path)
+    assert {"doc_id", "text", "lang_pred", "quality"} <= set(curated.columns)
+    # gates actually applied
+    assert curated.filter("quality < 0.45 OR lang_pred = 'und'").count() == 0
+
+
+def test_curate_lm_tail_drop(spark, sf_dir, tmp_path, capsys):
+    out_path = str(tmp_path / "curated_lm")
+    rc = main(
+        ["curate", "--input", f"{sf_dir}/documents.parquet",
+         "--output", out_path, "--lm-tail-drop"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the tail drop removes roughly a third of each language (plus
+    # unscorable docs) — strictly fewer than the gate stage, never zero
+    assert 0 < rep["after_lm_tail_drop"] < rep["after_quality_gate"]
+    assert rep["written"] == rep["after_lm_tail_drop"]

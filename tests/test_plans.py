@@ -394,3 +394,16 @@ def test_top_supplier_scans_lineitem_once(spark, sf_dir):
     p = plan_of(Q.top_supplier(spark, sf_dir))
     assert p.count("lineitem.parquet") <= 1
     assert "Subquery" not in p
+
+
+def test_lm_buckets_window_partitioned_by_lang(spark, sf_dir):
+    """The tercile NTILE must partition by language — an unpartitioned
+    window would serialize the scored corpus through one task (the
+    production path uses sampled cutoffs; the exact rollup must still
+    be per-lang parallel)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["lm_perplexity_buckets"](spark, sf_dir)
+    p = plan_of(df)
+    assert "Window" in p
+    assert "SinglePartition" not in p
