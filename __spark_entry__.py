@@ -519,6 +519,20 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- embeddings
 
 
+def _knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN embedding-label classification (operators/similarity.py):
+    even-id vectors train, odd-id vectors score via exact cosine top-5
+    majority vote (nearest-neighbor tie-break); integer confusion matrix
+    is value-exact vs the oracle. Exact baseline (gated broadcast); the
+    IVF/LSH top-k substitutes at corpus scale."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.knn_label_confusion(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+    )
+
+
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.cosine_topk_bruteforce(
@@ -763,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
         "cosine_topk": _cosine_topk,
+        "knn_label_confusion": _knn_label_confusion,
         "cosine_topk_lsh": _cosine_topk_lsh,
         "cosine_topk_ivf": _cosine_topk_ivf,
         "cosine_topk_pq": _cosine_topk_pq,
@@ -1932,6 +1947,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s
             JOIN reps r ON r.doc_id = s.doc_id AND r.rep_id = s.doc_id
             WHERE s.quality >= 0.45 AND s.lang_pred <> 'und'
+        """,
+        "knn_label_confusion": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(label AS BIGINT) AS actual,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 2 = 1
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS n_label,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ), scored AS (
+              SELECT query_id, neighbor_id, n_label,
+                     list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))) AS sim
+              FROM q, c
+            ), topk AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored) r
+              WHERE rank <= 5
+            ), votes AS (
+              SELECT query_id, n_label, count(*) AS n_votes,
+                     min(rank) AS best_rank
+              FROM topk GROUP BY 1, 2
+            ), pred AS (
+              SELECT query_id, n_label AS predicted FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, best_rank, n_label) AS rn
+                FROM votes) v
+              WHERE rn = 1
+            )
+            SELECT q.actual, p.predicted, count(*) AS n_vecs
+            FROM q JOIN pred p ON q.query_id = p.query_id
+            GROUP BY 1, 2
         """,
         "cosine_topk": """
             WITH q AS (

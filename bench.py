@@ -129,6 +129,7 @@ def main() -> None:
         "dsir_selection",
         "stream_incremental_dedup",
         "bpe_vocab_stats",
+        "knn_label_confusion",
     ]
 
     timings: dict[str, float] = {}

@@ -45,6 +45,7 @@ from .similarity import (  # noqa: F401
     embedding_neardup_exact,
     embedding_neardup_pairs,
     ivf_topk,
+    knn_label_confusion,
     semantic_dedup,
 )
 from .clustering import kmeans_assign, kmeans_cluster_stats, kmeans_fit  # noqa: F401

@@ -726,3 +726,69 @@ def semantic_dedup(
         .applyInPandas(dedup_cluster, "id long, cid long, keep long")
         .withColumnRenamed("id", id_col)
     )
+
+
+def knn_label_confusion(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int | None = 100_000,
+) -> DataFrame:
+    """k-NN label classification over embeddings, evaluated as a
+    confusion matrix (actual, predicted, n_vecs) — the standard
+    embedding-space sanity check of a training-data pipeline (does a
+    nearest-neighbor vote recover the annotation?).
+
+    Prediction: majority vote over the exact cosine top-``k`` neighbors;
+    ties break to the label holding the NEAREST neighbor among the tied
+    labels, then to the smallest label — fully deterministic, so the
+    integer confusion matrix is value-hash oracle-checkable.
+
+    Scale gate: the exact top-k broadcasts the QUERY side
+    (cosine_topk_bruteforce), so this is the correctness baseline, gated
+    by ``max_queries`` like embedding_neardup_exact. At corpus scale the
+    identical vote/argmax composition runs on ``ivf_topk`` /
+    ``cosine_topk_lsh`` output instead — only the neighbor source
+    changes."""
+    if max_queries is not None:
+        n = test.limit(max_queries + 1).count()
+        if n > max_queries:
+            raise ValueError(
+                f"knn_label_confusion broadcasts the query side; test set "
+                f"exceeds max_queries={max_queries}. Feed the vote stage "
+                f"from ivf_topk/cosine_topk_lsh at this scale, or pass "
+                f"max_queries=None to opt in."
+            )
+    topk = cosine_topk_bruteforce(
+        train, test, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = train.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("n_label"),
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("best_rank"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("predicted"))
+    )
+    actual = test.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("actual"),
+    )
+    return actual.join(pred, "query_id").groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )

@@ -1,0 +1,58 @@
+"""k-NN embedding-label classification (similarity.knn_label_confusion):
+separable-cluster exactness, nearest-neighbor tie-break, the broadcast
+gate, and partition invariance."""
+
+import pytest
+from pyspark.sql import Row
+
+from reddit_etl_pipeline_spark.operators.similarity import knn_label_confusion
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=lb) for i, v, lb in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_separable_clusters_perfect_diagonal(spark):
+    # two well-separated clusters; odd ids test, even ids train
+    train = _vecs(spark, [
+        (0, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (4, [1.0, 0.1], 0),
+        (6, [0.0, 1.0], 1), (8, [0.1, 0.9], 1), (10, [0.1, 1.0], 1),
+    ])
+    test = _vecs(spark, [
+        (1, [0.95, 0.05], 0), (3, [0.05, 0.95], 1), (5, [1.0, 0.05], 0),
+    ])
+    conf = {(r["actual"], r["predicted"]): r["n_vecs"]
+            for r in knn_label_confusion(train, test, k=3).collect()}
+    assert conf == {(0, 0): 2, (1, 1): 1}
+
+
+def test_tie_breaks_to_nearest_neighbor_label(spark):
+    # k=2: one vote each; the label of the NEARER neighbor must win
+    train = _vecs(spark, [
+        (0, [1.0, 0.0], 7),   # nearest to the query
+        (2, [0.7, 0.7], 3),   # second
+    ])
+    test = _vecs(spark, [(1, [1.0, 0.01], 9)])
+    rows = knn_label_confusion(train, test, k=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["actual"] == 9 and rows[0]["predicted"] == 7
+
+
+def test_max_queries_gate(spark):
+    vs = _vecs(spark, [(i, [1.0, 0.0], 0) for i in range(10)])
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_label_confusion(vs, vs, k=1, max_queries=5)
+
+
+def test_partition_invariance(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    train = embeddings.filter(F.col("vec_id") % 2 == 0)
+    test = embeddings.filter(F.col("vec_id") % 2 == 1)
+    a = sorted(map(tuple, knn_label_confusion(train, test).collect()))
+    b = sorted(map(tuple, knn_label_confusion(
+        train.repartition(7), test.repartition(5)).collect()))
+    assert a == b

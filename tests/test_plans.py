@@ -83,6 +83,10 @@ BNL_ALLOWED = {
     # vocabulary, like nation), not sf-proportional;
     # test_nb_confusion_only_bounded_crosses pins that no third one creeps in.
     "nb_lang_confusion",
+    # knn_label_confusion: composes cosine_topk_bruteforce (the declared
+    # exact baseline above), gated by max_queries; the IVF/LSH top-k is
+    # the scale path for the same vote/argmax composition.
+    "knn_label_confusion",
 }
 
 # Streaming entries execute the stream when called (run_stream_to_batch),
