@@ -533,6 +533,21 @@ def _knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_label_confusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN classifier on the IVF ANN path (rows-only: kmeans
+    assignment isn't SQL-expressible) — same vote/argmax composition as
+    knn_label_confusion, neighbor candidates from inverted lists instead
+    of the gated broadcast; agreement with exact pinned in
+    tests/test_knn.py."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.knn_label_confusion(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+        method="ivf",
+    )
+
+
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.cosine_topk_bruteforce(
@@ -778,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data pipeline: embeddings
         "cosine_topk": _cosine_topk,
         "knn_label_confusion": _knn_label_confusion,
+        "knn_label_confusion_ivf": _knn_label_confusion_ivf,
         "cosine_topk_lsh": _cosine_topk_lsh,
         "cosine_topk_ivf": _cosine_topk_ivf,
         "cosine_topk_pq": _cosine_topk_pq,

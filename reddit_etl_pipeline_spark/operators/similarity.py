@@ -735,7 +735,9 @@ def knn_label_confusion(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "exact",
     max_queries: int | None = 100_000,
+    **ann_kwargs,
 ) -> DataFrame:
     """k-NN label classification over embeddings, evaluated as a
     confusion matrix (actual, predicted, n_vecs) — the standard
@@ -747,24 +749,32 @@ def knn_label_confusion(
     labels, then to the smallest label — fully deterministic, so the
     integer confusion matrix is value-hash oracle-checkable.
 
-    Scale gate: the exact top-k broadcasts the QUERY side
-    (cosine_topk_bruteforce), so this is the correctness baseline, gated
-    by ``max_queries`` like embedding_neardup_exact. At corpus scale the
-    identical vote/argmax composition runs on ``ivf_topk`` /
-    ``cosine_topk_lsh`` output instead — only the neighbor source
-    changes."""
-    if max_queries is not None:
-        n = test.limit(max_queries + 1).count()
-        if n > max_queries:
-            raise ValueError(
-                f"knn_label_confusion broadcasts the query side; test set "
-                f"exceeds max_queries={max_queries}. Feed the vote stage "
-                f"from ivf_topk/cosine_topk_lsh at this scale, or pass "
-                f"max_queries=None to opt in."
-            )
-    topk = cosine_topk_bruteforce(
-        train, test, k=k, id_col=id_col, vec_col=vec_col
-    )
+    Scale: ``method='exact'`` broadcasts the QUERY side
+    (cosine_topk_bruteforce) — the correctness baseline, gated by
+    ``max_queries`` like embedding_neardup_exact. ``method='ivf'`` feeds
+    the IDENTICAL vote/argmax stage from the inverted-list ANN
+    (``ann_kwargs`` forwarded to ivf_topk) — candidate cost
+    ~nprobe/n_centroids of the corpus, no broadcast of either side, the
+    production path."""
+    if method == "exact":
+        if max_queries is not None:
+            n = test.limit(max_queries + 1).count()
+            if n > max_queries:
+                raise ValueError(
+                    f"knn_label_confusion(method='exact') broadcasts the "
+                    f"query side; test set exceeds max_queries="
+                    f"{max_queries}. Use method='ivf' at this scale, or "
+                    f"pass max_queries=None to opt in."
+                )
+        topk = cosine_topk_bruteforce(
+            train, test, k=k, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "ivf":
+        topk = ivf_topk(
+            train, test, k=k, id_col=id_col, vec_col=vec_col, **ann_kwargs
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|ivf)")
     labels = train.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).cast("long").alias("n_label"),

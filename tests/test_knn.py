@@ -56,3 +56,34 @@ def test_partition_invariance(spark, embeddings):
     b = sorted(map(tuple, knn_label_confusion(
         train.repartition(7), test.repartition(5)).collect()))
     assert a == b
+
+
+def test_ivf_method_matches_exact_on_separable_clusters(spark):
+    train = _vecs(spark, [
+        (i, [1.0 + 0.01 * i, 0.0], 0) for i in range(0, 40, 2)
+    ] + [
+        (i, [0.0, 1.0 + 0.01 * i], 1) for i in range(40, 80, 2)
+    ])
+    test = _vecs(spark, [(1, [0.98, 0.02], 0), (41, [0.02, 0.97], 1)])
+    exact = sorted(map(tuple, knn_label_confusion(
+        train, test, k=3, method="exact").collect()))
+    ivf = sorted(map(tuple, knn_label_confusion(
+        train, test, k=3, method="ivf", n_centroids=4, nprobe=2).collect()))
+    assert ivf == exact == [(0, 0, 1), (1, 1, 1)]
+
+
+def test_ivf_method_agrees_with_exact_on_real_embeddings(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    train = embeddings.filter(F.col("vec_id") % 2 == 0)
+    test = embeddings.filter(F.col("vec_id") % 2 == 1)
+    n_test = test.count()
+    exact = knn_label_confusion(train, test, k=5)
+    ivf = knn_label_confusion(train, test, k=5, method="ivf")
+    # both classify every test vector; per-class confusion agreement is
+    # bounded below (IVF recall floor — random vectors are the hard case)
+    assert sum(r["n_vecs"] for r in ivf.collect()) == n_test
+    ex = {(r["actual"], r["predicted"]): r["n_vecs"] for r in exact.collect()}
+    iv = {(r["actual"], r["predicted"]): r["n_vecs"] for r in ivf.collect()}
+    overlap = sum(min(ex.get(k, 0), iv.get(k, 0)) for k in set(ex) | set(iv))
+    assert overlap / n_test >= 0.3
