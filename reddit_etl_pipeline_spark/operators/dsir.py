@@ -126,6 +126,11 @@ def dsir_fit(
     v_size, n_t, n_r = both.agg(
         F.count(F.lit(1)), F.sum("c_t"), F.sum("c_r")
     ).first()
+    if not v_size:
+        raise ValueError(
+            "dsir_fit: neither corpus contains any features (all docs "
+            "empty) — no importance model can be fit"
+        )
     return both.select(
         "feat",
         F.round(

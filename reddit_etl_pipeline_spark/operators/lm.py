@@ -91,6 +91,11 @@ def lm_train(
         .localCheckpoint(eager=True)
     )
     v_size = counts.select("w2").distinct().count()
+    if v_size == 0:
+        raise ValueError(
+            "lm_train: training corpus has no bigrams (every doc under "
+            "2 tokens) — no model can be fit"
+        )
     ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     likelihoods = counts.join(ctx, "w1").select(
         "w1",

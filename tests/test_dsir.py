@@ -97,3 +97,10 @@ def test_select_plan_is_take_ordered(spark, documents):
         k=10,
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fit_on_empty_corpora_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="any features"):
+        dsir.dsir_fit(_docs(spark, ["", "  "]), _docs(spark, [""]))

@@ -113,3 +113,10 @@ def test_bucket_thresholds_agree_with_ntile(spark, documents):
         n = sub.count()
         lo = sub.filter(F.col("avg_nll_unats") <= c1).count()
         assert lo >= n // 3  # never undershoots the exact tercile
+
+
+def test_train_on_unscorable_corpus_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="no bigrams"):
+        lm.lm_train(_docs(spark, ["one", ""]))
