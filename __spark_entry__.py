@@ -730,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": Q.stats_moments,
         "approx_distinct_stats": Q.approx_distinct_stats,
         "buyer_segments": Q.buyer_segments,
+        "value_anomalies": Q.value_anomalies,
         "ohlc_by_type": Q.ohlc_by_type,
         "shipping_priority": Q.shipping_priority,
         "late_shipment_priority": Q.late_shipment_priority,
@@ -1759,6 +1760,28 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(CAST(n_dup AS DOUBLE) / n_spans, 0.0), 6)
                      AS dup_span_frac
             FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+        """,
+        "value_anomalies": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ),
+            dev AS (
+              SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+              FROM events e JOIN med m ON e.event_type = m.event_type
+            ),
+            mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT d.event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   round(any_value(d.med), 6) AS med,
+                   round(any_value(m.mad), 6) AS mad
+            FROM dev d JOIN mad m ON d.event_type = m.event_type
+            GROUP BY 1
         """,
         "ngram_frequency": f"""
             WITH d AS (SELECT doc_id, {_TOKENS} AS l FROM documents),

@@ -130,6 +130,7 @@ def main() -> None:
         "stream_incremental_dedup",
         "bpe_vocab_stats",
         "knn_label_confusion",
+        "value_anomalies",
     ]
 
     timings: dict[str, float] = {}

@@ -1648,3 +1648,42 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str, nsig: int = 5) -> DataFrame:
+    """Robust-statistics anomaly audit per event type: median / MAD
+    (median absolute deviation) of ``value`` and the count of events
+    beyond ``nsig`` MADs of the median — the outlier monitor a pipeline
+    runs per ingest batch (median/MAD, unlike mean/stddev, don't let the
+    outliers move the fence they're judged against).
+
+    Exactness: the outlier comparison uses FULL-precision median/MAD
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` linear
+    interpolation), rounding only the reported columns, so the integer
+    counts hash-match. Scale shape: two grouped aggregates + two
+    broadcast-size joins (event-type cardinality); exact percentile
+    sorts per group — swap ``percentile_approx`` at 100 TB like
+    value_percentiles documents, the fence moves by the sketch error
+    only."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > nsig * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.first("med"), ROUND_DP).alias("med"),
+            F.round(F.first("mad"), ROUND_DP).alias("mad"),
+        )
+    )
