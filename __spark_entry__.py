@@ -422,6 +422,14 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang_pred", "quality")
 
 
+def _line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line REMOVAL (operators/dedup.dedup_lines): the rewrite
+    counterpart of line_dedup_stats — corpus-wide first occurrence of
+    each normalized line survives, blank lines kept, docs reassembled in
+    position order."""
+    return D.dedup_lines(Q.load(spark, sf_dir, "documents"))
+
+
 def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style line-level dedup signals per document
     (single-line corpora degrade to whole-doc dup detection)."""
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "tfidf_keywords": _tfidf_keywords,
         "line_dedup_stats": _line_dedup_stats,
+        "line_dedup_rewrite": _line_dedup_rewrite,
         "duplicate_span_stats": _duplicate_span_stats,
         "ngram_frequency": _ngram_frequency,
         "vocab_oov_stats": _vocab_oov_stats,
@@ -1717,6 +1726,31 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6)
                      AS covar_value_hour
             FROM events GROUP BY 1
+        """,
+        "line_dedup_rewrite": """
+            WITH lines AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS line,
+                     trim(lower(l[i])) AS norm
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                    FROM documents),
+                   unnest(range(1, len(l) + 1)) AS t(i)
+            ),
+            flagged AS (
+              SELECT doc_id, pos, line,
+                     (length(norm) = 0
+                      OR row_number() OVER (PARTITION BY norm
+                                            ORDER BY doc_id, pos) = 1)
+                       AS keep
+              FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_lines_removed
+            FROM flagged
+            GROUP BY doc_id
         """,
         "line_dedup_stats": """
             WITH ln AS (

@@ -131,6 +131,7 @@ def main() -> None:
         "bpe_vocab_stats",
         "knn_label_confusion",
         "value_anomalies",
+        "line_dedup_rewrite",
     ]
 
     timings: dict[str, float] = {}

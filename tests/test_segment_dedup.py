@@ -97,3 +97,34 @@ def test_shard_assignment_deterministic_and_complete(spark):
     assert all(r.n_tokens > 0 for r in man)
     # scramble spreads docs: no shard grabs more than half the corpus
     assert max(r.n_docs for r in man) < 100
+
+
+def test_dedup_lines_rewrite(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="Header\nbody one\n\nbody two"),
+        Row(doc_id=2, text="header\nbody two\nunique line"),
+    ])
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    # doc 1 arrives first: keeps everything (blank line preserved)
+    assert rows[1]["clean_text"] == "Header\nbody one\n\nbody two"
+    assert rows[1]["n_lines_removed"] == 0
+    # doc 2: 'header' (case-insensitive dup) and 'body two' removed
+    assert rows[2]["clean_text"] == "unique line"
+    assert rows[2]["n_lines"] == 3 and rows[2]["n_lines_removed"] == 2
+
+
+def test_dedup_lines_all_removed_and_empty(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="same"),
+        Row(doc_id=2, text="same"),
+        Row(doc_id=3, text=""),
+    ])
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert rows[2]["clean_text"] == "" and rows[2]["n_lines_removed"] == 1
+    assert rows[3]["clean_text"] == "" and rows[3]["n_lines_removed"] == 0
