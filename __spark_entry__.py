@@ -436,6 +436,13 @@ def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup_stats(Q.load(spark, sf_dir, "documents"))
 
 
+def _duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL at 5-token grain
+    (operators/dedup.remove_duplicate_spans): later corpus occurrences of
+    a grain are dropped, docs rebuilt space-joined."""
+    return D.remove_duplicate_spans(Q.load(spark, sf_dir, "documents"), k=5)
+
+
 def _duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate 5-token-span fraction per document."""
     return D.duplicate_span_stats(Q.load(spark, sf_dir, "documents"), k=5)
@@ -794,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _line_dedup_stats,
         "line_dedup_rewrite": _line_dedup_rewrite,
         "duplicate_span_stats": _duplicate_span_stats,
+        "duplicate_span_rewrite": _duplicate_span_rewrite,
         "ngram_frequency": _ngram_frequency,
         "vocab_oov_stats": _vocab_oov_stats,
         "chunk_manifest": _chunk_manifest,
@@ -1772,6 +1780,44 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(CAST(n_dup AS DOUBLE) / n_lines, 0.0), 6)
                      AS dup_line_frac
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "duplicate_span_rewrite": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS l
+              FROM documents
+            ),
+            grains AS (
+              SELECT doc_id, gi,
+                     len(l[gi * 5 + 1 : gi * 5 + 5]) AS g_len,
+                     array_to_string(l[gi * 5 + 1 : gi * 5 + 5], ' ') AS g_str
+              FROM toks,
+                   unnest(range(0, CAST(ceil(len(l) / 5.0) AS BIGINT))) AS t(gi)
+              WHERE len(l) > 0
+            ),
+            flagged AS (
+              SELECT doc_id, gi, g_len, g_str,
+                     (g_len < 5
+                      OR row_number() OVER (PARTITION BY g_str
+                                            ORDER BY doc_id, gi) = 1) AS keep
+              FROM grains
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN keep THEN g_str END,
+                                         ' ' ORDER BY gi), '') AS clean_text,
+                     sum(g_len) AS n_tokens,
+                     sum(CASE WHEN keep THEN 0 ELSE g_len END)
+                       AS n_tokens_removed
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(r.n_tokens_removed, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "duplicate_span_stats": f"""
             WITH d AS (SELECT doc_id, {_TOKENS} AS l FROM documents),

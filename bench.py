@@ -132,6 +132,7 @@ def main() -> None:
         "knn_label_confusion",
         "value_anomalies",
         "line_dedup_rewrite",
+        "duplicate_span_rewrite",
     ]
 
     timings: dict[str, float] = {}

@@ -128,3 +128,37 @@ def test_dedup_lines_all_removed_and_empty(spark):
     rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
     assert rows[2]["clean_text"] == "" and rows[2]["n_lines_removed"] == 1
     assert rows[3]["clean_text"] == "" and rows[3]["n_lines_removed"] == 0
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 1: two full grains + partial; doc 2 repeats doc 1's first grain
+    d1 = "a b c d e f g h i j tail1 tail2"
+    d2 = "a b c d e x y z w v"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=d1), Row(doc_id=2, text=d2),
+    ])
+    rows = {r["doc_id"]: r
+            for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert rows[1]["clean_text"] == d1  # first occurrence keeps all
+    assert rows[1]["n_tokens"] == 12 and rows[1]["n_tokens_removed"] == 0
+    # doc 2: grain "a b c d e" removed, second grain survives
+    assert rows[2]["clean_text"] == "x y z w v"
+    assert rows[2]["n_tokens"] == 10 and rows[2]["n_tokens_removed"] == 5
+
+
+def test_remove_duplicate_spans_partial_grain_and_empty(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    # identical SHORT docs: partial grains (< k) are never dedup'd
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="same short"), Row(doc_id=2, text="same short"),
+        Row(doc_id=3, text=""),
+    ])
+    rows = {r["doc_id"]: r
+            for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert rows[1]["clean_text"] == rows[2]["clean_text"] == "same short"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_tokens"] == 0
