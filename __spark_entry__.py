@@ -275,6 +275,13 @@ def _token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style format-filter audit (operators/text_quality.c4_filter_stats):
+    retained-line fractions + code/boilerplate markers + the composite
+    keep verdict per document."""
+    return TQ.c4_filter_stats(Q.load(spark, sf_dir, "documents"))
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals per document."""
     return TQ.repetition_stats(Q.load(spark, sf_dir, "documents"))
@@ -793,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _corpus_mix,
         "token_length_histogram": _token_length_histogram,
         "repetition_stats": _repetition_stats,
+        "c4_filter_stats": _c4_filter_stats,
         "contamination_check": _contamination_check,
         "pii_scrub_stats": _pii_scrub_stats,
         "sequence_pack": _sequence_pack,
@@ -1580,6 +1588,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(len({_TOKENS}) / 16) * 16 AS INTEGER) AS token_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "c4_filter_stats": """
+            WITH lines AS (
+              SELECT doc_id, text, trim(l) AS lt
+              FROM (SELECT doc_id, text,
+                           unnest(string_split(text, chr(10))) AS l
+                    FROM documents)
+            ),
+            per_line AS (
+              SELECT doc_id, text,
+                     (length(lt) > 0
+                      AND regexp_matches(lt, '[.!?"]$')
+                      AND len(string_split_regex(lt, '\\s+')) >= 5)
+                       AS retained
+              FROM lines
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained_lines,
+                     CAST(max(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS has_curly,
+                     CAST(max(CASE WHEN contains(lower(text), 'lorem ipsum')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS has_lorem
+              FROM per_line GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_retained_lines,
+                   round(CAST(n_retained_lines AS DOUBLE) / n_lines, 6)
+                     AS retained_line_frac,
+                   has_curly, has_lorem,
+                   CAST(CASE WHEN n_retained_lines >= 3 AND has_curly = 0
+                             AND has_lorem = 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS would_keep
+            FROM per_doc
         """,
         "repetition_stats": f"""
             WITH d AS (SELECT doc_id, text, {_TOKENS} AS l FROM documents),

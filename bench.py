@@ -133,6 +133,7 @@ def main() -> None:
         "value_anomalies",
         "line_dedup_rewrite",
         "duplicate_span_rewrite",
+        "c4_filter_stats",
     ]
 
     timings: dict[str, float] = {}

@@ -294,3 +294,67 @@ def vocab_oov_stats(
             ).alias("avg_oov_ratio"),
         )
     )
+
+
+def c4_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_retained_lines: int = 3,
+) -> DataFrame:
+    """C4-style heuristic format filter (Raffel et al. 2020 §2.2,
+    the public cleaning rules behind the C4 corpus), as per-doc signals:
+
+    - a line is RETAINED if it ends in terminal punctuation (. ! ? ")
+      and has >= ``min_words_per_line`` words;
+    - a doc WOULD_KEEP if it retains >= ``min_retained_lines`` lines,
+      contains no curly brace (code/JSON markers) and no "lorem ipsum".
+
+    Returns (id, n_lines, n_retained_lines, retained_line_frac,
+    has_curly, has_lorem, would_keep) — the audit table a corpus build
+    reviews before applying the verdict. Pure codegen: one line explode,
+    one per-doc agg; the boolean columns are BIGINT 0/1 so the oracle
+    comparison is integer-exact (the fraction rounds at 6 dp).
+
+    Completes the quality-gate family: C4 format rules here, Gopher
+    repetition in ``repetition_stats``, LM perplexity in operators/lm,
+    learned classifiers in operators/classify + operators/dsir."""
+    lines = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).withColumn("lt", F.trim(F.col("line")))
+    n_words = F.size(F.split(F.col("lt"), r"\s+"))
+    retained = (
+        (F.length("lt") > 0)
+        & F.col("lt").rlike('[.!?"]$')
+        & (n_words >= min_words_per_line)
+    )
+    per_doc = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(retained.cast("long")).alias("n_retained_lines"),
+        # doc-level markers computed once per doc via first() (text is
+        # constant within the group — no second scan)
+        F.first(
+            F.col(text_col).contains("{").cast("long")
+        ).alias("has_curly"),
+        F.first(
+            F.lower(F.col(text_col)).contains("lorem ipsum").cast("long")
+        ).alias("has_lorem"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_lines",
+        "n_retained_lines",
+        F.round(
+            F.col("n_retained_lines") / F.col("n_lines"), ROUND_DP
+        ).alias("retained_line_frac"),
+        "has_curly",
+        "has_lorem",
+        (
+            (F.col("n_retained_lines") >= min_retained_lines)
+            & (F.col("has_curly") == 0)
+            & (F.col("has_lorem") == 0)
+        ).cast("long").alias("would_keep"),
+    )

@@ -145,3 +145,23 @@ def test_bigram_pmi_empty_and_single_token_docs(spark):
         [(1, ""), (2, "solo"), (3, "  ")], ["doc_id", "text"]
     )
     assert bigram_pmi_topk(docs, min_count=1).count() == 0
+
+
+def test_c4_filter_stats_rules(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.operators.text_quality import c4_filter_stats
+
+    good = "\n".join(["This line has five good words."] * 3)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=good),                       # keeps
+        Row(doc_id=2, text=good + "\nshort."),          # extra bad line, keeps
+        Row(doc_id=3, text=good.replace("good", "{x}")),  # curly -> drop
+        Row(doc_id=4, text=good + "\nLorem Ipsum dolor"),  # lorem -> drop
+        Row(doc_id=5, text="no terminal punctuation here at all\nx y"),
+    ])
+    rows = {r["doc_id"]: r for r in c4_filter_stats(docs).collect()}
+    assert rows[1]["would_keep"] == 1 and rows[1]["n_retained_lines"] == 3
+    assert rows[2]["would_keep"] == 1 and rows[2]["n_retained_lines"] == 3
+    assert rows[3]["would_keep"] == 0 and rows[3]["has_curly"] == 1
+    assert rows[4]["would_keep"] == 0 and rows[4]["has_lorem"] == 1
+    assert rows[5]["would_keep"] == 0 and rows[5]["n_retained_lines"] == 0
