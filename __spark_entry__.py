@@ -275,6 +275,12 @@ def _token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentiment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment rollup per language (functions/text.sentiment_rollup):
+    literal-map valence lookup, integer per-doc sums, group rollup."""
+    return TX.sentiment_rollup(Q.load(spark, sf_dir, "documents"))
+
+
 def _c4_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style format-filter audit (operators/text_quality.c4_filter_stats):
     retained-line fractions + code/boilerplate markers + the composite
@@ -801,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_histogram": _token_length_histogram,
         "repetition_stats": _repetition_stats,
         "c4_filter_stats": _c4_filter_stats,
+        "sentiment_rollup": _sentiment_rollup,
         "contamination_check": _contamination_check,
         "pii_scrub_stats": _pii_scrub_stats,
         "sequence_pack": _sequence_pack,
@@ -847,6 +854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _temperature_mix,
     }
 
+
+_SENT_LEX_VALUES = ", ".join(
+    f"('{w}', {v})" for w, v in TX.SENTIMENT_LEXICON.items()
+)
 
 # Empty/whitespace-only text must tokenize to [] (count 0) to match
 # functions/text.py tokens(); bare string_split_regex('') yields [''].
@@ -1588,6 +1599,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(len({_TOKENS}) / 16) * 16 AS INTEGER) AS token_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "sentiment_rollup": f"""
+            WITH lex(tok, v) AS (VALUES {_SENT_LEX_VALUES}),
+            ex AS (
+              SELECT d.lang, d.doc_id, t.tok
+              FROM documents d, unnest({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            per_doc AS (
+              SELECT e.lang, e.doc_id,
+                     sum(coalesce(l.v, 0)) AS valence
+              FROM ex e LEFT JOIN lex l ON e.tok = l.tok
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT d.lang, coalesce(p.valence, 0) AS valence
+              FROM documents d
+              LEFT JOIN per_doc p ON d.lang = p.lang AND d.doc_id = p.doc_id
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(valence) AS BIGINT) AS sum_valence,
+                   round(avg(CAST(valence AS DOUBLE)), 6) AS avg_doc_valence,
+                   round(CAST(sum(CASE WHEN valence > 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS pos_doc_frac
+            FROM scored GROUP BY 1
         """,
         "c4_filter_stats": """
             WITH lines AS (

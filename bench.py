@@ -134,6 +134,7 @@ def main() -> None:
         "line_dedup_rewrite",
         "duplicate_span_rewrite",
         "c4_filter_stats",
+        "sentiment_rollup",
     ]
 
     timings: dict[str, float] = {}

@@ -332,3 +332,82 @@ def fingerprint(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.xxhash64(normalized)
+
+
+# AFINN-style integer valence lexicon (public-domain word list subset,
+# Nielsen 2011 scheme: -5..+5 per word). Bounded model-side constant —
+# compiled into a literal MAP column, so scoring is pure codegen
+# (element_at), no join, no UDF.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 3, "excellent": 3, "amazing": 4, "awesome": 4,
+    "love": 3, "loved": 3, "like": 2, "liked": 2, "best": 3,
+    "happy": 3, "win": 4, "winning": 4, "nice": 3, "cool": 1,
+    "fantastic": 4, "perfect": 3, "better": 2, "success": 2, "helpful": 2,
+    "interesting": 2, "fun": 4, "wow": 4, "thanks": 2, "thank": 2,
+    "recommend": 2, "impressive": 3, "solid": 2, "beautiful": 3, "easy": 1,
+    "bad": -3, "terrible": -3, "awful": -3, "horrible": -3, "worst": -3,
+    "hate": -3, "hated": -3, "dislike": -2, "problem": -2, "problems": -2,
+    "sad": -2, "lose": -3, "losing": -3, "broken": -1, "bug": -2,
+    "bugs": -2, "fail": -2, "failed": -2, "failure": -2, "scam": -2,
+    "wrong": -2, "slow": -2, "crash": -2, "useless": -2, "annoying": -2,
+    "disappointed": -2, "disappointing": -2, "poor": -2, "waste": -1,
+    "difficult": -1,
+}
+
+
+def _sentiment_map() -> Column:
+    flat: list[Column] = []
+    for w, v in SENTIMENT_LEXICON.items():
+        flat.append(F.lit(w))
+        flat.append(F.lit(v))
+    return F.create_map(*flat)
+
+
+def sentiment_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Lexicon sentiment rollup per ``group_col`` (the social-media
+    analytics op — per-subreddit mood curves are the reference
+    dashboard's natural next panel): per doc, valence = INTEGER sum of
+    per-token lexicon scores; per group, doc counts, total valence,
+    positive-doc fraction, and mean per-doc valence.
+
+    Scale shape: token explode + a LITERAL-map ``element_at`` lookup
+    (codegen — no lexicon join, no HOF lambda; the map is a few KB of
+    plan constants however big the lexicon), one (group, doc) partial
+    agg, one group rollup. Integer valences keep every aggregate
+    engine-exact; only the two reported ratios round."""
+    ex = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    val = F.coalesce(F.element_at(_sentiment_map(), F.col("tok")), F.lit(0))
+    per_doc = (
+        ex.select("g", "id", val.alias("v"))
+        .groupBy("g", "id")
+        .agg(F.sum("v").alias("valence"))
+    )
+    # docs with no tokens score 0 (the explode drops them; restore at
+    # doc grain so n_docs and fractions count the whole corpus)
+    all_docs = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id")
+    )
+    scored = all_docs.join(per_doc, ["g", "id"], "left").select(
+        "g", F.coalesce("valence", F.lit(0)).alias("valence")
+    )
+    return scored.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("valence").cast("long").alias("sum_valence"),
+        F.round(
+            F.avg(F.col("valence").cast("double")), ROUND_DP
+        ).alias("avg_doc_valence"),
+        F.round(
+            F.sum((F.col("valence") > 0).cast("long"))
+            / F.count(F.lit(1)),
+            ROUND_DP,
+        ).alias("pos_doc_frac"),
+    )

@@ -165,3 +165,21 @@ def test_c4_filter_stats_rules(spark):
     assert rows[3]["would_keep"] == 0 and rows[3]["has_curly"] == 1
     assert rows[4]["would_keep"] == 0 and rows[4]["has_lorem"] == 1
     assert rows[5]["would_keep"] == 0 and rows[5]["n_retained_lines"] == 0
+
+
+def test_sentiment_rollup_lexicon_math(spark):
+    from pyspark.sql import Row
+    from reddit_etl_pipeline_spark.functions.text import sentiment_rollup
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="good good bad", lang="en"),     # 3+3-3 = 3
+        Row(doc_id=2, text="terrible awful", lang="en"),    # -6
+        Row(doc_id=3, text="neutral words only", lang="fr"),  # 0
+        Row(doc_id=4, text="", lang="fr"),                  # no tokens -> 0
+    ])
+    rows = {r["lang"]: r for r in sentiment_rollup(docs).collect()}
+    assert rows["en"]["n_docs"] == 2
+    assert rows["en"]["sum_valence"] == 3 - 6
+    assert rows["en"]["pos_doc_frac"] == 0.5
+    assert rows["fr"]["n_docs"] == 2 and rows["fr"]["sum_valence"] == 0
+    assert rows["fr"]["pos_doc_frac"] == 0.0
