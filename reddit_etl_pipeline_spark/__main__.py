@@ -62,6 +62,9 @@ def _build_parser() -> argparse.ArgumentParser:
         help="corpus curation: dedup + quality/language gate + PII scrub",
     )
     cur.add_argument("--input", required=True, help="documents parquet path")
+    cur.add_argument(
+        "--conf", help="configuration.conf for s3a credentials on lake paths"
+    )
     cur.add_argument("--output", required=True, help="curated output path")
     cur.add_argument("--min-quality", type=float, default=0.45)
     cur.add_argument("--neardup-threshold", type=float, default=0.9)

@@ -47,6 +47,33 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col)).alias("n_tokens")
 
 
+def doc_token_pairs(
+    docs: DataFrame, text_col: str, keep: list[str]
+) -> DataFrame:
+    """(``keep`` cols..., w1, w2) — adjacent-token bigrams of lowercased
+    whitespace tokens via the codegen arrays_zip(slice, slice) explode
+    (no array-lambda HOFs, no per-doc window); docs with < 2 tokens
+    contribute nothing. Single-sourced here because the n-gram LM
+    (operators/lm), DSIR (operators/dsir) and PMI (bigram_pmi_topk
+    below) all depend on the exact same pair construction."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(*keep, F.explode(pairs).alias("p"))
+        .select(
+            *keep,
+            F.col("p.a").alias("w1"),
+            F.col("p.b").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
 def bpe_tokens(col: str | Column = "text") -> Column:
     """BPE-ish sub-word split: word runs (with optional apostrophe suffix)
     plus single symbol chars — the pre-tokenization most BPE vocabularies

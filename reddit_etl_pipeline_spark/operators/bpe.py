@@ -145,13 +145,23 @@ def bpe_segment_stats(
     fields = docs.select(group_col, text_col).schema.fieldNames()
 
     def seg(batches):
+        import re
+
         import pandas as pd
+
+        # tokenize EXACTLY like functions/text.tokens() (Java \s = ASCII
+        # whitespace only): Python str.split()/\s would also split on
+        # U+00A0/U+2028 etc. and silently disagree with the histogram the
+        # merges were learned from
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        ascii_ws = " \t\n\x0b\f\r"
 
         cache: dict[str, int] = {}
         for pdf in batches:
             groups, n_words, n_subs = [], [], []
             for g, text in zip(pdf[fields[0]], pdf[fields[1]]):
-                words = (text or "").lower().split()
+                stripped = (text or "").lower().strip(ascii_ws)
+                words = ws.split(stripped) if stripped else []
                 total = 0
                 for w in words:
                     if w not in cache:

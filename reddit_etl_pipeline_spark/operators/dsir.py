@@ -49,9 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
-
-MICRO = 1_000_000  # fixed-point scale: micro-nats per unit log-ratio
+from ..functions.text import doc_token_pairs, tokens
+from .lm import MICRO  # single-sourced fixed-point scale (micro-nats)
 
 
 def _doc_features(
@@ -65,22 +64,11 @@ def _doc_features(
     ``n_buckets``, features are xxhash64-bucketed ints (stringified so
     the schema is stable across modes)."""
     toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
     uni = docs.select(*keep, F.explode(toks).alias("feat")).filter(
         F.col("feat") != ""
     )
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("a"),
-        F.slice(toks, 2, n - 1).alias("b"),
-    )
-    bi = (
-        docs.filter(n >= 2)
-        .select(*keep, F.explode(pairs).alias("p"))
-        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
-        .select(
-            *keep,
-            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("feat"),
-        )
+    bi = doc_token_pairs(docs, text_col, keep).select(
+        *keep, F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("feat")
     )
     feats = uni.unionByName(bi)
     if n_buckets is not None:

@@ -43,32 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import doc_token_pairs as _doc_bigrams
 
 MICRO = 1_000_000  # fixed-point scale: micro-nats per unit log-prob
-
-
-def _doc_bigrams(
-    docs: DataFrame, text_col: str, keep: list[str]
-) -> DataFrame:
-    """(``keep`` cols..., w1, w2) — codegen bigram explode of lowercased
-    whitespace tokens; docs with < 2 tokens contribute nothing."""
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("a"),
-        F.slice(toks, 2, n - 1).alias("b"),
-    )
-    return (
-        docs.filter(n >= 2)
-        .select(*keep, F.explode(pairs).alias("p"))
-        .select(
-            *keep,
-            F.col("p.a").alias("w1"),
-            F.col("p.b").alias("w2"),
-        )
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-    )
 
 
 def lm_train(

@@ -799,6 +799,15 @@ def knn_label_confusion(
         F.col(id_col).alias("query_id"),
         F.col(label_col).cast("long").alias("actual"),
     )
-    return actual.join(pred, "query_id").groupBy("actual", "predicted").agg(
-        F.count(F.lit(1)).alias("n_vecs")
+    # LEFT join: an ANN query whose probed lists held no candidates has
+    # no vote rows — surface it as predicted = -1 instead of silently
+    # dropping it (the matrix must always sum to the test-set size)
+    return (
+        actual.join(pred, "query_id", "left")
+        .select(
+            "actual",
+            F.coalesce("predicted", F.lit(-1)).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
     )

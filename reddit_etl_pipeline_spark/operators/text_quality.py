@@ -320,9 +320,15 @@ def c4_filter_stats(
     Completes the quality-gate family: C4 format rules here, Gopher
     repetition in ``repetition_stats``, LM perplexity in operators/lm,
     learned classifiers in operators/classify + operators/dsir."""
+    # doc-level markers are computed BEFORE the explode so the per-line
+    # rows carry two ints, not a full copy of the document text each
     lines = df.select(
         F.col(id_col),
-        F.col(text_col),
+        F.col(text_col).contains("{").cast("long").alias("has_curly"),
+        F.lower(F.col(text_col))
+        .contains("lorem ipsum")
+        .cast("long")
+        .alias("has_lorem"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).withColumn("lt", F.trim(F.col("line")))
     n_words = F.size(F.split(F.col("lt"), r"\s+"))
@@ -334,14 +340,8 @@ def c4_filter_stats(
     per_doc = lines.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(retained.cast("long")).alias("n_retained_lines"),
-        # doc-level markers computed once per doc via first() (text is
-        # constant within the group — no second scan)
-        F.first(
-            F.col(text_col).contains("{").cast("long")
-        ).alias("has_curly"),
-        F.first(
-            F.lower(F.col(text_col)).contains("lorem ipsum").cast("long")
-        ).alias("has_lorem"),
+        F.first("has_curly").alias("has_curly"),
+        F.first("has_lorem").alias("has_lorem"),
     )
     return per_doc.select(
         id_col,

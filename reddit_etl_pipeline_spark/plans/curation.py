@@ -66,7 +66,10 @@ def curate_corpus(
             (F.col("quality") >= min_quality) & (F.col("lang_pred") != "und")
         )
     )
-    curated = gated.withColumn(text_col, scrub_pii(text_col))
+    # checkpoint: the gate+scrub chain feeds up to four consumers (count,
+    # LM train, LM score, final write) — without this the most expensive
+    # per-doc stage recomputes for each
+    curated = gated.withColumn(text_col, scrub_pii(text_col)).localCheckpoint()
     report["after_quality_gate"] = curated.count()
 
     if lm_tail_drop:

@@ -666,12 +666,30 @@ def dedup_batch_against_index(
         # index already holds this batch's own fingerprints, and matching
         # them would overwrite the batch's accepted partition with an
         # empty one. Partition pruning makes the filter metadata-only.
-        seen = (
-            spark.read.parquet(index_path)
-            .filter(F.col("batch_id") < batch_id)
-            .select("fp")
+        idx = spark.read.parquet(index_path).filter(
+            F.col("batch_id") < batch_id
         )
-        accepted = firsts.join(seen, "fp", "left_anti")
+        accepted = firsts.filter(F.col("fp").isNotNull()).join(
+            idx.select("fp"), "fp", "left_anti"
+        )
+        # The NULL-fp group needs explicit handling: the anti-join's NULL
+        # never matches, so without it every BATCH would accept its own
+        # min-id NULL doc while the batch operator (one groupBy over the
+        # whole ingest) accepts exactly one. A NULL row in an EARLIER
+        # INGEST batch (batch_id >= 0) suppresses this batch's; the seed
+        # corpus's NULLs (batch_id = -1) do NOT — SQL equality says NULL
+        # never matches the corpus, exactly like incremental_dedup's
+        # anti-join. The probe is a 1-row partition-pruned lookup.
+        null_first = firsts.filter(F.col("fp").isNull())
+        null_seen = (
+            idx.filter(F.col("batch_id") >= 0)
+            .filter(F.col("fp").isNull())
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not null_seen:
+            accepted = accepted.unionByName(null_first)
     else:
         accepted = firsts
     # one computation, two partition writes: checkpoint so the anti-join
@@ -696,9 +714,12 @@ def streamed_incremental_dedup(
 
     Slices are CONTIGUOUS id ranges delivered in order (file-source
     batches are mtime-ordered), so streaming first-arrival acceptance
-    equals the batch min-id rule and the outputs are identical — the
-    property a replayable ingest pipeline needs (id is ingest order in
-    production, so "first arrived" and "lowest id" agree there too)."""
+    equals the batch min-id rule and the outputs are identical — NULL
+    text included (the NULL group dedups across ingest batches but never
+    against the seed corpus, matching the batch operator's SQL
+    semantics). The property a replayable ingest pipeline needs (id is
+    ingest order in production, so "first arrived" and "lowest id" agree
+    there too)."""
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

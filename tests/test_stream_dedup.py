@@ -55,13 +55,34 @@ def test_replay_same_batch_id_is_idempotent(spark):
     assert _accepted(spark, acc) == [1, 2]
 
 
-def test_null_text_never_matches_but_collapses_within_batch(spark):
+def test_null_text_dedups_across_ingest_batches(spark):
+    """NULL-text docs must behave exactly like the batch operator run
+    over the whole ingest: ONE ingest-wide NULL representative (the
+    batch min-id rule), regardless of how micro-batches slice it."""
     idx, acc = _setup()
     dedup_batch_against_index(_docs(spark, [(1, None), (2, "x")]), 0, idx, acc)
-    # NULL fp in the index must NOT reject later NULL docs (SQL equality);
-    # but the two NULLs within batch 1 group together -> min id survives
+    # batch 0 already accepted a NULL doc -> batch 1's NULLs are its dups
     dedup_batch_against_index(_docs(spark, [(7, None), (5, None)]), 1, idx, acc)
-    assert _accepted(spark, acc) == [1, 2, 5]
+    assert _accepted(spark, acc) == [1, 2]
+
+
+def test_seed_corpus_null_never_suppresses_ingest_nulls(spark):
+    """A NULL-text doc in the SEED corpus (batch_id=-1 index partition)
+    must not reject ingest NULLs — SQL equality semantics: the batch
+    operator's anti-join never matches NULL against the corpus."""
+    idx, acc = _setup()
+    # seed the index the way streamed_incremental_dedup does
+    from reddit_etl_pipeline_spark.operators.dedup import nullable_fingerprint
+    from pyspark.sql import functions as F
+
+    _docs(spark, [(100, None), (101, "seen")]).select(
+        nullable_fingerprint("text").alias("fp")
+    ).distinct().write.mode("overwrite").parquet(f"{idx}/batch_id=-1")
+    dedup_batch_against_index(
+        _docs(spark, [(1, None), (2, "seen"), (3, "new")]), 0, idx, acc
+    )
+    # NULL survives (corpus NULL never matches); "seen" rejected
+    assert _accepted(spark, acc) == [1, 3]
 
 
 def test_streamed_matches_batch_incremental_dedup(spark, sf_dir):
