@@ -87,3 +87,68 @@ def test_ivf_method_agrees_with_exact_on_real_embeddings(spark, embeddings):
     iv = {(r["actual"], r["predicted"]): r["n_vecs"] for r in ivf.collect()}
     overlap = sum(min(ex.get(k, 0), iv.get(k, 0)) for k in set(ex) | set(iv))
     assert overlap / n_test >= 0.3
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # train: (vec of small ints, label)
+        st.tuples(
+            st.lists(st.integers(min_value=0, max_value=3), min_size=3, max_size=3),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda vs: any(any(c != 0 for c in v) for v, _ in vs)),
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_knn_matches_numpy_reference(spark, train_rows, test_vecs):
+    """Random integer-component vectors (exact float64 dot products, so
+    cross-implementation comparison is deterministic) against a pure
+    numpy/python reference of the same top-k + vote + tie-break rules.
+    Zero vectors exercise the norm guard."""
+    import numpy as np
+
+    k = 3
+    train = _vecs(
+        spark,
+        [(2 * i, [float(c) for c in v], lb) for i, (v, lb) in enumerate(train_rows)],
+    )
+    test = _vecs(
+        spark,
+        [(2 * i + 1, [float(c) for c in v], 0) for i, v in enumerate(test_vecs)],
+    )
+    got = {
+        (r["actual"], r["predicted"]): r["n_vecs"]
+        for r in knn_label_confusion(train, test, k=k).collect()
+    }
+
+    # reference
+    def cos(a, b):
+        na = float(np.sqrt(np.dot(a, a))) or 1e-12
+        nb = float(np.sqrt(np.dot(b, b))) or 1e-12
+        return float(np.dot(a, b)) / (na * nb)
+
+    conf = {}
+    for qi, qv in enumerate(test_vecs):
+        q = np.array(qv, dtype="float64")
+        scored = sorted(
+            (
+                (-cos(q, np.array(v, dtype="float64")), 2 * ti, lb)
+                for ti, (v, lb) in enumerate(train_rows)
+            ),
+        )[:k]
+        votes = {}
+        for rank, (_, nid, lb) in enumerate(scored, start=1):
+            n, best = votes.get(lb, (0, 10**9))
+            votes[lb] = (n + 1, min(best, rank))
+        pred = min(votes.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))[0]
+        key = (0, pred)
+        conf[key] = conf.get(key, 0) + 1
+    assert got == conf
