@@ -69,6 +69,11 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-quality", type=float, default=0.45)
     cur.add_argument("--neardup-threshold", type=float, default=0.9)
     cur.add_argument(
+        "--c4-rules",
+        action="store_true",
+        help="also apply the C4 format filter (retained-line rules)",
+    )
+    cur.add_argument(
         "--lm-tail-drop",
         action="store_true",
         help="also drop each language's worst-perplexity tercile",
@@ -150,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             min_quality=args.min_quality,
             neardup_threshold=args.neardup_threshold,
+            c4_rules=args.c4_rules,
             lm_tail_drop=args.lm_tail_drop,
         )
         print(json.dumps(report))

@@ -2,7 +2,8 @@
 operators exist for, composed as an operational driver:
 
     raw docs → exact dedup → near-dup keep-one → quality / language gate
-             → PII scrub → (optional) LM perplexity tail drop → curated
+             → (optional) C4 format rules → PII scrub
+             → (optional) LM perplexity tail drop → curated
 
 Each stage is one of the repo's verified operators (operators/dedup.py,
 functions/text.py, functions/pii.py, operators/lm.py); this module only
@@ -37,6 +38,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.45,
     neardup_threshold: float = 0.9,
+    c4_rules: bool = False,
     lm_tail_drop: bool = False,
 ) -> dict:
     """Run the curation chain over a parquet documents table and write
@@ -69,6 +71,14 @@ def curate_corpus(
     # checkpoint: the gate+scrub chain feeds up to four consumers (count,
     # LM train, LM score, final write) — without this the most expensive
     # per-doc stage recomputes for each
+    if c4_rules:
+        from ..operators.text_quality import c4_filter_stats
+
+        keep = c4_filter_stats(gated, text_col=text_col, id_col=id_col).filter(
+            F.col("would_keep") == 1
+        ).select(id_col)
+        gated = gated.join(keep, id_col)
+        report["after_c4_rules"] = gated.count()
     curated = gated.withColumn(text_col, scrub_pii(text_col)).localCheckpoint()
     report["after_quality_gate"] = curated.count()
 

@@ -93,3 +93,15 @@ def test_curate_lm_tail_drop(spark, sf_dir, tmp_path, capsys):
     # unscorable docs) — strictly fewer than the gate stage, never zero
     assert 0 < rep["after_lm_tail_drop"] < rep["after_quality_gate"]
     assert rep["written"] == rep["after_lm_tail_drop"]
+
+
+def test_curate_c4_rules(spark, sf_dir, tmp_path, capsys):
+    out_path = str(tmp_path / "curated_c4")
+    rc = main(
+        ["curate", "--input", f"{sf_dir}/documents.parquet",
+         "--output", out_path, "--c4-rules"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["after_c4_rules"] <= rep["after_neardup"]
+    assert rep["written"] == rep["after_quality_gate"]
