@@ -2163,8 +2163,8 @@ def oracle_sql() -> dict[str, str]:
             ), scored AS (
               SELECT query_id, neighbor_id, n_label,
                      list_dot_product(qv, cv)
-                       / (sqrt(list_dot_product(qv, qv))
-                          * sqrt(list_dot_product(cv, cv))) AS sim
+                       / greatest(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12) AS sim
               FROM q, c
             ), topk AS (
               SELECT * FROM (
@@ -2197,7 +2197,8 @@ def oracle_sql() -> dict[str, str]:
             ), scored AS (
               SELECT query_id, neighbor_id,
                      list_dot_product(qv, cv)
-                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                       / greatest(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12) AS sim
               FROM q, c WHERE neighbor_id <> query_id
             )
             SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (

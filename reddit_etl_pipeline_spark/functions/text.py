@@ -305,19 +305,10 @@ def bigram_pmi_topk(
     (cast-to-double FIRST — products of raw counts would overflow int64
     at 100 TB token counts) so any SQL engine reproduces it bit-for-bit.
     """
-    # lower the STRING, then tokenize — string lower is codegen, while
-    # transform(toks, lower) would be an interpreted array-lambda HOF
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("a"),
-        F.slice(toks, 2, n - 1).alias("b"),
-    )
-    ex = (
-        df.filter(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
-        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+    # the shared codegen pair construction (doc_token_pairs) keeps the
+    # PMI bigram distribution in lockstep with the LM/DSIR ones
+    ex = doc_token_pairs(df, text_col, []).select(
+        F.col("w1").alias("tok_a"), F.col("w2").alias("tok_b")
     )
     bi = (
         ex.groupBy("tok_a", "tok_b")

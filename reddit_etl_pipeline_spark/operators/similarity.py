@@ -75,8 +75,12 @@ def _pair_cosine_scored(
                 continue
             a = np.stack(pdf["qvec"].to_numpy()).astype("float64")
             b = np.stack(pdf["cvec"].to_numpy()).astype("float64")
-            sims = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            # zero-norm guard: a zero vector's similarity is 0, not NaN
+            # (NaN would arrive as NULL through Arrow and silently sort
+            # LAST under desc(sim) — a rank the oracle can't reproduce)
+            sims = (a * b).sum(axis=1) / np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1),
+                1e-12,
             )
             out = pd.DataFrame(
                 {

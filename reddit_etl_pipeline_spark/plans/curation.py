@@ -61,26 +61,28 @@ def curate_corpus(
     )
     report["after_neardup"] = neard.count()
 
+    # each stage checkpoints BEFORE its count, so the expensive per-doc
+    # derivations materialize exactly once and every later consumer (C4
+    # explode, LM train/score, final write) reads the materialized
+    # blocks instead of re-deriving the chain
     gated = (
         neard.withColumn("lang_pred", detect_language(text_col))
         .withColumn("quality", quality_score(text_col))
         .filter(
             (F.col("quality") >= min_quality) & (F.col("lang_pred") != "und")
         )
+        .localCheckpoint()
     )
-    # checkpoint: the gate+scrub chain feeds up to four consumers (count,
-    # LM train, LM score, final write) — without this the most expensive
-    # per-doc stage recomputes for each
+    report["after_quality_gate"] = gated.count()
     if c4_rules:
         from ..operators.text_quality import c4_filter_stats
 
         keep = c4_filter_stats(gated, text_col=text_col, id_col=id_col).filter(
             F.col("would_keep") == 1
         ).select(id_col)
-        gated = gated.join(keep, id_col)
+        gated = gated.join(keep, id_col).localCheckpoint()
         report["after_c4_rules"] = gated.count()
     curated = gated.withColumn(text_col, scrub_pii(text_col)).localCheckpoint()
-    report["after_quality_gate"] = curated.count()
 
     if lm_tail_drop:
         # fit on the survivors themselves (self-perplexity: outliers vs

@@ -679,17 +679,22 @@ def dedup_batch_against_index(
         # INGEST batch (batch_id >= 0) suppresses this batch's; the seed
         # corpus's NULLs (batch_id = -1) do NOT — SQL equality says NULL
         # never matches the corpus, exactly like incremental_dedup's
-        # anti-join. The probe is a 1-row partition-pruned lookup.
+        # anti-join. The probe (below, guarded) is a limit-1 scan of
+        # prior ingest partitions' 8-byte fp column.
         null_first = firsts.filter(F.col("fp").isNull())
-        null_seen = (
-            idx.filter(F.col("batch_id") >= 0)
-            .filter(F.col("fp").isNull())
-            .limit(1)
-            .count()
-            > 0
-        )
-        if not null_seen:
-            accepted = accepted.unionByName(null_first)
+        # probe the index only when this batch actually HAS a NULL group
+        # (the common no-NULL batch pays nothing extra); the probe scans
+        # prior ingest partitions' fp column for a NULL row
+        if null_first.limit(1).count() > 0:
+            null_seen = (
+                idx.filter(F.col("batch_id") >= 0)
+                .filter(F.col("fp").isNull())
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not null_seen:
+                accepted = accepted.unionByName(null_first)
     else:
         accepted = firsts
     # one computation, two partition writes: checkpoint so the anti-join

@@ -103,5 +103,5 @@ def test_curate_c4_rules(spark, sf_dir, tmp_path, capsys):
     )
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["after_c4_rules"] <= rep["after_neardup"]
-    assert rep["written"] == rep["after_quality_gate"]
+    assert rep["after_c4_rules"] <= rep["after_quality_gate"] <= rep["after_neardup"]
+    assert rep["written"] == rep["after_c4_rules"]
