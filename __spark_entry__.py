@@ -719,6 +719,21 @@ def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_upsert_latest(spark, sf_dir)
 
 
+def _train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split audit (packing.train_val_test_split):
+    per (split, lang) doc and token counts — the export-manifest check
+    run before any training job."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return (
+        PK.train_val_test_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("n_tokens"),
+        )
+    )
+
+
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction surface: props is a JSON string column."""
     ev = Q.load(spark, sf_dir, "events")
@@ -826,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_stats": _vocab_oov_stats,
         "chunk_manifest": _chunk_manifest,
         "shard_manifest": _shard_manifest,
+        "train_val_test_split": _train_val_test_split,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -1998,6 +2014,21 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_oov_ratio
             FROM documents d LEFT JOIN per_doc USING (doc_id)
             GROUP BY d.source
+        """,
+        "train_val_test_split": f"""
+            WITH s AS (
+              SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 5
+                          THEN 'test'
+                          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                          THEN 'val'
+                          ELSE 'train' END AS split,
+                     lang,
+                     len({_TOKENS}) AS n_tokens
+              FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1, 2
         """,
         "shard_manifest": f"""
             WITH s AS (

@@ -135,6 +135,7 @@ def main() -> None:
         "duplicate_span_rewrite",
         "c4_filter_stats",
         "sentiment_rollup",
+        "train_val_test_split",
     ]
 
     timings: dict[str, float] = {}

@@ -243,3 +243,26 @@ def chunk_manifest(
         end.cast("long").alias("end_tok"),
         (end - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted train/val/test assignment per row — the
+    first thing every training-data export does. The Knuth-scrambled id
+    mod 100 lands in percentage bands (test first, then val, remainder
+    train), so the assignment is a pure projection: identical on any
+    cluster/partitioning, stable under reruns and corpus growth
+    (existing docs never change split when new docs arrive — unlike
+    fraction-based randomSplit), and an oracle-computable expression
+    (plain BIGINT arithmetic, no engine RNG)."""
+    band = scramble(id_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(band < test_pct, F.lit("test"))
+        .when(band < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -155,3 +155,27 @@ def test_chunk_manifest_covers_every_token_with_exact_overlap(spark):
             assert s2 < e1 and e1 - s2 == 32
         # every chunk bounded by the budget
         assert all(c[2] - c[1] <= 256 for c in chunks)
+
+
+def test_train_val_test_split_deterministic_and_stable(spark, documents):
+    from pyspark.sql import functions as F
+    from reddit_etl_pipeline_spark.operators.packing import train_val_test_split
+
+    docs = documents.limit(400)
+    a = {r["doc_id"]: r["split"]
+         for r in train_val_test_split(docs).select("doc_id", "split").collect()}
+    # partition invariance
+    b = {r["doc_id"]: r["split"]
+         for r in train_val_test_split(docs.repartition(7))
+         .select("doc_id", "split").collect()}
+    assert a == b
+    # stability under corpus growth: assignments of existing docs never
+    # change when more docs arrive (pure function of the id)
+    c = {r["doc_id"]: r["split"]
+         for r in train_val_test_split(documents.limit(500))
+         .select("doc_id", "split").collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # rough band proportions (scramble uniformity)
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.80 <= frac_train <= 0.97
