@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": Q.funnel_conversion,
         "stats_moments": Q.stats_moments,
         "approx_distinct_stats": Q.approx_distinct_stats,
+        "exact_distinct_stats": Q.exact_distinct_stats,
         "buyer_segments": Q.buyer_segments,
         "value_anomalies": Q.value_anomalies,
         "ohlc_by_type": Q.ohlc_by_type,
@@ -2192,10 +2193,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(embedding AS DOUBLE[]) AS cv
               FROM embeddings WHERE vec_id % 2 = 0
             ), scored AS (
+              -- round(.., 12) before ranking, mirroring the engine
+              -- (similarity.RANK_DP): summation-order float noise must
+              -- not decide near-tie top-k membership on either side
               SELECT query_id, neighbor_id, n_label,
-                     list_dot_product(qv, cv)
+                     round(list_dot_product(qv, cv)
                        / greatest(sqrt(list_dot_product(qv, qv))
-                                  * sqrt(list_dot_product(cv, cv)), 1e-12) AS sim
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
+                       12) AS sim
               FROM q, c
             ), topk AS (
               SELECT * FROM (
@@ -2226,10 +2231,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
               FROM embeddings
             ), scored AS (
+              -- round(.., 12) before ranking (see knn_label_confusion)
               SELECT query_id, neighbor_id,
-                     list_dot_product(qv, cv)
+                     round(list_dot_product(qv, cv)
                        / greatest(sqrt(list_dot_product(qv, qv))
-                                  * sqrt(list_dot_product(cv, cv)), 1e-12) AS sim
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
+                       12) AS sim
               FROM q, c WHERE neighbor_id <> query_id
             )
             SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
@@ -2848,8 +2855,16 @@ def oracle_sql() -> dict[str, str]:
                    ) THEN 0 ELSE 1 END AS BIGINT) AS keep
             FROM e a
         """,
+        "exact_distinct_stats": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(quantile_cont(value, 0.5), 6) AS p50_value
+            FROM events
+            GROUP BY event_type
+        """,
         # approx_distinct_stats: HLL++/quantile-sketch values are
-        # engine-specific (accuracy bounds asserted in tests/test_sketches.py).
+        # engine-specific (accuracy bounds asserted in tests/test_sketches.py
+        # against the oracle-checked exact_distinct_stats companion).
         # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
         # cosine_topk_lsh / cosine_topk_pq / media_features: hash-family /
         # learned-quantizer

@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall-clock seconds.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: a full per-query detail JSON line, then a compact FINAL summary
+line (total / n / sf / slowest-queries map, <=1.5 KB) — the driver tails
+the last 2 KB of stdout and parses the last line, so the total must sit
+entirely inside that window (BENCH_r03 lost its total to a single >2 KB
+line).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect bottleneck for wide results).
@@ -156,17 +161,39 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = -1.0  # non-standard dir name (e.g. synthesized scale data)
+    # Per-query map first (large line — useful in raw logs), then the
+    # compact summary as the FINAL line: the driver captures the last
+    # ~2 KB of stdout and parses the last line as the bench JSON, so the
+    # total must fit entirely inside that tail window.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
+                "metric": "headline_queries_detail",
                 "queries": timings,
                 "sf": sf,
             }
         )
     )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
+    )
+    final = None
+    while True:
+        final = json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "n": len(timings),
+                "sf": sf,
+                "queries": slowest,
+            },
+            separators=(",", ":"),
+        )
+        if len(final) <= 1500 or not slowest:
+            break
+        slowest.pop(next(reversed(slowest)))  # drop the fastest entry
+    print(final)
     spark.stop()
 
 

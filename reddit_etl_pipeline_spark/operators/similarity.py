@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 ROUND_DP = 6
+# Similarities are rounded to this precision BEFORE ranking (not just at
+# output): numpy's pairwise summation and DuckDB's left-to-right
+# list_dot_product disagree at ~1e-16 relative, so ranking raw float64
+# sims makes near-tie top-k membership engine-dependent. 12 dp is far
+# below any meaningful similarity difference and far above summation-
+# order noise; after rounding, ties break on neighbor_id — fully
+# engine-independent. The oracle SQL rounds identically before its
+# row_number().
+RANK_DP = 12
 
 
 # NOTE: _dot/_norm/cosine are interpreted per-element HOF expressions —
@@ -82,6 +91,7 @@ def _pair_cosine_scored(
                 np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1),
                 1e-12,
             )
+            sims = np.round(sims, RANK_DP)  # engine-independent rank order
             out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),

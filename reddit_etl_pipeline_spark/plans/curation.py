@@ -49,7 +49,10 @@ def curate_corpus(
     report = {"input": docs.count()}
 
     kept_ids = D.dedup_exact(docs, text_col, id_col).select(id_col)
-    exact = docs.join(kept_ids, id_col)
+    # checkpoint before counting (like every later stage): the count
+    # would otherwise materialize the fingerprint groupBy+join once and
+    # the near-dup stage would recompute it from scratch
+    exact = docs.join(kept_ids, id_col).localCheckpoint()
     report["after_exact_dedup"] = exact.count()
 
     reps = D.neardup_clusters(exact, threshold=neardup_threshold)

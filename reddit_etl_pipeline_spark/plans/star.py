@@ -383,6 +383,21 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked exact companion to ``approx_distinct_stats``: the
+    same per-type distinct-user and median-value shape, computed exactly
+    (COUNT DISTINCT + interpolated percentile) so DuckDB can hash-match
+    it. The sketch query stays rows-only — HLL++/quantile-sketch values
+    are engine-specific — and its accuracy is bounded against THIS
+    query's numbers in tests/test_sketches.py. At 100 TB you run the
+    sketch; at validation scale you run both and compare."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), ROUND_DP).alias("p50_value"),
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: lag + cumulative-sum-over-gap-markers, per user.
     Returns per-session stats. Two window passes over one shuffle

@@ -17,6 +17,25 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp under ONE process-scoped scratch root that is removed at
+    interpreter exit. Streamed queries each stage a source dir, sinks and
+    checkpoints; bare mkdtemp leaked those per invocation, so repeated
+    bench/sweep runs accumulated orphan /tmp trees. Directories stay
+    alive for the whole process (results are often read back lazily from
+    file sinks), then one atexit rmtree reclaims everything."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
 
 def stage_bounded_stream(
     items: list, prefix: str = "bounded_stream_"
@@ -34,12 +53,12 @@ def stage_bounded_stream(
     """
     import shutil
 
-    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    stream_dir = scratch_dir(prefix)
     now = time.time()
     for i, item in enumerate(items):
         dst = f"{stream_dir}/{i}.parquet"
         if isinstance(item, DataFrame):
-            d = tempfile.mkdtemp(prefix=f"{prefix}item{i}_")
+            d = scratch_dir(f"{prefix}item{i}_")
             item.coalesce(1).write.mode("overwrite").parquet(d)
             src = next(
                 f"{d}/{p}" for p in os.listdir(d) if p.endswith(".parquet")
@@ -115,8 +134,8 @@ def run_stream_to_batch(
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         if use_file_sink:
-            out_dir = tempfile.mkdtemp(prefix="stream_sink_")
-            chk = tempfile.mkdtemp(prefix="stream_chk_")
+            out_dir = scratch_dir("stream_sink_")
+            chk = scratch_dir("stream_chk_")
             w = (
                 agg.writeStream.outputMode("append")
                 .format("parquet")

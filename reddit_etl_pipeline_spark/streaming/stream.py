@@ -14,10 +14,15 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bounded import run_stream_to_batch, stage_bounded_stream  # noqa: F401
+from .bounded import (  # noqa: F401
+    run_stream_to_batch,
+    scratch_dir,
+    stage_bounded_stream,
+)
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -575,8 +580,6 @@ def streamed_upsert_latest(
     order-independent to pass, not just append-lucky. No watermark: the
     merge's order key is event data, so late arrival never changes the
     converged table."""
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -591,7 +594,7 @@ def streamed_upsert_latest(
         .parquet(src_dir)
     )
     stream = _normalize_ts(stream)
-    warehouse = tempfile.mkdtemp(prefix="upsert_wh_") + "/events_latest"
+    warehouse = scratch_dir("upsert_wh_") + "/events_latest"
 
     def merge(b: DataFrame, _batch_id: int) -> None:
         merge_latest_into_warehouse(
@@ -601,7 +604,7 @@ def streamed_upsert_latest(
             order_cols=["ts", "event_id"],
         )
 
-    chk = tempfile.mkdtemp(prefix="upsert_chk_")
+    chk = scratch_dir("upsert_chk_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -659,16 +662,23 @@ def dedup_batch_against_index(
         F.col(id_col), nullable_fingerprint(text_col).alias("fp")
     )
     firsts = new_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    if os.path.exists(index_path) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(index_path)
-    ):
+    # Probe the index through Spark's reader (Hadoop FileSystem under the
+    # hood), NOT os.path: the index may live on any supported scheme
+    # (file:/, s3a:/, hdfs:/) and a driver-local os.path probe returns
+    # False for remote URIs — silently skipping the anti-join and
+    # accepting every duplicate. A missing/empty path raises
+    # AnalysisException (PATH_NOT_FOUND / unable-to-infer-schema), which
+    # is exactly the first-batch-no-index case.
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException:
+        idx = None
+    if idx is not None:
         # only STRICTLY EARLIER partitions: on an at-least-once replay the
         # index already holds this batch's own fingerprints, and matching
         # them would overwrite the batch's accepted partition with an
         # empty one. Partition pruning makes the filter metadata-only.
-        idx = spark.read.parquet(index_path).filter(
-            F.col("batch_id") < batch_id
-        )
+        idx = idx.filter(F.col("batch_id") < batch_id)
         accepted = firsts.filter(F.col("fp").isNotNull()).join(
             idx.select("fp"), "fp", "left_anti"
         )
@@ -725,8 +735,6 @@ def streamed_incremental_dedup(
     semantics). The property a replayable ingest pipeline needs (id is
     ingest order in production, so "first arrived" and "lowest id" agree
     there too)."""
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -734,7 +742,7 @@ def streamed_incremental_dedup(
 
     from ..operators.dedup import nullable_fingerprint
 
-    base = tempfile.mkdtemp(prefix="inc_dedup_")
+    base = scratch_dir("inc_dedup_")
     index_path = f"{base}/fp_index"
     accepted_path = f"{base}/accepted"
     # seed the index once per corpus (batch_id=-1 partition)
@@ -743,6 +751,9 @@ def streamed_incremental_dedup(
     ).distinct().write.mode("overwrite").parquet(f"{index_path}/batch_id=-1")
 
     hi = new.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        # no candidate docs at all: nothing to stream, nothing accepted
+        return spark.createDataFrame([], "doc_id long")
     chunk = (int(hi) + n_slices) // n_slices + 1
     slices = [
         new.filter(
@@ -760,7 +771,7 @@ def streamed_incremental_dedup(
     def merge(b: DataFrame, batch_id: int) -> None:
         dedup_batch_against_index(b, batch_id, index_path, accepted_path)
 
-    chk = tempfile.mkdtemp(prefix="inc_dedup_chk_")
+    chk = scratch_dir("inc_dedup_chk_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
