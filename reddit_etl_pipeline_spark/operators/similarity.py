@@ -507,9 +507,21 @@ def pq_topk(
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
-def _plane_component(seed: int, p: int, j: int) -> float:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    return ((hash((seed, p, j)) % 2_000_001) / 1_000_000.0) - 1.0
+def _table_planes(t: int, n: int, dim: int) -> "np.ndarray":
+    """Deterministic gaussian hyperplanes for LSH table ``t`` (PCG64 with
+    a fixed per-table seed, so corpus- and query-side bucketings agree).
+
+    Gaussian, not uniform-component: sign-of-gaussian-projection is the
+    rotation-invariant SimHash family with the published collision
+    probability 1-θ/π. Also replaces an earlier tuple-hash generator
+    whose planes came out HIGHLY correlated (measured |cos| up to 0.99
+    between planes of one table) — correlated planes waste bits and
+    concentrate occupancy, amplifying hub-bucket skew. Row p is plane p
+    and prefixes of the stream are stable, so requesting extra
+    refinement planes never changes the base bucket ids."""
+    import numpy as np
+
+    return np.random.default_rng(977 + 1009 * t).standard_normal((n, dim))
 
 
 def lsh_bucket_table(
@@ -519,6 +531,7 @@ def lsh_bucket_table(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_bits: int = 0,
 ) -> DataFrame:
     """(did, tbl, bucket) rows for multi-table hyperplane LSH.
 
@@ -529,21 +542,22 @@ def lsh_bucket_table(
     is a dense BLAS multiply. (Earlier explode+aggregate and per-element
     HOF formulations shuffled |docs| x planes*tables doubles and were
     respectively ~3x and ~30x slower at corpus scale.)
+
+    ``extra_bits > 0`` additionally emits an ``ext`` column: that many
+    REFINEMENT sign bits per table, from planes deeper in the same
+    deterministic family (indices n_planes..n_planes+extra_bits-1, so
+    the base bucket ids are unchanged). ``split_hot_buckets`` consumes
+    them to subdivide over-occupied buckets without re-projecting.
     """
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [
-            [
-                [_plane_component(42 + 101 * t, p, j) for j in range(dim)]
-                for p in range(n_planes)
-            ]
-            for t in range(n_tables)
-        ],
-        dtype="float64",
-    ).reshape(n_tables * n_planes, dim)
+    total = n_planes + extra_bits
+    planes = np.concatenate(
+        [_table_planes(t, total, dim) for t in range(n_tables)], axis=0
+    )
     bit_weights = 1 << np.arange(n_planes, dtype="int64")
+    ext_weights = 1 << np.arange(extra_bits, dtype="int64")
     tbl_ids = np.arange(n_tables, dtype="int32")
 
     def run(batches):
@@ -551,20 +565,98 @@ def lsh_bucket_table(
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            proj = m @ planes.T  # (batch, tables*planes)
-            bits = (proj >= 0).astype("int64").reshape(len(m), n_tables, n_planes)
-            buckets = (bits * bit_weights).sum(axis=2)  # (batch, tables)
-            yield pd.DataFrame(
-                {
-                    "did": pdf[id_col].to_numpy().repeat(n_tables),
-                    "tbl": np.tile(tbl_ids, len(m)),
-                    "bucket": buckets.ravel(),
-                }
-            )
+            proj = m @ planes.T  # (batch, tables*total)
+            bits = (proj >= 0).astype("int64").reshape(len(m), n_tables, total)
+            buckets = (bits[:, :, :n_planes] * bit_weights).sum(axis=2)
+            out = {
+                "did": pdf[id_col].to_numpy().repeat(n_tables),
+                "tbl": np.tile(tbl_ids, len(m)),
+                "bucket": buckets.ravel(),
+            }
+            if extra_bits:
+                out["ext"] = (
+                    (bits[:, :, n_planes:] * ext_weights).sum(axis=2).ravel()
+                )
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, "did long, tbl integer, bucket long"
+    schema = "did long, tbl integer, bucket long"
+    if extra_bits:
+        schema += ", ext long"
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def split_hot_buckets(
+    b: DataFrame, cap: int, max_rounds: int = 4, extra_bits: int = 16
+) -> DataFrame:
+    """Recursively subdivide LSH buckets whose occupancy exceeds ``cap``
+    using the refinement bits emitted by ``lsh_bucket_table(extra_bits=)``.
+
+    Hub vectors skew bucket occupancy (the 100x audit measured max 3.7 k
+    vs mean 27); per-bucket candidate cost is quadratic in occupancy, so
+    the biggest buckets dominate candidate volume. Each round counts
+    members per refined key (tbl, bucket, lvl, sub), and every group
+    still over ``cap`` takes ceil(log2(n/cap)) MORE refinement bits:
+    lvl grows, sub becomes the member's low ``lvl`` ext bits. Two vectors
+    collide iff their refined keys are equal — members of one group share
+    the full refinement history, so key equality remains a pure equi-join
+    condition downstream.
+
+    Guarantees and bounds:
+    - converges in <= max_rounds rounds or when every group fits cap; a
+      group of IDENTICAL-direction vectors is unsplittable (same side of
+      every hyperplane) and is left intact once its ext bits are
+      exhausted — those members genuinely are mutual near-dup candidates.
+    - the per-round stats table has at most |assignments|/cap hot rows
+      (each holds > cap members), so the broadcast is bounded by corpus
+      size / cap regardless of skew.
+    - splitting only REMOVES candidate pairs within hot buckets (recall
+      there is re-earned by the multi-table OR); buckets <= cap are
+      untouched, so typical-bucket recall is unchanged.
+
+    Output: (did, tbl, bucket, lvl, sub) plus the input's other columns.
+    """
+    cur = (
+        b.withColumn("lvl", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+        .localCheckpoint()  # the loop re-reads it once per round
     )
+    for _ in range(max_rounds):
+        hot = (
+            cur.groupBy("tbl", "bucket", "lvl", "sub")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") > cap) & (F.col("lvl") < extra_bits))
+            .select(
+                "tbl",
+                "bucket",
+                "lvl",
+                "sub",
+                F.least(
+                    F.ceil(F.log2(F.col("n") / F.lit(cap))).cast("int"),
+                    F.lit(extra_bits) - F.col("lvl"),
+                ).alias("step"),
+            )
+        )
+        if hot.isEmpty():
+            break
+        cur = (
+            cur.join(F.broadcast(hot), ["tbl", "bucket", "lvl", "sub"], "left")
+            .withColumn(
+                "lvl",
+                F.when(
+                    F.col("step").isNotNull(), F.col("lvl") + F.col("step")
+                ).otherwise(F.col("lvl")),
+            )
+            .withColumn(
+                "sub",
+                F.when(
+                    F.col("step").isNotNull(),
+                    F.expr("ext & (shiftleft(1L, lvl) - 1)"),
+                ).otherwise(F.col("sub")),
+            )
+            .drop("step")
+            .localCheckpoint()
+        )
+    return cur
 
 
 def embedding_neardup_pairs(
@@ -575,6 +667,8 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 256,
+    split_bits: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
 
@@ -582,9 +676,17 @@ def embedding_neardup_pairs(
     each; a pair is a candidate if it collides in ANY table (banding OR,
     like MinHash LSH). Recall for a pair at angle θ is
     1-(1-(1-θ/π)^planes)^tables. The scale path: the self-join is
-    bucket-equi (shuffle on (tbl, bucket)), never all-pairs, and
+    bucket-equi (shuffle on the bucket key), never all-pairs, and
     ``n_planes=None`` auto-sizes the bucket space to the corpus so
     per-bucket candidate cost stays constant as it grows (auto_planes).
+
+    ``bucket_cap`` bounds the occupancy skew auto_planes cannot: mean
+    occupancy stays ~target_bucket but HUB vectors concentrate (the 100x
+    audit measured max 3.7 k vs mean 27, and per-bucket cost is
+    quadratic). Buckets above the cap are recursively subdivided with
+    extra refinement planes (``split_hot_buckets``) — the join stays
+    equi, buckets under the cap (the typical case, cap = 8x the
+    occupancy target) are untouched. ``None`` disables splitting.
 
     Candidate verification is an Arrow-batched mapInPandas cosine (numpy
     dot per batch) — millions of 64-dim dots per second per core, vs
@@ -595,15 +697,20 @@ def embedding_neardup_pairs(
 
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    b = lsh_bucket_table(df, dim, n_planes, n_tables, id_col, vec_col)
+    b = lsh_bucket_table(
+        df, dim, n_planes, n_tables, id_col, vec_col,
+        extra_bits=split_bits if bucket_cap is not None else 0,
+    )
+    key = ["tbl", "bucket"]
+    if bucket_cap is not None:
+        b = split_hot_buckets(b, bucket_cap, extra_bits=split_bits).drop("ext")
+        key = ["tbl", "bucket", "lvl", "sub"]
     x, y = b.alias("x"), b.alias("y")
+    on = F.col("x.did") < F.col("y.did")
+    for kcol in key:
+        on = on & (F.col(f"x.{kcol}") == F.col(f"y.{kcol}"))
     cands = (
-        x.join(
-            y,
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.did") < F.col("y.did")),
-        )
+        x.join(y, on)
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .distinct()
     )

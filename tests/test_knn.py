@@ -129,11 +129,13 @@ def test_knn_matches_numpy_reference(spark, train_rows, test_vecs):
         for r in knn_label_confusion(train, test, k=k).collect()
     }
 
-    # reference
+    # reference — rounds to RANK_DP like the engine (and its DuckDB
+    # oracle): rank order below 1e-12 similarity difference is tie-broken
+    # by neighbor_id, never by float summation-order noise
     def cos(a, b):
         na = float(np.sqrt(np.dot(a, a))) or 1e-12
         nb = float(np.sqrt(np.dot(b, b))) or 1e-12
-        return float(np.dot(a, b)) / (na * nb)
+        return round(float(np.dot(a, b)) / (na * nb), 12)
 
     conf = {}
     for qi, qv in enumerate(test_vecs):
