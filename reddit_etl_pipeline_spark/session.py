@@ -50,6 +50,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # State store backend for Structured Streaming. Default = HDFS-backed
+    # (JVM heap + checkpoint files): measured equal-or-faster on bounded
+    # local runs, where keyed state is tiny and per-query RocksDB
+    # instance spin-up costs more than it saves (DEPLOYMENT.md
+    # "Streaming"). At production state sizes (millions of keys per
+    # partition) RocksDB keeps state off-heap with changelog
+    # checkpointing — flip SPARK_GRAFT_STATE_STORE=rocksdb, no code
+    # change; correctness parity is pinned in tests/test_streaming_state.py.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -293,3 +293,33 @@ def test_available_now_trigger_drains_and_stops(spark, sf_dir):
     g = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
     w = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in want.collect()}
     assert g == w
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state-store backend (the production-scale knob,
+    session.py SPARK_GRAFT_STATE_STORE=rocksdb) must produce identical
+    results to the default HDFS-backed provider — here on the windowed
+    hourly counts, whose tumbling-window aggregation state exercises the
+    store across micro-batches."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in ST.streamed_hourly_counts(spark, sf_dir).collect()
+    }
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in ST.streamed_hourly_counts(spark, sf_dir).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == want
