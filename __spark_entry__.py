@@ -544,6 +544,18 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib codec path (no fake): synthesize genuine PCM-WAV and
+    24-bit BMP containers from doc ids, parse them back (stdlib ``wave``
+    reader / hand-rolled BMP header+row parser), and aggregate the raw
+    samples/pixels. Oracle-checked because the generator's sample and
+    pixel values are closed-form in the id — DuckDB recomputes every
+    decoded statistic arithmetically, so ANY header, row-order, BGR or
+    padding bug in the decoder breaks the value hash."""
+    media = MM.attach_codec_media(Q.load(spark, sf_dir, "documents"))
+    return MM.media_decode_stats(media)
+
+
 # -------------------------------------------------------------- embeddings
 
 
@@ -860,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _dq_report,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
+        "media_decode_stats": _media_decode_stats,
         "media_frame_counts": _media_frame_counts,
         "media_features": _media_features,
         # streaming
@@ -2290,6 +2303,48 @@ def oracle_sql() -> dict[str, str]:
                              THEN least(4, greatest(octet_length(encode(text)), 1))
                              ELSE 1 END AS BIGINT) AS n_frames
             FROM documents
+        """,
+        # media_decode_stats: the engine BUILDS real WAV/BMP containers
+        # from id arithmetic and PARSES them back with stdlib decoders;
+        # the oracle recomputes the decoded statistics from the same
+        # arithmetic directly — verifying encode -> decode -> aggregate
+        # without reading a byte (checksums are position-weighted, so
+        # row-order/BGR/padding decoder bugs break the hash)
+        "media_decode_stats": """
+            WITH wav AS (
+              SELECT doc_id, 64 + doc_id % 64 AS n,
+                     8000 + (doc_id % 4) * 4000 AS rate
+              FROM documents WHERE doc_id % 2 = 1
+            ), wav_stats AS (
+              SELECT doc_id AS media_id, 'wav' AS format,
+                     CAST(n AS BIGINT) AS n_units,
+                     CAST(rate AS BIGINT) AS rate_or_width,
+                     round(list_avg([((i*31 + doc_id) % 65536) - 32768
+                                     for i in generate_series(0, n-1)]), 6)
+                       AS mean_val,
+                     CAST(list_sum([(i+1) * (((i*31 + doc_id) % 65536) - 32768)
+                                    for i in generate_series(0, n-1)]) AS BIGINT)
+                       AS checksum
+              FROM wav
+            ), bmp AS (
+              SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id % 2 = 0
+            ), bmp_stats AS (
+              SELECT doc_id AS media_id, 'bmp' AS format,
+                     CAST(w * h AS BIGINT) AS n_units,
+                     CAST(w AS BIGINT) AS rate_or_width,
+                     round(list_avg(flatten(
+                       [[ (x*7 + y*13 + doc_id) % 256
+                          for x in generate_series(0, w-1)]
+                        for y in generate_series(0, h-1)])), 6) AS mean_val,
+                     CAST(list_sum(flatten(
+                       [[ (y*w + x + 1) * ((x*7 + y*13 + doc_id) % 256)
+                          for x in generate_series(0, w-1)]
+                        for y in generate_series(0, h-1)])) AS BIGINT)
+                       AS checksum
+              FROM bmp
+            )
+            SELECT * FROM wav_stats UNION ALL SELECT * FROM bmp_stats
         """,
         "stream_sessionize": """
             WITH marked AS (

@@ -85,6 +85,8 @@ def main() -> None:
         "cosine_topk",
         "embedding_neardup_lsh",
         "media_byte_stats",
+        "media_decode_stats",
+        "exact_distinct_stats",
         "cohort_retention",
         "funnel_conversion",
         "shipping_priority",

@@ -76,34 +76,284 @@ def _fake_decode(content: bytes, media_type: str) -> bytes:
     return content
 
 
+# ------------------------------------------------------------- real codecs
+#
+# Two REAL uncompressed containers, decoded with the stdlib only: PCM WAV
+# (RIFF, via the ``wave`` module — the spec-true reference reader) and
+# 24-bit BI_RGB BMP (hand-parsed headers: bottom-up/top-down row order,
+# BGR channel order, 4-byte row padding — all the traps a genuine binary
+# decoder must handle). Compressed formats (JPEG/MP3/H.264) still need
+# native libs this container lacks and keep the NotImplementedError path.
+
+
+def synth_wav(media_id: int) -> bytes:
+    """Deterministic REAL WAV blob: mono PCM-16 sawtooth whose sample
+    values are pure id arithmetic — ``sample[i] = ((i*31 + id) % 65536)
+    - 32768`` — so a SQL oracle can recompute every decoded statistic
+    without parsing bytes. Built with the stdlib ``wave`` writer (real
+    RIFF/fmt/data chunks, not a fake)."""
+    import io
+    import struct
+    import wave
+
+    n = 64 + media_id % 64
+    rate = 8000 + (media_id % 4) * 4000
+    samples = [((i * 31 + media_id) % 65536) - 32768 for i in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def synth_bmp(media_id: int) -> bytes:
+    """Deterministic REAL 24-bit BMP blob (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes). Pixel
+    channels are id arithmetic — at (x, y): R=(x*7+y*13+id)%256,
+    G=(x*3+y*5+2*id)%256, B=(x*11+y*17+3*id)%256 — SQL-recomputable
+    like ``synth_wav``."""
+    import struct
+
+    w = 4 + media_id % 5
+    h = 3 + media_id % 4
+    row_pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            r = (x * 7 + y * 13 + media_id) % 256
+            g = (x * 3 + y * 5 + 2 * media_id) % 256
+            b = (x * 11 + y * 17 + 3 * media_id) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return file_hdr + info + pixel_data
+
+
+def decode_wav(data: bytes) -> tuple[dict, bytes]:
+    """Parse a PCM WAV blob with the stdlib ``wave`` reader. Returns
+    (meta, payload) where payload is the raw little-endian PCM sample
+    bytes and meta carries channels / sample_rate / n_frames /
+    sample_width."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as r:
+        meta = {
+            "channels": r.getnchannels(),
+            "sample_rate": r.getframerate(),
+            "n_frames": r.getnframes(),
+            "sample_width": r.getsampwidth(),
+        }
+        payload = r.readframes(meta["n_frames"])
+    return meta, payload
+
+
+def decode_bmp(data: bytes) -> tuple[dict, bytes]:
+    """Parse a 24-bit uncompressed (BI_RGB) BMP. Returns (meta, payload)
+    with payload NORMALIZED to top-down row-major RGB with padding
+    stripped — the decoder owns the bottom-up flip, the BGR→RGB swap and
+    the 4-byte row-padding math, which is exactly the work a real binary
+    media decoder does."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    row_stride = (width * 3 + 3) // 4 * 4
+    out = bytearray()
+    for y in range(h):  # output top-down
+        src_row = y if top_down else (h - 1 - y)
+        base = pixel_off + src_row * row_stride
+        row = data[base : base + width * 3]
+        # BGR -> RGB per pixel
+        for x in range(width):
+            out += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+    meta = {"width": width, "height": h, "channels": 3}
+    return meta, bytes(out)
+
+
+_DECODE_COLS = [
+    StructField("format", StringType(), True),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("channels", LongType(), True),
+    StructField("sample_rate", LongType(), True),
+    StructField("payload", BinaryType(), True),
+]
+
+
+def _decode_one(content: bytes) -> tuple:
+    """Sniff the container magic and decode. Returns the _DECODE_COLS
+    tuple; raises NotImplementedError for formats that need native libs."""
+    if len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        meta, payload = decode_wav(content)
+        return ("wav", None, None, meta["channels"], meta["sample_rate"], payload)
+    if content[:2] == b"BM":
+        meta, payload = decode_bmp(content)
+        return ("bmp", meta["width"], meta["height"], meta["channels"], None, payload)
+    raise NotImplementedError(
+        "unsupported media container (only PCM WAV and 24-bit BMP decode "
+        "with the stdlib; JPEG/MP3/video need pillow/ffmpeg — use "
+        "fake=True for the pass-through stand-in)"
+    )
+
+
 def decode_media(
     df: DataFrame, fake: bool = False, content_col: str = "content"
 ) -> DataFrame:
     """Decode blobs to raw payloads via mapInPandas.
 
-    With ``fake=False`` this raises NotImplementedError at plan-build time
-    (the container has no codec libs); ``fake=True`` runs the deterministic
-    fake so the batching/schema path is exercised end-to-end.
+    ``fake=False`` runs REAL stdlib decoders for PCM WAV and 24-bit BMP
+    blobs (``decode_wav`` / ``decode_bmp``; payload = raw PCM bytes /
+    normalized top-down RGB) and raises NotImplementedError inside the
+    task for containers that need native libs. ``fake=True`` keeps the
+    deterministic pass-through stand-in (format='fake') for synthetic
+    non-container blobs.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (pillow/ffmpeg) are not available in this "
-            "environment; pass fake=True for the deterministic stand-in"
-        )
-    out_schema = StructType(
-        df.schema.fields + [StructField("payload", BinaryType(), True)]
-    )
+    out_schema = StructType(df.schema.fields + _DECODE_COLS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [
-                None if c is None else _fake_decode(bytes(c), t)
-                for c, t in zip(pdf[content_col], pdf["media_type"])
-            ]
+            decoded = []
+            for c in pdf[content_col]:
+                if c is None:
+                    decoded.append((None, None, None, None, None, None))
+                elif fake:
+                    decoded.append(
+                        ("fake", None, None, None, None, _fake_decode(bytes(c), ""))
+                    )
+                else:
+                    decoded.append(_decode_one(bytes(c)))
+            for i, f in enumerate(_DECODE_COLS):
+                pdf[f.name] = [d[i] for d in decoded]
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media relation with REAL container blobs, derived deterministically
+    from an id column: odd ids carry a PCM-16 WAV (``synth_wav``), even
+    ids a 24-bit BMP (``synth_bmp``). Content is genuine RIFF/BMP bytes —
+    ``decode_media(fake=False)`` exercises real parsers on it — while
+    every decoded statistic stays closed-form in the id, so a SQL oracle
+    can verify the full encode→decode→aggregate path without reading a
+    byte. Map-only (blob construction happens inside the Arrow batch)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": [
+                        "audio" if i % 2 else "image" for i in ids
+                    ],
+                    "content": [
+                        synth_wav(i) if i % 2 else synth_bmp(i) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
+def media_decode_stats(media: DataFrame) -> DataFrame:
+    """Genuinely-decoded per-blob statistics: parse each WAV/BMP container
+    (``decode_wav`` / ``decode_bmp``) and aggregate its raw samples /
+    pixels. Output per media_id:
+
+    - format ('wav'|'bmp'), n_units (samples | pixels), rate_or_width
+      (sample_rate | image width) — straight from the parsed headers
+    - mean_val: mean PCM sample / mean RED channel (6 dp)
+    - checksum: position-weighted sum — Σ (i+1)·sample for audio,
+      Σ (y·w+x+1)·R for images in TOP-DOWN row-major order — order-
+      SENSITIVE on purpose: a bottom-up flip, BGR mixup, or row-padding
+      slip in the decoder changes it, where a plain mean would not.
+
+    Map-only over the Arrow batches; blobs never shuffle."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("n_units", LongType(), False),
+            StructField("rate_or_width", LongType(), False),
+            StructField("mean_val", DoubleType(), False),
+            StructField("checksum", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if data[:4] == b"RIFF":
+                    meta, payload = decode_wav(data)
+                    samples = np.frombuffer(payload, dtype="<i2").astype("int64")
+                    n = len(samples)
+                    rows.append(
+                        (
+                            int(mid),
+                            "wav",
+                            n,
+                            meta["sample_rate"],
+                            round(float(samples.mean()), 6),
+                            int((np.arange(1, n + 1) * samples).sum()),
+                        )
+                    )
+                else:
+                    meta, payload = decode_bmp(data)
+                    px = np.frombuffer(payload, dtype="u1").astype("int64")
+                    red = px[0::3]  # payload normalized to top-down RGB
+                    n = len(red)
+                    rows.append(
+                        (
+                            int(mid),
+                            "bmp",
+                            n,
+                            meta["width"],
+                            round(float(red.mean()), 6),
+                            int((np.arange(1, n + 1) * red).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "n_units",
+                    "rate_or_width", "mean_val", "checksum",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_schema)
 
 
 def media_byte_stats(df: DataFrame) -> DataFrame:

@@ -34,9 +34,13 @@ def test_attach_fake_media_schema(media):
     assert rows[1].n_bytes == 6 and len(bytes(rows[1].content)) == 6
 
 
-def test_decode_media_stub_raises_without_fake(media):
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(media)
+def test_decode_media_rejects_non_container_blobs(media):
+    # text bytes are not a recognized container: the real-decode path
+    # must fail loudly inside the task, never silently pass garbage
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="unsupported media container"):
+        MM.decode_media(media).collect()
 
 
 def test_decode_media_fake_roundtrip(media):
@@ -82,3 +86,118 @@ def test_resize_images_downsamples_only_images(media):
     assert bytes(out[0].content) == b"hlo" and out[0].n_bytes == 3
     # media 2 is video: untouched
     assert bytes(out[2].content) == b"0123456789" and out[2].n_bytes == 10
+
+
+# ----------------------------------------------------------- real codecs
+
+
+def test_wav_roundtrip_against_stdlib():
+    """synth_wav's container must be readable by the stdlib wave module
+    with the exact sawtooth samples the id arithmetic prescribes."""
+    import struct
+
+    for mid in (1, 7, 63, 101):
+        meta, payload = MM.decode_wav(MM.synth_wav(mid))
+        n = 64 + mid % 64
+        assert meta == {
+            "channels": 1,
+            "sample_rate": 8000 + (mid % 4) * 4000,
+            "n_frames": n,
+            "sample_width": 2,
+        }
+        got = struct.unpack(f"<{n}h", payload)
+        want = tuple(((i * 31 + mid) % 65536) - 32768 for i in range(n))
+        assert got == want
+
+
+def _spec_bmp(width, height, rgb_rows_topdown, top_down=False):
+    """Build a 24-bit BMP straight from the spec (independent of
+    synth_bmp): file header, 40-byte info header, BGR rows padded to 4
+    bytes, bottom-up unless top_down (negative height)."""
+    import struct
+
+    pad = (-(width * 3)) % 4
+    rows = rgb_rows_topdown if top_down else rgb_rows_topdown[::-1]
+    pixel_data = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * pad
+        for row in rows
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width,
+        -height if top_down else height,
+        1, 24, 0, len(pixel_data), 0, 0, 0, 0,
+    )
+    return struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54) + info + pixel_data
+
+
+def test_bmp_decoder_on_spec_fixture_bottom_up_and_top_down():
+    rows = [
+        [(255, 0, 0), (0, 255, 0)],        # top row
+        [(0, 0, 255), (255, 255, 255)],    # bottom row
+    ]
+    want_payload = bytes(
+        c for row in rows for (r, g, b) in row for c in (r, g, b)
+    )
+    for td in (False, True):
+        meta, payload = MM.decode_bmp(_spec_bmp(2, 2, rows, top_down=td))
+        assert meta == {"width": 2, "height": 2, "channels": 3}
+        assert payload == want_payload, ("top_down", td)
+
+
+def test_bmp_synth_decodes_to_generator_arithmetic():
+    for mid in (0, 2, 8, 46):
+        w, h = 4 + mid % 5, 3 + mid % 4
+        meta, payload = MM.decode_bmp(MM.synth_bmp(mid))
+        assert meta == {"width": w, "height": h, "channels": 3}
+        px = list(payload)
+        for y in range(h):
+            for x in range(w):
+                base = 3 * (y * w + x)
+                assert px[base] == (x * 7 + y * 13 + mid) % 256
+                assert px[base + 1] == (x * 3 + y * 5 + 2 * mid) % 256
+                assert px[base + 2] == (x * 11 + y * 17 + 3 * mid) % 256
+
+
+def test_bmp_decoder_rejects_unsupported():
+    import struct
+
+    with pytest.raises(ValueError, match="BM magic"):
+        MM.decode_bmp(b"NOPE")
+    # 8-bit palette BMP: refuse, don't misparse
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        MM.decode_bmp(hdr + info)
+
+
+def test_decode_media_real_path(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    out = {
+        r.media_id: r
+        for r in MM.decode_media(MM.attach_codec_media(docs)).collect()
+    }
+    assert out[1].format == "wav" and out[1].sample_rate == 12000
+    assert out[1].channels == 1 and out[1].width is None
+    assert out[0].format == "bmp" and out[0].width == 4 and out[0].height == 3
+    assert len(bytes(out[0].payload)) == 4 * 3 * 3  # w*h*RGB, padding stripped
+
+
+def test_media_decode_stats_small_by_hand(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {
+        r.media_id: r
+        for r in MM.media_decode_stats(MM.attach_codec_media(docs)).collect()
+    }
+    # wav id=1: n=65, samples ((31i+1)%65536)-32768
+    samples = [((i * 31 + 1) % 65536) - 32768 for i in range(65)]
+    assert out[1].format == "wav" and out[1].n_units == 65
+    assert out[1].rate_or_width == 12000
+    assert out[1].checksum == sum((i + 1) * s for i, s in enumerate(samples))
+    # bmp id=2: w=4+2%5=6, h=3+2%4=5, red=(7x+13y+2)%256
+    reds = [(x * 7 + y * 13 + 2) % 256 for y in range(5) for x in range(6)]
+    assert out[2].format == "bmp" and out[2].n_units == 30
+    assert out[2].rate_or_width == 6
+    assert out[2].checksum == sum((i + 1) * r for i, r in enumerate(reds))
+    assert abs(out[2].mean_val - round(sum(reds) / 30, 6)) < 1e-9
