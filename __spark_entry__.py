@@ -456,6 +456,14 @@ def _duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicate_spans(Q.load(spark, sf_dir, "documents"), k=5)
 
 
+def _duplicate_span_rewrite_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal with OVERLAPPING 5-token windows
+    (operators/dedup.remove_duplicate_spans_v2): catches repeats that
+    straddle v1's grain boundaries; window keys are xxhash64 of the k
+    token columns (8-byte shuffle, no window strings)."""
+    return D.remove_duplicate_spans_v2(Q.load(spark, sf_dir, "documents"), k=5)
+
+
 def _duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate 5-token-span fraction per document."""
     return D.duplicate_span_stats(Q.load(spark, sf_dir, "documents"), k=5)
@@ -850,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_rewrite": _line_dedup_rewrite,
         "duplicate_span_stats": _duplicate_span_stats,
         "duplicate_span_rewrite": _duplicate_span_rewrite,
+        "duplicate_span_rewrite_v2": _duplicate_span_rewrite_v2,
         "ngram_frequency": _ngram_frequency,
         "vocab_oov_stats": _vocab_oov_stats,
         "chunk_manifest": _chunk_manifest,
@@ -1925,6 +1934,56 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN keep THEN 0 ELSE g_len END)
                        AS n_tokens_removed
               FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(r.n_tokens_removed, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        # v2: overlapping windows + covered-token removal. The oracle
+        # decides duplicates by window-STRING equality; the engine by
+        # xxhash64 of the token columns — identical absent a 64-bit
+        # collision (tokens are whitespace-split, so ' '-joins are
+        # boundary-bijective).
+        "duplicate_span_rewrite_v2": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS l
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, i,
+                     array_to_string(l[i + 1 : i + 5], ' ') AS wstr
+              FROM toks, unnest(range(0, len(l) - 4)) AS t(i)
+            ),
+            dupw AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       row_number() OVER (PARTITION BY wstr
+                                          ORDER BY doc_id, i) AS rn
+                FROM w) WHERE rn > 1
+            ),
+            cover AS (
+              SELECT DISTINCT d.doc_id, j
+              FROM dupw d, unnest(range(d.i, d.i + 5)) AS u(j)
+            ),
+            tok_rows AS (
+              SELECT doc_id, j, l[j + 1] AS tok
+              FROM toks, unnest(range(0, len(l))) AS t(j)
+            ),
+            rebuilt AS (
+              SELECT t.doc_id,
+                     coalesce(string_agg(CASE WHEN c.j IS NULL THEN tok END,
+                                         ' ' ORDER BY t.j), '') AS clean_text,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END)
+                       AS n_tokens_removed
+              FROM tok_rows t
+              LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.j = c.j
+              GROUP BY t.doc_id
             )
             SELECT d.doc_id,
                    coalesce(r.clean_text, '') AS clean_text,

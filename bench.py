@@ -140,6 +140,7 @@ def main() -> None:
         "value_anomalies",
         "line_dedup_rewrite",
         "duplicate_span_rewrite",
+        "duplicate_span_rewrite_v2",
         "c4_filter_stats",
         "sentiment_rollup",
         "train_val_test_split",

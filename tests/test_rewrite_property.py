@@ -92,3 +92,67 @@ def test_remove_duplicate_spans_matches_reference(spark, corpus, k):
         for r in remove_duplicate_spans(docs, k=k).collect()
     }
     assert got == _ref_remove_spans(corpus, k)
+
+
+def _ref_remove_spans_v2(texts, k):
+    """Sequential-scan reference of the OVERLAPPING-window semantics:
+    every k-window (stride 1) whose token string was seen at an earlier
+    (doc, pos) marks its k tokens removed; kept tokens rejoin with ' '."""
+    seen = set()
+    out = {}
+    for i, text in enumerate(texts):
+        toks = _spark_tokens(text)
+        removed = [False] * len(toks)
+        for s in range(len(toks) - k + 1):
+            w = " ".join(toks[s : s + k])
+            if w in seen:
+                for j in range(s, s + k):
+                    removed[j] = True
+            else:
+                seen.add(w)
+        kept = [t for t, r in zip(toks, removed) if not r]
+        out[i] = (" ".join(kept), len(toks), sum(removed))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(_CORPUS, st.integers(min_value=1, max_value=3))
+def test_remove_duplicate_spans_v2_matches_reference(spark, corpus, k):
+    from reddit_etl_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans_v2,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans_v2(docs, k=k).collect()
+    }
+    assert got == _ref_remove_spans_v2(corpus, k)
+
+
+def test_v2_catches_boundary_straddling_repeat(spark):
+    """The repeat 'p q r s t' sits at positions 3..7 of doc 1 — straddling
+    v1's 5-token grain boundary (grains [0:5], [5:10]), so grain dedup
+    misses it entirely; the overlapping-window v2 removes exactly those
+    five tokens."""
+    from reddit_etl_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_v2,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="p q r s t"),
+            Row(doc_id=1, text="a b c p q r s t x y"),
+        ]
+    )
+    v1 = {r.doc_id: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    v2 = {r.doc_id: r for r in remove_duplicate_spans_v2(docs, k=5).collect()}
+    # v1: doc 1 grains 'a b c p q' and 'r s t x y' match nothing -> kept
+    assert v1[1].n_tokens_removed == 0
+    # v2: the straddling window 'p q r s t' at pos 3 is a duplicate
+    assert v2[1].n_tokens_removed == 5
+    assert v2[1].clean_text == "a b c x y"
+    assert v2[0].n_tokens_removed == 0  # first occurrence survives
