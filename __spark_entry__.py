@@ -157,15 +157,22 @@ def _lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer fit (operators/bpe.py): learn 100 merges from the
+    """BPE tokenizer fit (operators/bpe.py): learn 8 merges from the
     even-id docs' word histogram (one corpus scan + bounded driver loop),
     segment odd-id docs map-only, roll up subword counts per language.
-    Deterministic but iterative-argmax — non-SQL-expressible, rows-only
-    (like k-means/pagerank); merge-sequence exactness is pinned by hand
-    in tests/test_bpe.py."""
+
+    ORACLE-CHECKED end to end (lifted from rows-only in round 4, like
+    the PageRank unrolled-CTE lift): DuckDB replays the iterative-argmax
+    merge loop as 8 unrolled CTE triples over the word histogram —
+    symbol sequences ride as double-space-delimited strings, so applying
+    a merge is a plain left-to-right ``replace()``, exactly the Python
+    scan — and replays segmentation as rank-ordered replaces (equivalent
+    to the greedy lowest-rank encode because a merge can only create
+    pairs of strictly higher rank). 8 merges keeps the oracle tractable;
+    the 100-merge production fit is pinned by tests/test_bpe.py."""
     docs = Q.load(spark, sf_dir, "documents")
     merges = BP.learn_bpe_merges(
-        docs.filter(F.col("doc_id") % 2 == 0), n_merges=100
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=8
     )
     return BP.bpe_segment_stats(
         docs.filter(F.col("doc_id") % 2 == 1), merges
@@ -909,6 +916,106 @@ _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
+
+
+def _bpe_oracle(iters: int = 8, min_count: int = 2, max_vocab: int = 50_000) -> str:
+    """Unrolled BPE fit + segmentation as plain CTE chains (the PageRank
+    lift pattern applied to the tokenizer trainer).
+
+    Fit: each iteration is a (symbols, pair-counts, best, next-hist)
+    CTE group over the even-doc word histogram. A word's symbol sequence
+    is one string with every symbol wrapped in single spaces (adjacent
+    symbols separated by DOUBLE spaces), so applying merge (a, b) is the
+    plain string ``replace(seq, ' a  b ', ' ab ')`` — left-to-right and
+    non-overlapping, byte-identical to the engine's Python merge scan.
+    Ties break (cnt DESC, a, b) like the engine's (-count, pair) min.
+    When the best pair's count drops under ``min_count`` the best CTE is
+    empty and the histogram passes through unchanged — pair counts are
+    non-increasing across merges, so later iterations stay empty too,
+    matching the engine's early stop.
+
+    Segmentation: odd-doc words run the 8 merges as rank-ordered global
+    replaces — equivalent to the engine's greedy lowest-rank-first
+    encode because a merge at rank r can only create pairs containing
+    its new symbol, whose learned ranks are all > r. Subword count =
+    symbols remaining; rollup per language."""
+    chars = "[word[i] for i in generate_series(1, len(word))]"
+    wrap = (
+        f"' ' || array_to_string(list_append({chars}, '</w>'), '  ') || ' '"
+    )
+    sql = [f"""
+        WITH h AS (
+          SELECT word, count(*) AS n FROM (
+            SELECT unnest({_TOKENS}) AS word
+            FROM documents WHERE doc_id % 2 = 0
+          ) WHERE word <> ''
+          GROUP BY word ORDER BY n DESC, word LIMIT {max_vocab}
+        ),
+        hist0 AS MATERIALIZED (SELECT {wrap} AS seq, n FROM h)"""]
+    for i in range(1, iters + 1):
+        a = f"(SELECT a FROM best{i})"
+        b = f"(SELECT b FROM best{i})"
+        guard = f"(SELECT count(*) FROM best{i}) = 1"
+        merge = (
+            f"replace(seq, ' ' || {a} || '  ' || {b} || ' ', "
+            f"' ' || {a} || {b} || ' ')"
+        )
+        sql.append(f""",
+        sy{i} AS MATERIALIZED (
+          SELECT string_split(trim(seq, ' '), '  ') AS s, n FROM hist{i - 1}
+        ),
+        pairs{i} AS (
+          SELECT p[1] AS a, p[2] AS b, sum(n) AS cnt
+          FROM sy{i},
+               unnest([[s[j], s[j+1]]
+                       for j in generate_series(1, len(s) - 1)]) AS u(p)
+          GROUP BY 1, 2
+        ),
+        best{i} AS MATERIALIZED (
+          SELECT a, b FROM pairs{i} WHERE cnt >= {min_count}
+          ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        hist{i} AS MATERIALIZED (
+          SELECT CASE WHEN {guard} THEN {merge} ELSE seq END AS seq, n
+          FROM hist{i - 1}
+        )""")
+    sql.append(f""",
+        ow AS (
+          SELECT lang, word, count(*) AS n FROM (
+            SELECT lang, unnest({_TOKENS}) AS word
+            FROM documents WHERE doc_id % 2 = 1
+          ) WHERE word <> '' GROUP BY lang, word
+        ),
+        w0 AS MATERIALIZED (SELECT lang, n, {wrap} AS seq FROM ow)""")
+    for i in range(1, iters + 1):
+        a = f"(SELECT a FROM best{i})"
+        b = f"(SELECT b FROM best{i})"
+        guard = f"(SELECT count(*) FROM best{i}) = 1"
+        merge = (
+            f"replace(seq, ' ' || {a} || '  ' || {b} || ' ', "
+            f"' ' || {a} || {b} || ' ')"
+        )
+        sql.append(f""",
+        w{i} AS MATERIALIZED (
+          SELECT lang, n, CASE WHEN {guard} THEN {merge} ELSE seq END AS seq
+          FROM w{i - 1}
+        )""")
+    sql.append(f""",
+        subs AS (
+          SELECT lang, sum(n) AS n_words,
+                 sum(n * len(string_split(trim(seq, ' '), '  ')))
+                   AS n_subwords
+          FROM w{iters} GROUP BY lang
+        ),
+        dpl AS (
+          SELECT lang, count(*) AS n_docs
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+        )
+        SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(s.n_subwords, 0) AS BIGINT) AS n_subwords
+        FROM dpl d LEFT JOIN subs s USING (lang)""")
+    return "".join(sql)
 
 
 def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
@@ -2950,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "supplier_pagerank": _pagerank_oracle(iters=8, damping=0.85),
+        "bpe_vocab_stats": _bpe_oracle(iters=8),
         "semantic_dedup": """
             WITH e AS (
               SELECT vec_id,
