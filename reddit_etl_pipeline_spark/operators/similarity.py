@@ -170,6 +170,8 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
+    bucket_cap: int | None = 256,
+    split_bits: int = 16,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing ANY
     of ``n_tables`` hyperplane buckets with the query (multi-table OR for
@@ -182,17 +184,47 @@ def cosine_topk_lsh(
     pass ``corpus_rows`` (from table stats / parquet footers) to avoid an
     extra count() job over the corpus — at scale that's a whole scan plan
     just to pick a constant; only if neither is given do we fall back to
-    ``corpus.count()``."""
+    ``corpus.count()``.
+
+    ``bucket_cap`` bounds per-query candidate cost on hub buckets: the
+    CORPUS buckets are split once (``split_hot_buckets``), and each query
+    probes the refined key it falls into — a broadcast lookup of the
+    (tbl, bucket) → lvl level table (bounded by |assignments|/cap rows,
+    each holding > cap members) computes ``sub = ext & mask(lvl)`` on the
+    query side, keeping the corpus-side probe a pure equi-join. A query
+    probing a hub bucket then scans ≤ cap corpus vectors in that table
+    instead of the whole hub. ``None`` disables splitting."""
     if n_planes is None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
         n_planes = max(auto_planes(n) - 2, 4)  # favor recall
-    cb = lsh_bucket_table(corpus, dim, n_planes, n_tables, id_col, vec_col)
-    qb = lsh_bucket_table(queries, dim, n_planes, n_tables, id_col, vec_col)
-    cand_ids = (
-        cb.join(
-            F.broadcast(qb.withColumnRenamed("did", "query_id")),
-            ["tbl", "bucket"],
+    extra = split_bits if bucket_cap is not None else 0
+    cb = lsh_bucket_table(
+        corpus, dim, n_planes, n_tables, id_col, vec_col, extra_bits=extra
+    )
+    qb = lsh_bucket_table(
+        queries, dim, n_planes, n_tables, id_col, vec_col, extra_bits=extra
+    ).withColumnRenamed("did", "query_id")
+    key = ["tbl", "bucket"]
+    if bucket_cap is not None:
+        cb = split_hot_buckets(cb, bucket_cap, extra_bits=split_bits).drop("ext")
+        # level lookup restricted to SPLIT buckets (lvl > 0): an unsplit
+        # bucket holds only lvl 0, so missing rows default there via the
+        # left join — the broadcast stays bounded by the number of
+        # refined hot groups (≲ assignments/cap), NOT by the total
+        # bucket count. A split (tbl, bucket) may hold several levels
+        # (uneven sub-splits); the query probes its refined key at each.
+        hot_levels = cb.filter(F.col("lvl") > 0).select(
+            "tbl", "bucket", "lvl"
+        ).distinct()
+        qb = (
+            qb.join(F.broadcast(hot_levels), ["tbl", "bucket"], "left")
+            .withColumn("lvl", F.coalesce("lvl", F.lit(0)))
+            .withColumn("sub", F.expr("ext & (shiftleft(1L, lvl) - 1)"))
+            .drop("ext")
         )
+        key = ["tbl", "bucket", "lvl", "sub"]
+    cand_ids = (
+        cb.join(F.broadcast(qb), key)
         .filter(F.col("did") != F.col("query_id"))
         .select("query_id", F.col("did").alias("neighbor_id"))
         .distinct()

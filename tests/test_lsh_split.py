@@ -131,3 +131,35 @@ def test_default_cap_matches_unsplit_on_uniform_corpus(spark):
         for r in S.embedding_neardup_pairs(df, DIM, bucket_cap=None, **kw).collect()
     }
     assert a == b
+
+
+def test_cosine_topk_lsh_split_probes_refined_buckets(spark):
+    """Query-side splitting: corpus with a dense region forces splits;
+    the split path must (a) agree with the unsplit path's top-k for
+    queries whose nearest neighbors are genuinely close (twin pairs) and
+    (b) still return k results per query."""
+    rng = random.Random(31)
+    base = [_unit(rng) for _ in range(250)]
+    # queries are twins of known corpus vectors -> rank-1 neighbor known
+    qs = []
+    for t in range(12):
+        v = base[t]
+        w = [x + rng.gauss(0, 0.005) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        qs.append([x / n for x in w])
+    corpus = _mk(spark, base)
+    queries = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(qs)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=3, n_planes=2, n_tables=8)  # 4 buckets -> every bucket hot
+    split = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.cosine_topk_lsh(
+            corpus, queries, DIM, bucket_cap=16, split_bits=12, **kw
+        ).collect()
+    }
+    # every query keeps k results and finds its twin at rank 1
+    for i in range(12):
+        assert split[(1000 + i, 1)] == i
+        assert (1000 + i, 3) in split
