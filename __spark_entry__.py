@@ -550,8 +550,11 @@ def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake featurizer via mapInPandas (rows-only check:
-    byte-histogram semantics aren't SQL-expressible over blobs)."""
+    """Deterministic featurizer via mapInPandas. ORACLE-CHECKED (lifted
+    from rows-only in round 4): f0 = fraction of blob bytes in histogram
+    bucket 0 (byte % 16 == 0), which DuckDB recomputes by reading the
+    utf-8 blob's hex digits — any batching/encoding bug in the Arrow
+    featurizer path breaks the value hash."""
     media = MM.attach_fake_media(Q.load(spark, sf_dir, "documents"))
     feats = MM.extract_features(media, dim=16)
     return feats.select(
@@ -2480,6 +2483,20 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 END AS BIGINT) AS n_frames
             FROM documents
         """,
+        # media_features: f0 = fraction of utf-8 blob bytes with low
+        # nibble 0 (byte % 16 == 0) — bytes read via to_hex digit pairs
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE round(
+                          len(list_filter(
+                            generate_series(1, octet_length(encode(text))),
+                            i -> substr(lower(to_hex(encode(text))),
+                                        2 * i, 1) = '0'))
+                          / greatest(octet_length(encode(text)), 1), 6)
+                   END AS f0
+            FROM documents
+        """,
         # media_decode_stats: the engine BUILDS real WAV/BMP containers
         # from id arithmetic and PARSES them back with stdlib decoders;
         # the oracle recomputes the decoded statistics from the same
@@ -3098,8 +3115,10 @@ def oracle_sql() -> dict[str, str]:
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py
         # against the oracle-checked exact_distinct_stats companion).
         # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
-        # cosine_topk_lsh / cosine_topk_pq / media_features: hash-family /
-        # learned-quantizer
-        # semantics (xxhash64 permutations, hyperplane LSH) are not
-        # SQL-expressible -> rows-only checks.
+        # cosine_topk_lsh / cosine_topk_pq / cosine_topk_ivf /
+        # cosine_topk_ivfpq / knn_label_confusion_ivf /
+        # kmeans_cluster_stats: hash-family / learned-quantizer semantics
+        # (xxhash64 permutations, hyperplane LSH, k-means float means)
+        # are not SQL-expressible -> rows-only checks with
+        # recall/accuracy-floor tests.
     }
