@@ -127,6 +127,49 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with the learned merges: (id, subwords)
+    where subwords is the document's full subword stream in order
+    (word-terminal ``</w>`` markers kept, so word boundaries are
+    recoverable — the tensorized-training input a packer consumes).
+
+    Same map-only Arrow shape as ``bpe_segment_stats`` (ranks ride the
+    closure, per-unique-word memoization per batch); emits the token
+    stream instead of its counts."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def seg(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        ascii_ws = " \t\n\x0b\f\r"
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, subs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                stripped = (text or "").lower().strip(ascii_ws)
+                words = ws.split(stripped) if stripped else []
+                out: list[str] = []
+                for w in words:
+                    if w not in cache:
+                        cache[w] = _encode_word(w, ranks)
+                    out.extend(cache[w])
+                ids.append(did)
+                subs.append(out)
+            yield pd.DataFrame({id_col: ids, "subwords": subs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        seg, f"{id_col} long, subwords array<string>"
+    )
+
+
 def bpe_segment_stats(
     docs: DataFrame,
     merges: list[tuple[str, str]],

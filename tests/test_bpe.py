@@ -87,3 +87,29 @@ def test_vocab_learning_compresses_indomain_text(spark, documents):
     # yields at least one subword
     assert stats["s"] < chars["s"]
     assert stats["s"] >= stats["w"]
+
+
+def test_apply_bpe_token_stream(spark):
+    """apply_bpe must emit the in-order subword stream with </w> markers,
+    consistent with bpe_segment_stats' counts on the same merges."""
+    from reddit_etl_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        bpe_segment_stats,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest", "en"), (1, "low low", "en"), (2, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    merges = learn_bpe_merges(docs, n_merges=4, min_count=2)
+    toks = {r.doc_id: r.subwords for r in apply_bpe(docs, merges).collect()}
+    # every word's subwords concatenate back to word + </w>
+    for did, text in [(0, "low lower lowest"), (1, "low low")]:
+        joined = "".join(toks[did])
+        assert joined == "</w>".join(text.split()) + "</w>"
+    assert toks[2] == []
+    # counts agree with bpe_segment_stats
+    stats = {r.lang: r for r in bpe_segment_stats(docs, merges).collect()}
+    assert stats["en"].n_subwords == sum(len(v) for v in toks.values())
+    assert stats["en"].n_words == 5
