@@ -259,6 +259,21 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(Q.load(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def _neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: every doc mapped to the
+    HIGHEST-quality member of its near-dup cluster (ties → lowest id) —
+    dedup keeps the best copy, not the earliest."""
+    return D.neardup_canonical(Q.load(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing to an exact token budget: docs selected in
+    deterministic scramble order until 2000 tokens per language."""
+    return PK.token_budget_sample(
+        Q.load(spark, sf_dir, "documents"), budget_tokens=2000, group_col="lang"
+    )
+
+
 def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source downsampling (training-mixture weights):
     keep 1-in-2 docs from src0*, 1-in-5 otherwise, keyed on doc_id so the
@@ -862,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_rollup": _lang_id_rollup,
         "jaccard_pairs": _jaccard_pairs,
         "neardup_clusters": _neardup_clusters,
+        "neardup_canonical": _neardup_canonical,
+        "token_budget_sample": _token_budget_sample,
         "curated_corpus": _curated_corpus,
         "corpus_mix": _corpus_mix,
         "token_length_histogram": _token_length_histogram,
@@ -1758,6 +1775,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % (CASE WHEN source LIKE 'src0%' THEN 2 ELSE 5 END) = 0
             GROUP BY source
+        """,
+        # same recursive-CTE cluster walk as neardup_clusters, plus the
+        # quality expression (dq_report's) and per-cluster argmax on
+        # (quality DESC, doc_id ASC) — mirrors max(struct(quality, -id))
+        "neardup_canonical": f"""
+            WITH RECURSIVE tok AS (
+              SELECT DISTINCT doc_id AS did, t.tok
+              FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), sizes AS (
+              SELECT did, count(*) AS sz FROM tok GROUP BY did
+            ), inter AS (
+              SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
+              GROUP BY a.did, b.did
+            ), pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.did = doc_a
+              JOIN sizes sb ON sb.did = doc_b
+              WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+            ), edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), walk(n, m) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
+            ), memb AS (
+              SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id,
+                     coalesce(
+                       round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+                           + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                    / greatest(length(text), 1))
+                           + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                    / greatest(length(text), 1), 1.0)), 6),
+                       -1.0) AS quality
+              FROM documents d
+              LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
+                ON c.n = d.doc_id
+            ), best AS (
+              SELECT rep_id, doc_id AS canonical_id FROM (
+                SELECT rep_id, doc_id,
+                       row_number() OVER (PARTITION BY rep_id
+                                          ORDER BY quality DESC, doc_id) AS rn
+                FROM memb) WHERE rn = 1
+            )
+            SELECT m.doc_id, b.canonical_id, m.quality
+            FROM memb m JOIN best b USING (rep_id)
+        """,
+        "token_budget_sample": f"""
+            WITH counted AS (
+              SELECT lang, doc_id,
+                     CAST(coalesce(len({_TOKENS}), 0) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT lang, doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+              FROM counted
+            )
+            SELECT lang, doc_id, n_tokens FROM c WHERE cum_before < 2000
         """,
         "token_length_histogram": f"""
             SELECT CAST(floor(len({_TOKENS}) / 16) * 16 AS INTEGER) AS token_bucket,

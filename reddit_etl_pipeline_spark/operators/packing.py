@@ -108,6 +108,52 @@ def stratified_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing to an exact per-group token budget: within each group
+    take documents in Knuth-scrambled pseudo-random order (deterministic,
+    engine-independent) while the cumulative token count BEFORE the doc
+    is still under ``budget_tokens`` — the doc that crosses the budget is
+    the last one in, so every group lands in
+    [budget, budget + max_doc_tokens). The "sample N tokens per source /
+    language" stage of a pretraining mix, without a driver-side loop.
+
+    Output: (group, doc_id, n_tokens) of the selected docs.
+
+    Scale shape: token counts are a codegen projection; selection is one
+    cumulative-sum window per group — a single shuffle keyed by the
+    group, the same cost as any per-group rollup. Selection is
+    growth-stable per prefix of the scramble order but, unlike a
+    cumulative id-order rule, rebalances when the corpus grows (the
+    scramble reshuffles) — pin the corpus snapshot for reproducible
+    mixes."""
+    from ..functions.text import tokens
+
+    w = Window.partitionBy(group_col).orderBy(
+        scramble(id_col).asc(), F.col(id_col).asc()
+    )
+    counted = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        # NULL text counts as 0 tokens (still a selectable row) so the
+        # cumulative sum is total and NULL never poisons the window
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        counted.withColumn("_cum_before", cum_before)
+        .filter(F.col("_cum_before") < budget_tokens)
+        .drop("_cum_before")
+    )
+
+
 def shard_assignments(
     df: DataFrame,
     n_shards: int = 16,

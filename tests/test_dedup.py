@@ -53,3 +53,26 @@ def test_incremental_dedup_null_text_never_matches(spark):
         r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
     )
     assert kept == [11, 14]  # null survives (one row); alpha is a corpus dup
+
+
+def test_neardup_canonical_keeps_best_quality(spark):
+    from reddit_etl_pipeline_spark.operators.dedup import neardup_canonical
+
+    # docs 0/1/2 are near-identical (one cluster); doc 1 has the longest,
+    # most alphabetic text -> highest quality -> canonical despite not
+    # being the lowest id. Doc 5 is a singleton; doc 6 has NULL text.
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base + "!!!! ###"),
+            (1, base + "plus clean prose"),
+            (2, base + "???? @@@"),
+            (5, "completely different text about spark engines"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in neardup_canonical(docs, threshold=0.5).collect()}
+    assert out[0].canonical_id == out[1].canonical_id == out[2].canonical_id == 1
+    assert out[5].canonical_id == 5
+    assert out[6].canonical_id == 6 and out[6].quality == -1.0

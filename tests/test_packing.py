@@ -179,3 +179,31 @@ def test_train_val_test_split_deterministic_and_stable(spark, documents):
     n = len(a)
     frac_train = sum(1 for v in a.values() if v == "train") / n
     assert 0.80 <= frac_train <= 0.97
+
+
+def test_token_budget_sample_properties(spark):
+    from reddit_etl_pipeline_spark.operators.packing import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "w " * (10 + i % 7)) for i in range(60)]
+        + [(100, "fr", None)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_sample(docs, budget_tokens=50, group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        total = sum(r.n_tokens for r in rows)
+        # budget is a floor: total >= budget unless the group ran dry,
+        # and removing the LAST selected doc (scramble order) drops
+        # under budget (no over-selection)
+        if lang == "fr":
+            assert total == 0  # null text -> 0 tokens, still selectable
+            continue
+        assert total >= 50
+        order = sorted(rows, key=lambda r: (r.doc_id * 2654435761 % 2**32, r.doc_id))
+        assert total - order[-1].n_tokens < 50
+    # determinism
+    again = token_budget_sample(docs, budget_tokens=50, group_col="lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
