@@ -113,6 +113,9 @@ def main() -> None:
         "grouping_sets_revenue",
         "state_history_scd2",
         "temperature_mix",
+        "token_budget_sample",
+        "neardup_canonical",
+        "cosine_topk_ivfpq",
         "stream_sliding_counts",
         "stream_static_enrich",
         "dq_report",
