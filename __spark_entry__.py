@@ -767,6 +767,16 @@ def _stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_incremental_dedup(spark, sf_dir)
 
 
+def _stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous NEAR-dup corpus build: candidate docs
+    stream in id-ordered micro-batches against a growing
+    accepted-signature MinHash index (banding probe + signature verify,
+    greedy first-arrival within batch). Rows-only — minhash semantics
+    aren't SQL-expressible; sequential-greedy equivalence pinned in
+    tests/test_stream_dedup.py."""
+    return ST.streamed_incremental_neardup(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -929,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
         "stream_incremental_dedup": _stream_incremental_dedup,
+        "stream_incremental_neardup": _stream_incremental_neardup,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
         "stream_static_enrich": _stream_static_enrich,

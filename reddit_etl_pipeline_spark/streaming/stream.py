@@ -789,6 +789,220 @@ def streamed_incremental_dedup(
     return spark.read.parquet(accepted_path).select("doc_id")
 
 
+def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(did, band, bucket) rows from a signature table (the banding half
+    of operators/dedup.minhash_candidate_pairs, reused for cross-side
+    probe joins)."""
+    return sigs.select(
+        F.col("did"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _est_jaccard_pairs(
+    pairs: DataFrame, sa: DataFrame, sb: DataFrame, num_perm: int
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs by signature agreement: keep
+    est_jaccard = |matching slots| / num_perm."""
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(num_perm),
+        )
+    )
+    return out.select("id_a", "id_b", "est_jaccard")
+
+
+def neardup_batch_against_index(
+    batch: DataFrame,
+    batch_id: int,
+    sig_index_path: str,
+    accepted_path: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Merge one micro-batch into a growing NEAR-dup-deduplicated corpus
+    — the MinHash analog of ``dedup_batch_against_index``: reject every
+    batch doc whose estimated Jaccard (signature agreement) against an
+    ALREADY-ACCEPTED doc reaches ``threshold``, resolve within-batch
+    near-dups greedily in id order, and extend the accepted-signature
+    index with the survivors.
+
+    Index contents: (did, signature) only — num_perm longs per accepted
+    doc, no text, appended as ``batch_id=N`` partitions (overwrite per
+    partition = replay idempotency, like the exact variant). The probe
+    is a banding equi-join against the index (bounded by bucket
+    occupancy) + signature verification on candidates only; the corpus
+    text is never rescanned. Within-batch resolution collects the
+    batch's VERIFIED candidate edges (output-bounded, micro-batch-sized)
+    and runs the greedy first-arrival policy
+    (operators/dedup.greedy_accept_order)."""
+    from ..operators.dedup import greedy_accept_order, minhash_signatures
+
+    spark = batch.sparkSession
+    rpb = num_perm // bands
+    sigs = (
+        minhash_signatures(batch, text_col, id_col, num_perm, shingle_n)
+        .withColumnRenamed(id_col, "did")
+        .localCheckpoint(eager=True)
+    )
+    try:
+        idx = spark.read.parquet(sig_index_path)
+    except AnalysisException:
+        idx = None
+    survivors = sigs
+    if idx is not None:
+        idx = idx.filter(F.col("batch_id") < batch_id)  # replay safety
+        cand = (
+            _banded_sigs(sigs, bands, rpb)
+            .withColumnRenamed("did", "id_a")
+            .join(
+                _banded_sigs(
+                    idx.select("did", "signature"), bands, rpb
+                ).withColumnRenamed("did", "id_b"),
+                ["band", "bucket"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sigs.select(F.col("did").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = idx.select(F.col("did").alias("id_b"), F.col("signature").alias("sig_b"))
+        dup_vs_index = (
+            _est_jaccard_pairs(cand, sa, sb, num_perm)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_a").alias("did"))
+            .distinct()
+        )
+        survivors = sigs.join(dup_vs_index, "did", "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+
+    # within-batch greedy: verified edges among survivors, driver-side
+    # first-arrival resolution (micro-batch-bounded by construction)
+    b = _banded_sigs(survivors, bands, rpb)
+    x, y = b.alias("x"), b.alias("y")
+    wb_cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.did") < F.col("y.did")),
+        )
+        .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
+        .distinct()
+    )
+    sv_a = survivors.select(F.col("did").alias("id_a"), F.col("signature").alias("sig_a"))
+    sv_b = survivors.select(F.col("did").alias("id_b"), F.col("signature").alias("sig_b"))
+    edges = [
+        (r.id_a, r.id_b)
+        for r in _est_jaccard_pairs(wb_cand, sv_a, sv_b, num_perm)
+        .filter(F.col("est_jaccard") >= threshold)
+        .collect()
+    ]
+    ids = [r.did for r in survivors.select("did").collect()]
+    accepted_ids = greedy_accept_order(ids, edges)
+
+    accepted = survivors.filter(
+        F.col("did").isin(list(accepted_ids))
+        if accepted_ids
+        else F.lit(False)
+    ).localCheckpoint(eager=True)
+    accepted.select(F.col("did").alias(id_col)).write.mode("overwrite").parquet(
+        f"{accepted_path}/batch_id={batch_id}"
+    )
+    accepted.select("did", "signature").write.mode("overwrite").parquet(
+        f"{sig_index_path}/batch_id={batch_id}"
+    )
+
+
+def streamed_incremental_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous NEAR-dup corpus build: seed the signature index from
+    the accepted corpus (even-id docs), stream candidate docs (odd-id)
+    in id-ordered micro-batches through ``neardup_batch_against_index``,
+    return accepted ids.
+
+    Policy equivalence (pinned in tests/test_stream_dedup.py): because
+    slices arrive in id order and signatures are a pure per-doc
+    function, the streamed result equals a single sequential greedy pass
+    over all candidates — reject iff est-Jaccard >= threshold against an
+    already-accepted (seed or earlier-surviving) doc."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    base = scratch_dir("inc_neardup_")
+    sig_index_path = f"{base}/sig_index"
+    accepted_path = f"{base}/accepted"
+    minhash_signatures(corpus).withColumnRenamed("doc_id", "did").write.mode(
+        "overwrite"
+    ).parquet(f"{sig_index_path}/batch_id=-1")
+
+    hi = new.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        return spark.createDataFrame([], "doc_id long")
+    chunk = (int(hi) + n_slices) // n_slices + 1
+    slices = [
+        new.filter(
+            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
+        )
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="inc_neardup_stream_")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge(b: DataFrame, batch_id: int) -> None:
+        neardup_batch_against_index(
+            b, batch_id, sig_index_path, accepted_path, threshold=threshold
+        )
+
+    chk = scratch_dir("inc_neardup_chk_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(accepted_path).select("doc_id")
+
+
 # ------------------------------------------- native windowed session / slide
 
 

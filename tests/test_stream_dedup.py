@@ -102,3 +102,43 @@ def test_streamed_matches_batch_incremental_dedup(spark, sf_dir):
         for r in streamed_incremental_dedup(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_streamed_incremental_neardup_matches_sequential_greedy(spark, sf_dir):
+    """The streamed near-dup corpus build must equal one sequential
+    greedy pass: seeds (even ids) all accepted; odd docs in id order,
+    rejected iff est-Jaccard >= t against an already-accepted doc.
+    Signatures are a pure per-doc function and slices are id-ordered, so
+    the policies coincide exactly."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators.dedup import minhash_neardup_pairs
+    from reddit_etl_pipeline_spark.streaming.stream import (
+        streamed_incremental_neardup,
+    )
+
+    t = 0.5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(docs, threshold=t).collect()
+    ]
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    nbrs = {}
+    for a, b in edges:
+        lo, hi = (a, b) if a < b else (b, a)
+        nbrs.setdefault(hi, []).append(lo)
+        nbrs.setdefault(lo, []).append(hi)
+    accepted = {d for d in all_ids if d % 2 == 0}  # seeds
+    want = set()
+    for d in all_ids:
+        if d % 2 == 0:
+            continue
+        if not any(e in accepted for e in nbrs.get(d, ())):
+            accepted.add(d)
+            want.add(d)
+    got = {
+        r.doc_id
+        for r in streamed_incremental_neardup(spark, sf_dir, threshold=t).collect()
+    }
+    assert got == want, (len(got), len(want), sorted(got ^ want)[:10])
