@@ -69,6 +69,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-quality", type=float, default=0.45)
     cur.add_argument("--neardup-threshold", type=float, default=0.9)
     cur.add_argument(
+        "--keep",
+        choices=["first", "best"],
+        default="first",
+        help="near-dup cluster representative: first (lowest id) or "
+        "best (highest quality score)",
+    )
+    cur.add_argument(
         "--c4-rules",
         action="store_true",
         help="also apply the C4 format filter (retained-line rules)",
@@ -157,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_threshold=args.neardup_threshold,
             c4_rules=args.c4_rules,
             lm_tail_drop=args.lm_tail_drop,
+            keep=args.keep,
         )
         print(json.dumps(report))
         return 0

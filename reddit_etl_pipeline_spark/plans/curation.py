@@ -40,11 +40,17 @@ def curate_corpus(
     neardup_threshold: float = 0.9,
     c4_rules: bool = False,
     lm_tail_drop: bool = False,
+    keep: str = "first",
 ) -> dict:
     """Run the curation chain over a parquet documents table and write
     the surviving docs (PII-scrubbed text, plus ``lang_pred`` and
     ``quality`` columns) to ``output_path``. Returns the per-stage
-    survivor counts the ingest dashboard tracks."""
+    survivor counts the ingest dashboard tracks.
+
+    ``keep`` selects the near-dup cluster representative: ``"first"``
+    keeps the lowest id (neardup_clusters), ``"best"`` the
+    highest-quality member (neardup_canonical) — prefer ``best`` when
+    replicas differ in cleanliness (boilerplate-stripped mirrors etc.)."""
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
 
@@ -55,13 +61,24 @@ def curate_corpus(
     exact = docs.join(kept_ids, id_col).localCheckpoint()
     report["after_exact_dedup"] = exact.count()
 
-    reps = D.neardup_clusters(exact, threshold=neardup_threshold)
-    neard = (
-        exact.join(reps, id_col)
-        .filter(F.col(id_col) == F.col("rep_id"))
-        .drop("rep_id")
-        .localCheckpoint()  # cut the iterative-clustering lineage
-    )
+    if keep == "best":
+        reps = D.neardup_canonical(
+            exact, text_col, id_col, threshold=neardup_threshold
+        )
+        kept = reps.filter(
+            F.col("doc_id") == F.col("canonical_id")
+        ).select(F.col("doc_id").alias(id_col))
+        neard = exact.join(kept, id_col).localCheckpoint()
+    elif keep == "first":
+        reps = D.neardup_clusters(exact, threshold=neardup_threshold)
+        neard = (
+            exact.join(reps, id_col)
+            .filter(F.col(id_col) == F.col("rep_id"))
+            .drop("rep_id")
+            .localCheckpoint()  # cut the iterative-clustering lineage
+        )
+    else:
+        raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
     report["after_neardup"] = neard.count()
 
     # each stage checkpoints BEFORE its count, so the expensive per-doc

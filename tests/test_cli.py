@@ -105,3 +105,42 @@ def test_curate_c4_rules(spark, sf_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["after_c4_rules"] <= rep["after_quality_gate"] <= rep["after_neardup"]
     assert rep["written"] == rep["after_c4_rules"]
+
+
+def test_curate_keep_best_picks_quality_representative(spark, tmp_path):
+    """--keep best must retain the highest-quality member of a near-dup
+    cluster instead of the lowest id."""
+    from reddit_etl_pipeline_spark.plans.curation import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the wide green field toward the river " * 2
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base + "!!! ### $$$"),
+            (1, base + "with a clean closing sentence of plain words"),
+            (7, "an entirely different document about engines and planes "
+                "with enough words to pass the quality gate easily today"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out_first = str(tmp_path / "first")
+    out_best = str(tmp_path / "best")
+    r1 = curate_corpus(spark, src, out_first, min_quality=0.1,
+                       neardup_threshold=0.5, keep="first")
+    r2 = curate_corpus(spark, src, out_best, min_quality=0.1,
+                       neardup_threshold=0.5, keep="best")
+    first_ids = {r.doc_id for r in spark.read.parquet(out_first).collect()}
+    best_ids = {r.doc_id for r in spark.read.parquet(out_best).collect()}
+    assert first_ids == {0, 7}
+    assert best_ids == {1, 7}
+    assert r1["after_neardup"] == r2["after_neardup"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        curate_corpus(spark, src, out_best, keep="nope")
