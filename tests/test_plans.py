@@ -406,3 +406,30 @@ def test_lm_buckets_window_partitioned_by_lang(spark, sf_dir):
     p = plan_of(df)
     assert "Window" in p
     assert "SinglePartition" not in p
+
+
+def test_token_budget_sample_single_group_shuffle(spark, sf_dir):
+    """Budget selection is ONE cumsum window per group: exactly one
+    Exchange (hash on the group), window partitioned — never a global
+    SinglePartition sort."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["token_budget_sample"](spark, sf_dir))
+    # formatted explain lists each node twice (tree + detail): count the
+    # detail entries, one per physical Exchange
+    n_exchange = len(
+        [l for l in p.splitlines() if l.startswith("(") and "Exchange" in l]
+    )
+    assert n_exchange == 1, p
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_media_decode_stats_is_map_only(spark, sf_dir):
+    """The real-codec decode path must never shuffle blobs: zero
+    Exchanges — one scan feeding one Arrow mapInPandas."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["media_decode_stats"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "MapInPandas" in p
