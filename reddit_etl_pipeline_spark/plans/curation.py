@@ -104,28 +104,42 @@ def curate_corpus(
         report["after_c4_rules"] = gated.count()
     curated = gated.withColumn(text_col, scrub_pii(text_col)).localCheckpoint()
 
-    if lm_tail_drop:
+    # A stage may legitimately empty the corpus (e.g. the C4
+    # terminal-punctuation rule on a corpus without sentence punctuation
+    # removes every doc). Later MODEL-FITTING stages must skip, not
+    # crash: lm_train raises on a corpus with no bigrams.
+    n_remaining = report.get("after_c4_rules", report["after_quality_gate"])
+    if lm_tail_drop and n_remaining == 0:
+        report["after_lm_tail_drop"] = 0
+    elif lm_tail_drop:
         # fit on the survivors themselves (self-perplexity: outliers vs
         # the corpus's own distribution), drop each language's tail
         # tercile via sampled cutoffs — map-side, no per-lang sort.
         # Docs with < 2 tokens are LM-unscorable and dropped here too
         # (CCNet's convention; the quality gate already removes most)
-        likes, ctxs, oov = LM.lm_train(curated, text_col=text_col)
-        scored = LM.lm_score(
-            curated, likes, ctxs, oov,
-            text_col=text_col, id_col=id_col, extra_cols=["lang_pred"],
-        ).localCheckpoint()
-        cuts = LM.bucket_thresholds(scored, lang_col="lang_pred")
-        cond = None
-        for lang, (_, c2) in cuts.items():
-            this = (F.col("lang_pred") == lang) & (
-                F.col("avg_nll_unats") <= c2
-            )
-            cond = this if cond is None else (cond | this)
-        if cond is not None:
-            keep = scored.filter(cond).select(id_col)
-            curated = curated.join(keep, id_col)
-        report["after_lm_tail_drop"] = curated.count()
+        try:
+            likes, ctxs, oov = LM.lm_train(curated, text_col=text_col)
+        except ValueError:
+            # non-empty corpus where EVERY doc is under 2 tokens: all
+            # LM-unscorable, so the tail drop removes everything
+            curated = curated.limit(0)
+            report["after_lm_tail_drop"] = 0
+        else:
+            scored = LM.lm_score(
+                curated, likes, ctxs, oov,
+                text_col=text_col, id_col=id_col, extra_cols=["lang_pred"],
+            ).localCheckpoint()
+            cuts = LM.bucket_thresholds(scored, lang_col="lang_pred")
+            cond = None
+            for lang, (_, c2) in cuts.items():
+                this = (F.col("lang_pred") == lang) & (
+                    F.col("avg_nll_unats") <= c2
+                )
+                cond = this if cond is None else (cond | this)
+            if cond is not None:
+                keep = scored.filter(cond).select(id_col)
+                curated = curated.join(keep, id_col)
+            report["after_lm_tail_drop"] = curated.count()
 
     curated.write.mode("overwrite").parquet(output_path)
     report["written"] = spark.read.parquet(output_path).count()

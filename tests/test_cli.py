@@ -144,3 +144,26 @@ def test_curate_keep_best_picks_quality_representative(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep"):
         curate_corpus(spark, src, out_best, keep="nope")
+
+
+def test_curate_survives_stage_emptying_corpus(spark, tmp_path):
+    """The C4 terminal-punctuation rule removes every doc of a corpus
+    without sentence punctuation; the driver must then skip the LM fit
+    (which raises on a bigram-less corpus) and write an empty output
+    with a zeroed report — not crash."""
+    from reddit_etl_pipeline_spark.plans.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "plain words without any terminal punctuation marks at all "
+             "just tokens and more tokens flowing on " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated")
+    rep = curate_corpus(spark, src, out, min_quality=0.1,
+                        c4_rules=True, lm_tail_drop=True)
+    assert rep["after_c4_rules"] == 0
+    assert rep["after_lm_tail_drop"] == 0
+    assert rep["written"] == 0
+    assert spark.read.parquet(out).count() == 0
