@@ -125,32 +125,62 @@ def token_budget_sample(
 
     Output: (group, doc_id, n_tokens) of the selected docs.
 
-    Scale shape: token counts are a codegen projection; selection is one
-    cumulative-sum window per group — a single shuffle keyed by the
-    group, the same cost as any per-group rollup. Selection is
-    growth-stable per prefix of the scramble order but, unlike a
-    cumulative id-order rule, rebalances when the corpus grows (the
-    scramble reshuffles) — pin the corpus snapshot for reproducible
-    mixes."""
+    Scale shape — two-phase cumulative sum, NOT one window per group (a
+    per-language window serializes each language's whole corpus through
+    a single task): the scramble key space is cut into ``n_buckets``
+    range buckets, per-(group, bucket) token sums roll up map-side, the
+    tiny (groups x buckets) offset table computes running offsets
+    driver-free via a window over BUCKETS (n_buckets rows per group),
+    and the final cumsum windows partition by (group, bucket) — so
+    parallelism is groups x n_buckets and every stage is one keyed
+    shuffle. Selection order is the deterministic Knuth scramble of the
+    id: growth-stable per scramble prefix but rebalancing when the
+    corpus grows — pin the corpus snapshot for reproducible mixes."""
     from ..functions.text import tokens
 
-    w = Window.partitionBy(group_col).orderBy(
-        scramble(id_col).asc(), F.col(id_col).asc()
-    )
+    n_buckets = 64
+    bucket = (scramble(id_col) / F.lit(_MOD // n_buckets)).cast("int")
     counted = df.select(
         F.col(group_col),
         F.col(id_col),
+        bucket.alias("_bkt"),
         # NULL text counts as 0 tokens (still a selectable row) so the
         # cumulative sum is total and NULL never poisons the window
         F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
         .cast("long")
         .alias("n_tokens"),
     )
-    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # running offset of each bucket = sum of all earlier buckets' tokens
+    # (groups x n_buckets rows — the window is over a TINY relation)
+    per_bucket = counted.groupBy(group_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_tokens")
+    )
+    wb = Window.partitionBy(group_col).orderBy("_bkt")
+    offsets = per_bucket.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_bkt_tokens").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(group_col, "_bkt", "_offset")
+    # early prune: buckets whose offset already exceeds the budget can't
+    # contribute — the join drops them before the per-bucket window runs
+    w = Window.partitionBy(group_col, "_bkt").orderBy(
+        scramble(id_col).asc(), F.col(id_col).asc()
+    )
+    cum_before = (
+        F.col("_offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
     return (
-        counted.withColumn("_cum_before", cum_before)
+        counted.join(
+            F.broadcast(offsets.filter(F.col("_offset") < budget_tokens)),
+            [group_col, "_bkt"],
+        )
+        .withColumn("_cum_before", cum_before)
         .filter(F.col("_cum_before") < budget_tokens)
-        .drop("_cum_before")
+        .select(group_col, id_col, "n_tokens")
     )
 
 

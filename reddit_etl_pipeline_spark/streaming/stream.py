@@ -920,10 +920,14 @@ def neardup_batch_against_index(
     ids = [r.did for r in survivors.select("did").collect()]
     accepted_ids = greedy_accept_order(ids, edges)
 
-    accepted = survivors.filter(
-        F.col("did").isin(list(accepted_ids))
-        if accepted_ids
-        else F.lit(False)
+    # join, not a giant isin literal: the accepted set is batch-bounded
+    # but can still be thousands of ids, and an isin that size bloats the
+    # plan; a broadcast semi-join keeps it a normal relation
+    acc_df = spark.createDataFrame(
+        [(int(i),) for i in accepted_ids], "did long"
+    )
+    accepted = survivors.join(
+        F.broadcast(acc_df), "did", "left_semi"
     ).localCheckpoint(eager=True)
     accepted.select(F.col("did").alias(id_col)).write.mode("overwrite").parquet(
         f"{accepted_path}/batch_id={batch_id}"

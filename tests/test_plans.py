@@ -408,21 +408,26 @@ def test_lm_buckets_window_partitioned_by_lang(spark, sf_dir):
     assert "SinglePartition" not in p
 
 
-def test_token_budget_sample_single_group_shuffle(spark, sf_dir):
-    """Budget selection is ONE cumsum window per group: exactly one
-    Exchange (hash on the group), window partitioned — never a global
-    SinglePartition sort."""
+def test_token_budget_sample_two_phase_no_serial_window(spark, sf_dir):
+    """Budget selection is the two-phase cumsum: the data-volume window
+    partitions by (group, bucket) — groups x 64 parallelism — and the
+    only group-wide window runs over the TINY per-bucket offset table.
+    Never a SinglePartition sort, never a per-group window over the
+    corpus (which would serialize each language through one task)."""
     import __spark_entry__ as E
 
     p = plan_of(E.queries()["token_budget_sample"](spark, sf_dir))
-    # formatted explain lists each node twice (tree + detail): count the
-    # detail entries, one per physical Exchange
-    n_exchange = len(
-        [l for l in p.splitlines() if l.startswith("(") and "Exchange" in l]
-    )
-    assert n_exchange == 1, p
     assert "SinglePartition" not in p
-    assert "Window" in p
+    # both windows present: tiny per-bucket offsets + per-(group,bucket)
+    windows = [
+        l for l in p.splitlines() if l.startswith("(") and "Window" in l
+    ]
+    assert len(windows) == 2, p
+    # the corpus-volume window must include the bucket in its partition key
+    assert "_bkt" in p
+    # offsets side broadcasts into the probe (no shuffle of the corpus
+    # for the offset join)
+    assert "BroadcastHashJoin" in p
 
 
 def test_media_decode_stats_is_map_only(spark, sf_dir):
