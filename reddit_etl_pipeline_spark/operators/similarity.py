@@ -539,6 +539,50 @@ def pq_topk(
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
 
 
+def _train_residual_codebooks(
+    df: DataFrame,
+    cents: "np.ndarray",
+    m: int = 16,
+    n_codes: int = 16,
+    sample_size: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """PQ codebooks fit on IVF RESIDUALS (x − nearest centroid) of the
+    deterministic lowest-id sample — the distribution the IVF-PQ scan
+    actually quantizes. Same regime as train_pq_codebooks otherwise."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    x = np.array([list(r[0]) for r in rows], dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    res = x - cents[(x @ cents.T).argmax(axis=1)]
+    dim = res.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, n_codes, sub))
+    for s in range(m):
+        xs = res[:, s * sub : (s + 1) * sub]
+        k_eff = min(n_codes, len(xs))
+        idx = np.unique(np.linspace(0, len(xs) - 1, k_eff).astype(int))
+        c = xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[s, : len(c)] = c
+        if len(c) < n_codes:
+            books[s, len(c):] = c[-1]
+    return books
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -552,12 +596,17 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ composition: coarse-quantize the
-    corpus into inverted lists (IVF) AND PQ-encode every vector, so a
-    query (a) touches only its ``nprobe`` nearest lists and (b) scans
-    those lists as m-byte code arrays via its asymmetric-distance LUT —
-    multiplicative savings: ~(nprobe/n_centroids) of the corpus read at
-    ~1/16 the bytes. Top-``rerank`` candidates per query rerank exactly
-    against raw vectors.
+    corpus into inverted lists (IVF) AND PQ-encode every vector's
+    RESIDUAL (x − centroid[cid], the FAISS IndexIVFPQ layout — residuals
+    are much smaller than raw vectors, so the same code budget quantizes
+    them far more finely), so a query (a) touches only its ``nprobe``
+    nearest lists and (b) scans those lists as m-byte code arrays:
+    q·x ≈ q·centroid[cid] + Σ_s LUT[q,s,code_s] — the centroid term is
+    one scalar per (query, probed list) and the SAME query LUT serves
+    every list, because q·codeword is cid-independent. Multiplicative
+    savings: ~(nprobe/n_centroids) of the corpus read at ~1/16 the
+    bytes; top-``rerank`` candidates per query rerank exactly against
+    raw vectors.
 
     Spark shape: ONE map-only Arrow pass builds the corpus layout
     (cid + codes — at 100 TB this is the materialized index table,
@@ -572,8 +621,8 @@ def ivf_pq_topk(
     cents = train_ivf_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    books = train_pq_codebooks(
-        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    books = _train_residual_codebooks(
+        corpus, cents, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
     sub = books.shape[2]
 
@@ -603,9 +652,10 @@ def ivf_pq_topk(
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             cid = (x @ cents.T).argmax(axis=1)
+            res = x - cents[cid]  # PQ quantizes the RESIDUAL
             codes = np.empty((len(x), m), dtype="int64")
             for s in range(m):
-                xs = x[:, s * sub : (s + 1) * sub]
+                xs = res[:, s * sub : (s + 1) * sub]
                 d = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
@@ -631,7 +681,13 @@ def ivf_pq_topk(
                     continue
                 c = np.stack(grp["codes"].to_numpy()).astype("int64")
                 ids = grp[id_col].to_numpy()
-                approx = lut[qs][:, np.arange(m)[None, :], c].sum(axis=2)
+                # q.x ~ q.centroid (one scalar per query for this list)
+                #     + sum_s LUT[q, s, code_s] (residual part)
+                cent_term = qm[qs] @ cents[int(cid_val)]
+                approx = (
+                    lut[qs][:, np.arange(m)[None, :], c].sum(axis=2)
+                    + cent_term[:, None]
+                )
                 for row_i, qi in enumerate(qs):
                     keep = np.argsort(-approx[row_i])[:rerank]
                     keep = keep[ids[keep] != qids[qi]]
