@@ -295,6 +295,52 @@ def streamed_purchase_click_join(
 # ------------------------------------------------ custom stateful operator
 
 
+def _session_walk(pdf, open_sess, last_seq, gap_s):
+    """Shared vectorized session segmentation for the stateful
+    sessionizers: sort one user's micro-batch, extend/close sessions on
+    floor-seconds gaps (strict >, matching the batch ``sessionize``).
+    Returns (closed sessions as (seq, start_us, end_us, n, val) tuples,
+    updated open_sess, updated last_seq, sentinel-seen flag). No Python
+    per-event loop — numpy gap/cumsum over the batch."""
+    import numpy as np
+
+    # fast path: per-user event batches are usually tiny and already
+    # ts-ordered; a strictly-increasing ts needs no (ts, event_id) sort
+    ts_col = pdf["ts"]
+    if not (ts_col.is_monotonic_increasing and ts_col.is_unique):
+        pdf = pdf.sort_values(["ts", "event_id"])
+    saw_sentinel = bool((pdf["event_id"] < 0).any())
+    pdf = pdf[pdf["event_id"] >= 0]
+
+    closed: list[tuple] = []
+    if len(pdf):
+        us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        sec = us // 1_000_000
+        val = pdf["value"].to_numpy("float64")
+        prev_sec = np.empty_like(sec)
+        prev_sec[1:] = sec[:-1]
+        prev_sec[0] = (open_sess[1] // 1_000_000) if open_sess else np.iinfo("int64").min // 2
+        brk = (sec - prev_sec) > gap_s
+        sid = np.cumsum(brk)  # 0 = continues the open session
+        # per-session aggregates in sid order (sid is sorted)
+        bounds = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        ends = np.r_[bounds[1:], len(sid)]
+        sessions = []  # (sid, start_us, end_us, n, val)
+        for b, e in zip(bounds, ends):
+            sessions.append((sid[b], us[b], us[e - 1], e - b, float(val[b:e].sum())))
+        if sessions and sessions[0][0] == 0:
+            # first group extends the carried-over open session
+            s = sessions[0]
+            open_sess = [open_sess[0], s[2], open_sess[2] + s[3], open_sess[3] + s[4]]
+            sessions = sessions[1:]
+        for s in sessions:
+            if open_sess is not None:
+                closed.append((last_seq, *open_sess))
+            last_seq += 1
+            open_sess = [s[1], s[2], int(s[3]), float(s[4])]
+    return closed, open_sess, last_seq, saw_sentinel
+
+
 def sessionize_stateful(
     events: DataFrame, gap_minutes: int = 30, drain: str = "sentinel"
 ) -> DataFrame:
@@ -396,40 +442,9 @@ def sessionize_stateful(
 
         chunks = list(pdfs)
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        # fast path: per-user event batches are usually tiny and already
-        # ts-ordered; a strictly-increasing ts needs no (ts, event_id) sort
-        ts_col = pdf["ts"]
-        if not (ts_col.is_monotonic_increasing and ts_col.is_unique):
-            pdf = pdf.sort_values(["ts", "event_id"])
-        saw_sentinel = bool((pdf["event_id"] < 0).any())
-        pdf = pdf[pdf["event_id"] >= 0]
-
-        closed: list[tuple] = []
-        if len(pdf):
-            us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
-            sec = us // 1_000_000
-            val = pdf["value"].to_numpy("float64")
-            prev_sec = np.empty_like(sec)
-            prev_sec[1:] = sec[:-1]
-            prev_sec[0] = (open_sess[1] // 1_000_000) if open_sess else np.iinfo("int64").min // 2
-            brk = (sec - prev_sec) > gap_s
-            sid = np.cumsum(brk)  # 0 = continues the open session
-            # per-session aggregates in sid order (sid is sorted)
-            bounds = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
-            ends = np.r_[bounds[1:], len(sid)]
-            sessions = []  # (sid, start_us, end_us, n, val)
-            for b, e in zip(bounds, ends):
-                sessions.append((sid[b], us[b], us[e - 1], e - b, float(val[b:e].sum())))
-            if sessions and sessions[0][0] == 0:
-                # first group extends the carried-over open session
-                s = sessions[0]
-                open_sess = [open_sess[0], s[2], open_sess[2] + s[3], open_sess[3] + s[4]]
-                sessions = sessions[1:]
-            for s in sessions:
-                if open_sess is not None:
-                    closed.append((last_seq, *open_sess))
-                last_seq += 1
-                open_sess = [s[1], s[2], int(s[3]), float(s[4])]
+        closed, open_sess, last_seq, saw_sentinel = _session_walk(
+            pdf, open_sess, last_seq, gap_s
+        )
 
         if saw_sentinel and open_sess is not None:  # end-of-stream drain
             closed.append((last_seq, *open_sess))

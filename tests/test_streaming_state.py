@@ -323,3 +323,4 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     assert got == want
+
