@@ -402,6 +402,17 @@ def train_pq_codebooks(
         raise ValueError("cannot train PQ codebooks on an empty corpus")
     x = np.array([list(r[0]) for r in rows], dtype="float64")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return _fit_subspace_codebooks(x, m, n_codes, iters)
+
+
+def _fit_subspace_codebooks(x, m: int, n_codes: int, iters: int):
+    """Per-subspace mini-Lloyd over a driver-resident sample: split the
+    rows into m contiguous sub-vectors and k-means each to n_codes
+    centroids (deterministic evenly-spaced init; degenerate samples
+    repeat the last centroid). Shared by the raw-vector and the
+    IVF-residual codebook trainers."""
+    import numpy as np
+
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -560,27 +571,7 @@ def _train_residual_codebooks(
     x = np.array([list(r[0]) for r in rows], dtype="float64")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     res = x - cents[(x @ cents.T).argmax(axis=1)]
-    dim = res.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = np.zeros((m, n_codes, sub))
-    for s in range(m):
-        xs = res[:, s * sub : (s + 1) * sub]
-        k_eff = min(n_codes, len(xs))
-        idx = np.unique(np.linspace(0, len(xs) - 1, k_eff).astype(int))
-        c = xs[idx].copy()
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(len(c)):
-                members = xs[assign == j]
-                if len(members):
-                    c[j] = members.mean(axis=0)
-        books[s, : len(c)] = c
-        if len(c) < n_codes:
-            books[s, len(c):] = c[-1]
-    return books
+    return _fit_subspace_codebooks(res, m, n_codes, iters)
 
 
 def ivf_pq_topk(
