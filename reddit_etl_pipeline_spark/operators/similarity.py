@@ -1026,10 +1026,19 @@ def semantic_dedup(
         pdf = pdf.sort_values("id", ignore_index=True)
         m = np.stack(pdf["vec"].to_numpy()).astype("float64")
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
-        # strict upper triangle: sims[i, j] with i < j -> j is a duplicate
-        # of the earlier (lower-id) i
-        dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        n = len(m)
+        # j is a duplicate iff ANY earlier (lower-id) i has sim >= t.
+        # Blocked gram computation: the full n x n similarity matrix is
+        # O(m^2) MEMORY (an 8 GB spike at m = 32k) — compute row blocks
+        # of bounded size instead; identical comparisons, flat memory.
+        dup = np.zeros(n, dtype=bool)
+        blk_rows = max(1, 4_000_000 // max(n, 1))  # <= ~32 MB per block
+        col_idx = np.arange(n)
+        for s in range(0, n, blk_rows):
+            e = min(s + blk_rows, n)
+            sims = m[s:e] @ m.T  # (block, n)
+            later = col_idx[None, :] > np.arange(s, e)[:, None]
+            dup |= ((sims >= threshold) & later).any(axis=0)
         return pd.DataFrame(
             {
                 "id": pdf["id"].to_numpy(),
