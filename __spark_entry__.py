@@ -1169,8 +1169,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                       (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS revenue,
                    count(*) AS n_lineitems,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM lineitem
@@ -1295,8 +1296,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_items,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                       (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS revenue
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
@@ -2735,8 +2737,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
                      AS gid,
                    count(*) AS n_items,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                      AS revenue
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

@@ -185,7 +185,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            # round to cents IN DECIMAL before the double cast: a
+            # few-groups-over-many-rows sum can exceed 2^53 unscaled at
+            # scale 8, where decimal->double conversion differs by 1 ulp
+            # between engines (caught by the sf0.1 full sweep)
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -287,7 +291,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(rev).cast("double").alias("revenue"),
+            # cents-rounded in DECIMAL first (see revenue_by_nation): the
+            # grand-total row's unscaled sum passes 2^53 at sf0.1
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -1088,8 +1094,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
                  AS gid,
                count(*) AS n_items,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                  AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
