@@ -471,6 +471,31 @@ def pq_encode(
     ).withColumnRenamed("id", id_col)
 
 
+def _collect_queries_gated(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_queries: int | None,
+    caller: str,
+):
+    """Collect the query table to the driver to build per-query PQ LUTs,
+    gated by ``max_queries`` (same contract as knn_label_confusion's
+    exact path): a corpus-sized query side would OOM the driver, so past
+    the gate we raise with the fix spelled out instead of failing late.
+    Returns the list of Rows (possibly empty)."""
+    if max_queries is not None:
+        n = queries.limit(max_queries + 1).count()
+        if n > max_queries:
+            raise ValueError(
+                f"{caller} collects the query side to the driver to build "
+                f"per-query PQ lookup tables; query set exceeds "
+                f"max_queries={max_queries}. Batch the queries, use "
+                f"ivf_topk/cosine_topk_lsh for a corpus-sized query side, "
+                f"or pass max_queries=None to opt in."
+            )
+    return queries.select(id_col, vec_col).collect()
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -480,6 +505,7 @@ def pq_topk(
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """PQ asymmetric-distance cosine top-k: corpus vectors are scanned as
     code arrays; each query precomputes an (m x n_codes) lookup table of
@@ -502,7 +528,7 @@ def pq_topk(
         corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
     sub = books.shape[2]
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_queries_gated(queries, id_col, vec_col, max_queries, "pq_topk")
     if not qrows:
         return _rank_topk(
             corpus.sparkSession.createDataFrame(
@@ -525,25 +551,38 @@ def pq_topk(
             c = np.stack(pdf["codes"].to_numpy()).astype("int64")
             ids = pdf[id_col].to_numpy()
             # approx[q, x] = sum_s LUT[q, s, c[x, s]]
-            approx = lut[:, np.arange(m)[None, :], c].sum(axis=2)
+            approx = np.round(
+                lut[:, np.arange(m)[None, :], c].sum(axis=2), RANK_DP
+            )
             out = []
             for qi in range(len(qids)):
-                keep = np.argsort(-approx[qi])[:rerank]
-                keep = keep[ids[keep] != qids[qi]]
+                mask = ids != qids[qi]
+                a, nids = approx[qi][mask], ids[mask]
+                # same (-approx, id) total order as the global cut below
+                keep = np.lexsort((nids, -a))[:rerank]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[qi],
-                            "neighbor_id": ids[keep],
-                            "approx": approx[qi, keep],
+                            "neighbor_id": nids[keep],
+                            "approx": a[keep],
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
 
-    cand = codes.mapInPandas(
-        scan, "query_id long, neighbor_id long, approx double"
-    ).select("query_id", "neighbor_id")
+    # Global top-``rerank`` per query (deterministic total order) so the
+    # candidate set does not depend on Arrow-batch/partition boundaries;
+    # the window shuffles only O(batches * rerank) rows per query.
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    cand = (
+        codes.mapInPandas(scan, "query_id long, neighbor_id long, approx double")
+        .withColumn("arn", F.row_number().over(wr))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
@@ -585,6 +624,7 @@ def ivf_pq_topk(
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ composition: coarse-quantize the
     corpus into inverted lists (IVF) AND PQ-encode every vector's
@@ -604,8 +644,8 @@ def ivf_pq_topk(
     partitioned by cid so a probe prunes partitions); the probed-list
     restriction is a codegen ``isin`` filter on cid (partition-prunable),
     the LUT scan is map-only, and only pruned candidate ids shuffle.
-    Query side is collected to build the LUT (bounded, like pq_topk —
-    gate query volume upstream)."""
+    Query side is collected to build the LUT, gated by ``max_queries``
+    (clear error past the gate; opt out with ``max_queries=None``)."""
     import numpy as np
     import pandas as pd
 
@@ -617,7 +657,9 @@ def ivf_pq_topk(
     )
     sub = books.shape[2]
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_queries_gated(
+        queries, id_col, vec_col, max_queries, "ivf_pq_topk"
+    )
     if not qrows:
         return _rank_topk(
             corpus.sparkSession.createDataFrame(
@@ -679,23 +721,40 @@ def ivf_pq_topk(
                     lut[qs][:, np.arange(m)[None, :], c].sum(axis=2)
                     + cent_term[:, None]
                 )
+                approx = np.round(approx, RANK_DP)
                 for row_i, qi in enumerate(qs):
-                    keep = np.argsort(-approx[row_i])[:rerank]
-                    keep = keep[ids[keep] != qids[qi]]
+                    mask = ids != qids[qi]
+                    a, nids = approx[row_i][mask], ids[mask]
+                    # batch-local prune under the SAME (-approx, id) total
+                    # order as the global window cut below, so the global
+                    # top-rerank is a subset of each batch's survivors
+                    keep = np.lexsort((nids, -a))[:rerank]
                     out.append(
                         pd.DataFrame(
                             {
                                 "query_id": qids[qi],
-                                "neighbor_id": ids[keep],
+                                "neighbor_id": nids[keep],
+                                "approx": a[keep],
                             }
                         )
                     )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
+    # Global top-``rerank`` cut per query over the batch-local survivors:
+    # approx scores are deterministic functions of the (seeded) centroids
+    # and codebooks, and the (-approx, neighbor_id) order is total, so the
+    # candidate set — and hence the final top-k — no longer depends on
+    # partition/Arrow-batch boundaries. The window sees only
+    # O(batches * rerank) rows per query.
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
     cand = (
-        index.mapInPandas(scan, "query_id long, neighbor_id long")
-        .distinct()  # a neighbor can surface from several probed lists
+        index.mapInPandas(scan, "query_id long, neighbor_id long, approx double")
+        .withColumn("arn", F.row_number().over(wr))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
@@ -781,6 +840,23 @@ def lsh_bucket_table(
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage of a SUPERSEDED localCheckpoint.
+
+    ``DataFrame.unpersist()`` is a CacheManager call and does not touch
+    localCheckpoint blocks (verified: storage info unchanged); the blocks
+    live on the checkpointed RDD inside the LogicalRDD plan node, so we
+    unpersist that RDD directly. Only safe once nothing will read ``df``
+    again — the caller must have materialized its replacement first
+    (localCheckpoint is eager, so the next round's checkpoint exists
+    before we free the previous one). Best-effort: degrades to a no-op
+    if the plan shape ever changes."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def split_hot_buckets(
     b: DataFrame, cap: int, max_rounds: int = 4, extra_bits: int = 16
 ) -> DataFrame:
@@ -834,6 +910,7 @@ def split_hot_buckets(
         )
         if hot.isEmpty():
             break
+        prev = cur
         cur = (
             cur.join(F.broadcast(hot), ["tbl", "bucket", "lvl", "sub"], "left")
             .withColumn(
@@ -852,6 +929,10 @@ def split_hot_buckets(
             .drop("step")
             .localCheckpoint()
         )
+        # the new checkpoint is materialized (localCheckpoint is eager);
+        # release the superseded round's blocks instead of pinning up to
+        # max_rounds corpus-sized copies in the block manager
+        _free_local_checkpoint(prev)
     return cur
 
 

@@ -25,6 +25,27 @@ from .bounded import (  # noqa: F401
 )
 
 
+def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Probe a growing parquet index through Spark's reader (Hadoop
+    FileSystem — works for file:/, s3a:/, hdfs:/ alike, unlike a
+    driver-local os.path probe that silently returns False for remote
+    URIs). ONLY the first-batch no-index-yet shapes — PATH_NOT_FOUND and
+    UNABLE_TO_INFER_SCHEMA (an existing but still-empty directory) — map
+    to None; any other analysis failure (mistyped URI scheme, corrupted
+    or foreign directory) re-raises, because treating it as 'no index'
+    would skip the anti-join and silently accept every duplicate."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        get = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = get() if get is not None else None
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+
+
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """Normalize the ``ts`` column to a session-TZ TIMESTAMP (sessions are
     pinned UTC). Handles both parquet encodings of the events table:
@@ -677,17 +698,7 @@ def dedup_batch_against_index(
         F.col(id_col), nullable_fingerprint(text_col).alias("fp")
     )
     firsts = new_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    # Probe the index through Spark's reader (Hadoop FileSystem under the
-    # hood), NOT os.path: the index may live on any supported scheme
-    # (file:/, s3a:/, hdfs:/) and a driver-local os.path probe returns
-    # False for remote URIs — silently skipping the anti-join and
-    # accepting every duplicate. A missing/empty path raises
-    # AnalysisException (PATH_NOT_FOUND / unable-to-infer-schema), which
-    # is exactly the first-batch-no-index case.
-    try:
-        idx = spark.read.parquet(index_path)
-    except AnalysisException:
-        idx = None
+    idx = _read_index_or_none(spark, index_path)
     if idx is not None:
         # only STRICTLY EARLIER partitions: on an at-least-once replay the
         # index already holds this batch's own fingerprints, and matching
@@ -854,6 +865,8 @@ def neardup_batch_against_index(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    band_index_path: str | None = None,
+    max_batch_edges: int = 1_000_000,
 ) -> None:
     """Merge one micro-batch into a growing NEAR-dup-deduplicated corpus
     — the MinHash analog of ``dedup_batch_against_index``: reject every
@@ -862,40 +875,58 @@ def neardup_batch_against_index(
     near-dups greedily in id order, and extend the accepted-signature
     index with the survivors.
 
-    Index contents: (did, signature) only — num_perm longs per accepted
-    doc, no text, appended as ``batch_id=N`` partitions (overwrite per
-    partition = replay idempotency, like the exact variant). The probe
-    is a banding equi-join against the index (bounded by bucket
-    occupancy) + signature verification on candidates only; the corpus
-    text is never rescanned. Within-batch resolution collects the
-    batch's VERIFIED candidate edges (output-bounded, micro-batch-sized)
-    and runs the greedy first-arrival policy
-    (operators/dedup.greedy_accept_order)."""
+    Index layout: TWO sibling growing tables, both appended as
+    ``batch_id=N`` partitions (overwrite per partition = replay
+    idempotency, like the exact variant): (did, signature) at
+    ``sig_index_path`` for candidate verification, and the PRE-BANDED
+    (did, band, bucket) rows at ``band_index_path`` (default
+    ``sig_index_path + "_bands"``) for the probe join. Persisting the
+    banded form means each micro-batch bands ONLY its own docs — without
+    it, re-banding the whole accepted index per batch makes total
+    banding work quadratic in corpus size over a run. The probe is then
+    a plain equi-join of the batch's bands against the stored band table
+    (bounded by bucket occupancy); signature verification touches
+    candidates only; the corpus text is never rescanned.
+
+    Within-batch resolution collects the batch's VERIFIED candidate
+    edges for the greedy first-arrival policy
+    (operators/dedup.greedy_accept_order) — inherently sequential, so
+    driver-side by design and micro-batch-bounded, but guarded by
+    ``max_batch_edges``: a pathological batch (huge trigger + heavy
+    near-dup load) fails fast with sizing guidance instead of collecting
+    millions of edge rows into driver memory."""
     from ..operators.dedup import greedy_accept_order, minhash_signatures
 
     spark = batch.sparkSession
     rpb = num_perm // bands
+    if band_index_path is None:
+        band_index_path = sig_index_path + "_bands"
     sigs = (
         minhash_signatures(batch, text_col, id_col, num_perm, shingle_n)
         .withColumnRenamed(id_col, "did")
         .localCheckpoint(eager=True)
     )
-    try:
-        idx = spark.read.parquet(sig_index_path)
-    except AnalysisException:
-        idx = None
+    # band THIS batch once; reused for the index probe, the within-batch
+    # self-join, and the persisted band partition
+    my_bands = _banded_sigs(sigs, bands, rpb).localCheckpoint(eager=True)
+    idx = _read_index_or_none(spark, sig_index_path)
     survivors = sigs
     if idx is not None:
         idx = idx.filter(F.col("batch_id") < batch_id)  # replay safety
-        cand = (
-            _banded_sigs(sigs, bands, rpb)
-            .withColumnRenamed("did", "id_a")
-            .join(
-                _banded_sigs(
-                    idx.select("did", "signature"), bands, rpb
-                ).withColumnRenamed("did", "id_b"),
-                ["band", "bucket"],
+        idx_bands = _read_index_or_none(spark, band_index_path)
+        if idx_bands is not None:
+            idx_bands = idx_bands.filter(F.col("batch_id") < batch_id).select(
+                F.col("did").alias("id_b"), "band", "bucket"
             )
+        else:
+            # legacy index without a band table: band it once here (the
+            # very shape the band table exists to avoid per-batch)
+            idx_bands = _banded_sigs(
+                idx.select("did", "signature"), bands, rpb
+            ).withColumnRenamed("did", "id_b")
+        cand = (
+            my_bands.withColumnRenamed("did", "id_a")
+            .join(idx_bands, ["band", "bucket"])
             .select("id_a", "id_b")
             .distinct()
         )
@@ -912,7 +943,7 @@ def neardup_batch_against_index(
 
     # within-batch greedy: verified edges among survivors, driver-side
     # first-arrival resolution (micro-batch-bounded by construction)
-    b = _banded_sigs(survivors, bands, rpb)
+    b = my_bands.join(survivors.select("did"), "did", "left_semi")
     x, y = b.alias("x"), b.alias("y")
     wb_cand = (
         x.join(
@@ -926,12 +957,22 @@ def neardup_batch_against_index(
     )
     sv_a = survivors.select(F.col("did").alias("id_a"), F.col("signature").alias("sig_a"))
     sv_b = survivors.select(F.col("did").alias("id_b"), F.col("signature").alias("sig_b"))
-    edges = [
-        (r.id_a, r.id_b)
-        for r in _est_jaccard_pairs(wb_cand, sv_a, sv_b, num_perm)
+    edge_rows = (
+        _est_jaccard_pairs(wb_cand, sv_a, sv_b, num_perm)
         .filter(F.col("est_jaccard") >= threshold)
+        .limit(max_batch_edges + 1)  # bound the driver collect
         .collect()
-    ]
+    )
+    if len(edge_rows) > max_batch_edges:
+        raise ValueError(
+            f"neardup_batch_against_index: batch {batch_id} produced more "
+            f"than max_batch_edges={max_batch_edges} verified within-batch "
+            f"near-dup edges; the greedy first-arrival resolution is "
+            f"driver-side by design and this batch would not fit. Shrink "
+            f"the trigger (maxFilesPerTrigger / maxBytesPerTrigger), raise "
+            f"the threshold, or raise max_batch_edges explicitly."
+        )
+    edges = [(r.id_a, r.id_b) for r in edge_rows]
     ids = [r.did for r in survivors.select("did").collect()]
     accepted_ids = greedy_accept_order(ids, edges)
 
@@ -950,6 +991,9 @@ def neardup_batch_against_index(
     accepted.select("did", "signature").write.mode("overwrite").parquet(
         f"{sig_index_path}/batch_id={batch_id}"
     )
+    my_bands.join(F.broadcast(acc_df), "did", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{band_index_path}/batch_id={batch_id}")
 
 
 def streamed_incremental_neardup(
@@ -978,9 +1022,18 @@ def streamed_incremental_neardup(
     base = scratch_dir("inc_neardup_")
     sig_index_path = f"{base}/sig_index"
     accepted_path = f"{base}/accepted"
-    minhash_signatures(corpus).withColumnRenamed("doc_id", "did").write.mode(
+    # seed BOTH index tables (signatures + pre-banded rows) so the first
+    # ingest batch probes the stored bands instead of re-banding the seed
+    num_perm, bands = 64, 16  # neardup_batch_against_index defaults
+    seed_sigs = (
+        minhash_signatures(corpus)
+        .withColumnRenamed("doc_id", "did")
+        .localCheckpoint(eager=True)
+    )
+    seed_sigs.write.mode("overwrite").parquet(f"{sig_index_path}/batch_id=-1")
+    _banded_sigs(seed_sigs, bands, num_perm // bands).write.mode(
         "overwrite"
-    ).parquet(f"{sig_index_path}/batch_id=-1")
+    ).parquet(f"{sig_index_path}_bands/batch_id=-1")
 
     hi = new.agg(F.max("doc_id")).first()[0]
     if hi is None:

@@ -185,3 +185,55 @@ def test_cosine_topk_ivfpq_recall_and_subset_of_probed_lists(spark, embeddings):
 
     per_q = Counter(qid for qid, _ in ivfpq)
     assert all(v == 5 for v in per_q.values()), per_q
+
+
+def test_pq_query_collect_gated(spark, embeddings):
+    """pq_topk / ivf_pq_topk collect the query side to build per-query
+    LUTs; past max_queries they must refuse with a clear error instead of
+    OOMing the driver (knn_label_confusion's exact-path contract)."""
+    import pytest
+
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    q = embeddings.filter(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="max_queries"):
+        S.pq_topk(embeddings, q, k=3, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        S.ivf_pq_topk(embeddings, q, k=3, max_queries=10)
+    # opt-out and under-gate paths still work
+    assert S.pq_topk(embeddings, q.limit(3), k=3, max_queries=10).count() == 9
+    assert (
+        S.pq_topk(embeddings, q.limit(3), k=3, max_queries=None).count() == 9
+    )
+
+
+def test_ivfpq_partition_independent(spark, embeddings):
+    """The rerank candidate cut is a GLOBAL top-rerank per query under a
+    total (-approx, neighbor_id) order, so results must not change with
+    corpus partitioning / Arrow batch boundaries."""
+    from reddit_etl_pipeline_spark.operators import similarity as S
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, n_centroids=8, nprobe=4, rerank=16)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ivf_pq_topk(embeddings.repartition(1), q, **kw).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ivf_pq_topk(
+            embeddings.repartition(13, "vec_id"), q, **kw
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.pq_topk(embeddings.repartition(1), q, k=5, rerank=16).collect()
+    )
+    d = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.pq_topk(
+            embeddings.repartition(13, "vec_id"), q, k=5, rerank=16
+        ).collect()
+    )
+    assert c == d

@@ -142,3 +142,75 @@ def test_streamed_incremental_neardup_matches_sequential_greedy(spark, sf_dir):
         for r in streamed_incremental_neardup(spark, sf_dir, threshold=t).collect()
     }
     assert got == want, (len(got), len(want), sorted(got ^ want)[:10])
+
+
+def test_index_probe_reraises_on_foreign_directory(spark):
+    """A readable-but-not-parquet index path must RAISE, not silently be
+    treated as 'no index yet' (which would skip the anti-join and accept
+    every duplicate). Only PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA map
+    to the first-batch case."""
+    import os
+
+    import pytest
+
+    from reddit_etl_pipeline_spark.streaming.stream import _read_index_or_none
+
+    idx, acc = _setup("probe_")
+    # missing path -> None (first batch)
+    assert _read_index_or_none(spark, idx) is None
+    # empty dir -> None (index dir created but nothing written yet)
+    os.makedirs(idx, exist_ok=True)
+    assert _read_index_or_none(spark, idx) is None
+    # foreign content (unreadable footer) -> must raise, never None
+    with open(f"{idx}/garbage.txt", "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        assert _read_index_or_none(spark, idx) is not None
+
+
+def test_neardup_within_batch_edge_cap(spark):
+    """A batch whose within-batch near-dup edges exceed max_batch_edges
+    must fail fast with sizing guidance instead of collecting them all
+    into driver memory."""
+    import pytest
+
+    from reddit_etl_pipeline_spark.streaming.stream import (
+        neardup_batch_against_index,
+    )
+
+    idx, acc = _setup("cap_")
+    # 6 identical docs -> 15 verified edges; cap at 3
+    b = _docs(spark, [(i, "same text everywhere here") for i in range(6)])
+    with pytest.raises(ValueError, match="max_batch_edges"):
+        neardup_batch_against_index(b, 0, idx, acc, max_batch_edges=3)
+    # with the default cap the batch goes through and keeps one doc
+    neardup_batch_against_index(b, 0, idx, acc)
+    assert _accepted(spark, acc) == [0]
+
+
+def test_neardup_band_index_persisted_per_batch(spark):
+    """The pre-banded (did, band, bucket) table must grow alongside the
+    signature index — one partition per batch — so later batches band
+    only their own docs instead of re-banding the whole corpus."""
+    from reddit_etl_pipeline_spark.streaming.stream import (
+        neardup_batch_against_index,
+    )
+
+    idx, acc = _setup("bands_")
+    neardup_batch_against_index(
+        _docs(spark, [(1, "alpha beta gamma delta"), (2, "zz yy xx ww")]),
+        0, idx, acc,
+    )
+    neardup_batch_against_index(
+        _docs(spark, [(3, "alpha beta gamma delta"), (4, "qq rr ss tt")]),
+        1, idx, acc,
+    )
+    bands = spark.read.parquet(f"{idx}_bands")
+    assert sorted(
+        r.batch_id for r in bands.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    # band rows exist only for ACCEPTED docs (3 was rejected vs 1)
+    assert sorted(
+        r.did for r in bands.select("did").distinct().collect()
+    ) == [1, 2, 4]
+    assert _accepted(spark, acc) == [1, 2, 4]
