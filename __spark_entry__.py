@@ -406,9 +406,13 @@ def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table + per-cluster
-    quality rollup. Rows-only check (numpy float geometry); monotone
-    inertia / nearest-centroid properties pinned in
-    tests/test_clustering.py."""
+    quality rollup. Value-hash oracle-checked: the engine runs the
+    INTEGERIZED Lloyd loop (embeddings quantized to the 1/1000 grid,
+    centroid state = exact integer component-sums + counts, distances
+    compared as exact-int A_j/n_j^2 double divisions), which the DuckDB
+    oracle replays as unrolled per-iteration CTEs (``_kmeans_oracle`` —
+    the PageRank/BPE lift pattern). Monotone inertia / nearest-centroid
+    properties additionally pinned in tests/test_clustering.py."""
     from reddit_etl_pipeline_spark.operators import clustering as CL
 
     emb = Q.load(spark, sf_dir, "embeddings")
@@ -957,6 +961,99 @@ _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 10, scale: int = 1000) -> str:
+    """Unrolled integerized-Lloyd replay (the PageRank/BPE lift pattern).
+
+    Why this hash-matches exactly: the engine's kmeans_cluster_stats
+    quantizes embeddings to q = floor(x*scale+0.5) int64 once, keeps
+    centroid state as exact integer (component-sum, count) pairs, and
+    compares squared distances via A_j/n_j^2 where
+    A_j = sum_d (n_j*q_d - s_jd)^2 is an exact, order-independent int64
+    sum. The only float ops anywhere are single correctly-rounded IEEE
+    double divisions of exactly-determined integers — identical in any
+    engine — so each iteration's assignment (ties -> lowest cluster id)
+    and update replay bit-identically as CTEs: cent{{i}} (j, p, s, n) ->
+    a{{i}} distances -> asg{{i}} row_number pick -> cent{{i+1}} with
+    COALESCE carrying empty clusters forward. Fixed ``iters`` rounds
+    (the engine runs no float-tolerance early stop), then one final
+    assignment feeds the per-cluster rollup with exact-integer
+    numerators/denominators."""
+    s2 = scale * scale
+    sql = [f"""
+        WITH ql_t AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)
+                  for x in embedding] AS ql
+          FROM embeddings
+        ),
+        e AS MATERIALIZED (
+          SELECT vec_id, u.c['p'] AS p, u.c['q'] AS q
+          FROM ql_t, unnest([{{'p': i - 1, 'q': ql[i]}}
+                             for i in generate_series(1, len(ql))]) AS u(c)
+        ),
+        win AS (SELECT vec_id, ql FROM ql_t ORDER BY vec_id LIMIT {4 * k}),
+        seedv AS (SELECT ql, MIN(vec_id) AS fid FROM win GROUP BY ql),
+        seed AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY fid) - 1 AS j, ql
+          FROM seedv ORDER BY fid LIMIT {k}
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT j, u.c['p'] AS p, u.c['s'] AS s, CAST(1 AS BIGINT) AS n
+          FROM seed, unnest([{{'p': i - 1, 's': ql[i]}}
+                             for i in generate_series(1, len(ql))]) AS u(c)
+        )"""]
+    for i in range(iters):
+        sql.append(f""",
+        a{i} AS (
+          SELECT e.vec_id, c.j,
+                 SUM((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS A,
+                 MAX(c.n) AS n
+          FROM e JOIN cent{i} c ON c.p = e.p
+          GROUP BY e.vec_id, c.j
+        ),
+        asg{i} AS MATERIALIZED (
+          SELECT vec_id, j FROM (
+            SELECT vec_id, j, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), j
+            ) AS rn FROM a{i}
+          ) WHERE rn = 1
+        ),
+        cent{i + 1} AS MATERIALIZED (
+          SELECT c.j, c.p,
+                 CAST(COALESCE(u.s, c.s) AS BIGINT) AS s,
+                 CAST(COALESCE(u.n, c.n) AS BIGINT) AS n
+          FROM cent{i} c LEFT JOIN (
+            SELECT g.j, e.p, SUM(e.q) AS s, COUNT(*) AS n
+            FROM asg{i} g JOIN e USING (vec_id) GROUP BY g.j, e.p
+          ) u ON u.j = c.j AND u.p = c.p
+        )""")
+    sql.append(f""",
+        af AS (
+          SELECT e.vec_id, c.j,
+                 SUM((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS A,
+                 MAX(c.n) AS n
+          FROM e JOIN cent{iters} c ON c.p = e.p
+          GROUP BY e.vec_id, c.j
+        ),
+        fin AS (
+          SELECT vec_id, j, A, n FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), j
+            ) AS rn FROM af
+          ) WHERE rn = 1
+        )
+        SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+               round(CAST(SUM(A) AS DOUBLE)
+                     / CAST(COUNT(*) * MAX(n) * MAX(n) * {s2} AS DOUBLE),
+                     6) AS avg_sqdist,
+               round(CAST(MAX(A) AS DOUBLE)
+                     / CAST(MAX(n) * MAX(n) * {s2} AS DOUBLE), 6) AS max_sqdist
+        FROM fin GROUP BY j""")
+    return "".join(sql)
 
 
 def _bpe_oracle(iters: int = 8, min_count: int = 2, max_vocab: int = 50_000) -> str:
@@ -3179,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_pagerank": _pagerank_oracle(iters=8, damping=0.85),
         "bpe_vocab_stats": _bpe_oracle(iters=8),
+        "kmeans_cluster_stats": _kmeans_oracle(k=8, iters=10),
         "semantic_dedup": """
             WITH e AS (
               SELECT vec_id,
@@ -3210,9 +3308,9 @@ def oracle_sql() -> dict[str, str]:
         # against the oracle-checked exact_distinct_stats companion).
         # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
         # cosine_topk_lsh / cosine_topk_pq / cosine_topk_ivf /
-        # cosine_topk_ivfpq / knn_label_confusion_ivf /
-        # kmeans_cluster_stats: hash-family / learned-quantizer semantics
-        # (xxhash64 permutations, hyperplane LSH, k-means float means)
-        # are not SQL-expressible -> rows-only checks with
-        # recall/accuracy-floor tests.
+        # cosine_topk_ivfpq / knn_label_confusion_ivf: hash-family /
+        # learned-quantizer semantics (xxhash64 permutations, hyperplane
+        # LSH) are not SQL-expressible -> rows-only checks with
+        # recall/accuracy-floor tests. (kmeans_cluster_stats WAS in this
+        # family until the integerized-Lloyd lift -> _kmeans_oracle.)
     }

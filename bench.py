@@ -149,17 +149,26 @@ def main() -> None:
         "train_val_test_split",
     ]
 
+    # best-of-N (default 2): single-shot wall at sf0.1 swings within the
+    # ±50% machine-noise policy, which makes round-over-round deltas
+    # mushy; the min of two cold-cache runs strips scheduler/GC spikes
+    # while still measuring full computation (clearCache between reps, so
+    # rep 2 is not a cache readback)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators may cache intermediates (multi-use subplans); drop them
-        # so queries are measured in isolation, not under the previous
-        # query's memory pressure
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # operators may cache intermediates (multi-use subplans); drop
+            # them so reps and queries are measured in isolation, not
+            # under the previous run's memory pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

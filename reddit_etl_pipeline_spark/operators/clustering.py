@@ -196,21 +196,162 @@ def kmeans_assign(
     )
 
 
+def _quantize_vectors(
+    df: DataFrame, scale: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Map-only quantization to the integer grid: q = floor(x*scale+0.5)
+    per component (float64 multiply/add/floor — each an exactly-rounded
+    IEEE op, so any engine computes the identical integer)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            q = np.floor(m * scale + 0.5).astype("int64")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "q": list(q)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, q array<bigint>"
+    )
+
+
 def kmeans_cluster_stats(
     df: DataFrame,
     k: int = 8,
     max_iter: int = 10,
+    scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Fit + assign + per-cluster quality rollup:
-    (cluster, n_points, avg_sqdist, max_sqdist). Rows-only driver check
-    (numpy float geometry isn't SQL-expressible); accuracy properties are
-    pinned in tests/test_clustering.py."""
-    cents, _ = kmeans_fit(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
-    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    (cluster, n_points, avg_sqdist, max_sqdist) — Lloyd k-means over
+    embeddings QUANTIZED to the 1/``scale`` grid, formulated so every
+    step is exact integer arithmetic or a correctly-rounded double op
+    and the whole loop replays bit-identically in ANSI SQL (the DuckDB
+    oracle unrolls it as per-iteration CTEs, like the PageRank/BPE
+    lifts):
+
+    - centroid state is (component-sums s, count n) in int64 — never a
+      float mean, so the update is order-independent exact addition;
+    - the squared distance to centroid j is compared via
+      A_j / n_j^2 with A_j = sum_d (n_j*q_d - s_{j,d})^2, an exact
+      int64 (inputs bounded: |q| <= scale*|x|max, n <= corpus rows —
+      overflow-safe up to ~3e5 rows at scale 1000, dim 64; larger
+      corpora lower ``scale``), divided as float64 (correctly-rounded,
+      engine-independent); ties break to the lowest cluster id;
+    - fixed ``max_iter`` iterations (no float tolerance early-stop — a
+      converged iteration is a no-op anyway), seeds = first k distinct
+      quantized vectors by id among the first 4k rows;
+    - final stats divide exact integer numerators by exact integer
+      denominators (n_points * n_j^2 * scale^2), rounded to 6 dp.
+
+    At 1/1000 quantization the clustering is materially identical to the
+    float path (``kmeans_fit``/``kmeans_assign``, kept for callers that
+    want raw float geometry); what it buys is a value-hash-checkable
+    driver query. Scale shape is unchanged: one Arrow map pass per
+    iteration emitting O(partitions*k) integer partials, driver holds
+    k x dim ints.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # quantized vectors feed max_iter+1 full passes; checkpoint so the
+    # source scan + quantization run once
+    qdf = _quantize_vectors(df, scale, id_col, vec_col).localCheckpoint()
+
+    rows = qdf.orderBy(id_col).limit(4 * k).collect()
+    seen: list = []
+    for r in rows:
+        v = tuple(r[1])
+        if v not in seen:
+            seen.append(v)
+        if len(seen) == k:
+            break
+    if not seen:
+        raise ValueError("cannot seed k-means from an empty corpus")
+    s = np.array([list(v) for v in seen], dtype="int64")  # component sums
+    n = np.ones(len(s), dtype="int64")  # member counts (seed: the vector itself)
+    kk = len(s)
+
+    def _assign(m: "np.ndarray", s_: "np.ndarray", n_: "np.ndarray"):
+        # A[x, j] = sum_d (n_j*q_d - s_jd)^2  (exact int64)
+        a = np.empty((len(m), kk), dtype="int64")
+        for j in range(kk):
+            d = n_[j] * m - s_[j]
+            a[:, j] = (d * d).sum(axis=1)
+        d2 = a.astype("float64") / (n_ * n_).astype("float64")
+        # argmin takes the first occurrence -> lowest cluster id on ties,
+        # the same total order as the oracle's (d2, j) row_number
+        return a, d2.argmin(axis=1)
+
+    for _ in range(max_iter):
+        s_c, n_c = s.copy(), n.copy()
+
+        def run(batches, s_=s_c, n_=n_c):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["q"].to_numpy()).astype("int64")
+                _, assign = _assign(m, s_, n_)
+                out = []
+                for j in np.unique(assign):
+                    members = m[assign == j]
+                    out.append(
+                        (int(j), len(members), members.sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(out, columns=["cluster", "cnt", "sums"])
+
+        comp = (
+            qdf.select("q")
+            .mapInPandas(run, "cluster long, cnt long, sums array<bigint>")
+            .select("cluster", "cnt", F.posexplode("sums").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        new_s, new_n = s.copy(), n.copy()
+        for r in comp:
+            new_s[r["cluster"], r["pos"]] = r["s"]
+            new_n[r["cluster"]] = r["n"]
+        s, n = new_s, new_n  # empty clusters keep their previous state
+
+    s_f, n_f = s, n
+
+    def final(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype("int64")
+            a, assign = _assign(m, s_f, n_f)
+            yield pd.DataFrame(
+                {
+                    "cluster": assign.astype("int64"),
+                    "a": a[np.arange(len(m)), assign],
+                    "nj": n_f[assign],
+                }
+            )
+
+    assigned = qdf.select("q").mapInPandas(
+        final, "cluster long, a long, nj long"
+    )
+    s2 = scale * scale
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.avg("sqdist"), 6).alias("avg_sqdist"),
-        F.round(F.max("sqdist"), 6).alias("max_sqdist"),
+        F.round(
+            F.sum("a").cast("double")
+            / (F.count(F.lit(1)) * F.max("nj") * F.max("nj") * F.lit(s2)).cast(
+                "double"
+            ),
+            6,
+        ).alias("avg_sqdist"),
+        F.round(
+            F.max("a").cast("double")
+            / (F.max("nj") * F.max("nj") * F.lit(s2)).cast("double"),
+            6,
+        ).alias("max_sqdist"),
     )

@@ -178,16 +178,20 @@ def decode_bmp(data: bytes) -> tuple[dict, bytes]:
     top_down = height < 0
     h = abs(height)
     row_stride = (width * 3 + 3) // 4 * 4
-    out = bytearray()
-    for y in range(h):  # output top-down
-        src_row = y if top_down else (h - 1 - y)
-        base = pixel_off + src_row * row_stride
-        row = data[base : base + width * 3]
-        # BGR -> RGB per pixel
-        for x in range(width):
-            out += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+    import numpy as np
+
+    # one vectorized pass: view the pixel block as (h, stride) bytes,
+    # drop the per-row padding, reshape rows to (w, 3) BGR pixels, then
+    # flip bottom-up storage and reverse the channel axis to RGB — no
+    # per-pixel Python byte ops (O(w*h) interpreter work at corpus scale)
+    px = np.frombuffer(
+        data, dtype=np.uint8, count=h * row_stride, offset=pixel_off
+    ).reshape(h, row_stride)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        px = px[::-1]  # stored bottom-up -> emit top-down
+    out = px[:, :, ::-1].tobytes()  # BGR -> RGB
     meta = {"width": width, "height": h, "channels": 3}
-    return meta, bytes(out)
+    return meta, out
 
 
 _DECODE_COLS = [

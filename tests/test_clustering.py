@@ -101,3 +101,26 @@ def test_cluster_stats_shape(spark):
     assert {c for r in rows for c in [r.cluster]} <= set(range(4))
     assert sum(r.n_points for r in rows) == 120
     assert all(r.avg_sqdist >= 0 for r in rows)
+
+
+def test_cluster_stats_exact_partition_invariance(spark):
+    """The integerized Lloyd loop is EXACTLY deterministic (integer sums
+    are order-independent; the only float ops are correctly-rounded
+    divisions of exact ints), so results must be bit-identical across
+    partitionings — the property that makes the DuckDB oracle replay
+    hash-match."""
+    df = _blob_df(spark, n=120, n_blobs=4)
+    a = sorted(tuple(r) for r in
+               kmeans_cluster_stats(df.repartition(1), k=4, max_iter=6).collect())
+    b = sorted(tuple(r) for r in
+               kmeans_cluster_stats(df.repartition(11), k=4, max_iter=6).collect())
+    assert a == b
+
+
+def test_cluster_stats_recovers_blobs(spark):
+    """Quantization at 1/1000 must not hurt clustering quality: the four
+    well-separated blobs come out as four pure clusters."""
+    df = _blob_df(spark, n=120, n_blobs=4)
+    stats = sorted(r.n_points for r in
+                   kmeans_cluster_stats(df, k=4, max_iter=10).collect())
+    assert stats == [30, 30, 30, 30]

@@ -76,3 +76,23 @@ def test_neardup_canonical_keeps_best_quality(spark):
     assert out[0].canonical_id == out[1].canonical_id == out[2].canonical_id == 1
     assert out[5].canonical_id == 5
     assert out[6].canonical_id == 6 and out[6].quality == -1.0
+
+
+def test_neardup_canonical_single_cluster_pass(spark):
+    """The member checkpoint must pin ONE execution of the
+    jaccard+connected-components lineage: the returned plan may only
+    reference the checkpointed RDD (ExistingRDD), never the source
+    relation — if the checkpoint regressed, the source scan (and the
+    whole cluster pass) would appear twice."""
+    from reddit_etl_pipeline_spark.operators.dedup import neardup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = neardup_canonical(docs, threshold=0.9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    # LocalRelation/LogicalRDD of the INPUT docs must not appear: every
+    # branch of the final join reads the checkpointed member table
+    assert "LocalRelation" not in plan and "LocalTableScan" not in plan, plan
