@@ -76,6 +76,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "best (highest quality score)",
     )
     cur.add_argument(
+        "--neardup",
+        choices=["exact", "minhash"],
+        default="exact",
+        help="near-dup pair graph: exact Jaccard PPJoin (verification "
+        "baseline) or banded MinHash-LSH (bucket-bounded candidates — "
+        "the corpus-scale path)",
+    )
+    cur.add_argument(
         "--c4-rules",
         action="store_true",
         help="also apply the C4 format filter (retained-line rules)",
@@ -165,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
             c4_rules=args.c4_rules,
             lm_tail_drop=args.lm_tail_drop,
             keep=args.keep,
+            neardup_method=args.neardup,
         )
         print(json.dumps(report))
         return 0

@@ -41,6 +41,7 @@ def curate_corpus(
     c4_rules: bool = False,
     lm_tail_drop: bool = False,
     keep: str = "first",
+    neardup_method: str = "exact",
 ) -> dict:
     """Run the curation chain over a parquet documents table and write
     the surviving docs (PII-scrubbed text, plus ``lang_pred`` and
@@ -50,7 +51,12 @@ def curate_corpus(
     ``keep`` selects the near-dup cluster representative: ``"first"``
     keeps the lowest id (neardup_clusters), ``"best"`` the
     highest-quality member (neardup_canonical) — prefer ``best`` when
-    replicas differ in cleanliness (boilerplate-stripped mirrors etc.)."""
+    replicas differ in cleanliness (boilerplate-stripped mirrors etc.).
+
+    ``neardup_method`` picks the near-dup pair graph: ``"exact"``
+    (exact-Jaccard PPJoin — the verification baseline) or ``"minhash"``
+    (banded MinHash-LSH — bucket-bounded candidates, the corpus-scale
+    path; CLI flag ``--neardup minhash``)."""
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
 
@@ -63,14 +69,17 @@ def curate_corpus(
 
     if keep == "best":
         reps = D.neardup_canonical(
-            exact, text_col, id_col, threshold=neardup_threshold
+            exact, text_col, id_col, threshold=neardup_threshold,
+            method=neardup_method,
         )
         kept = reps.filter(
             F.col("doc_id") == F.col("canonical_id")
         ).select(F.col("doc_id").alias(id_col))
         neard = exact.join(kept, id_col).localCheckpoint()
     elif keep == "first":
-        reps = D.neardup_clusters(exact, threshold=neardup_threshold)
+        reps = D.neardup_clusters(
+            exact, threshold=neardup_threshold, method=neardup_method
+        )
         neard = (
             exact.join(reps, id_col)
             .filter(F.col(id_col) == F.col("rep_id"))

@@ -818,17 +818,18 @@ def streamed_incremental_dedup(
 def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(did, band, bucket) rows from a signature table (the banding half
     of operators/dedup.minhash_candidate_pairs, reused for cross-side
-    probe joins)."""
-    return sigs.select(
-        F.col("did"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                ),
+    probe joins). Unrolled literal-index slices keep the projection in
+    whole-stage codegen (a transform() lambda is interpreted per band)."""
+    bh = F.array(
+        *[
+            F.xxhash64(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band)
             )
-        ).alias("band", "bucket"),
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col("did"), F.posexplode(bh).alias("band", "bucket")
     )
 
 

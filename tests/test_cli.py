@@ -167,3 +167,53 @@ def test_curate_survives_stage_emptying_corpus(spark, tmp_path):
     assert rep["after_lm_tail_drop"] == 0
     assert rep["written"] == 0
     assert spark.read.parquet(out).count() == 0
+
+
+def test_curate_neardup_minhash(spark, sf_dir, tmp_path, capsys):
+    """--neardup minhash swaps the exact token-set-Jaccard pair graph for
+    banded shingle-MinHash (the corpus-scale path). On TRUE
+    near-duplicates — copies with a small edit, where both token-set and
+    shingle Jaccard are high — the two modes must collapse the SAME
+    clusters; that's the parity that matters (the synthetic documents
+    table instead has a bag-of-words similarity continuum with low
+    sequence overlap, where only exact mode fires by design — see
+    neardup_clusters' docstring)."""
+    rows = []
+    for c in range(12):  # 12 disjoint clusters x 3 near-identical copies
+        words = [f"c{c}w{j}" for j in range(160)]  # cluster-unique vocab
+        t = " ".join(words)
+        edited = words[:]
+        edited[80] = f"c{c}edit"  # one mid-word edit: J_tok~0.99, J_sh~0.96
+        rows += [
+            (c * 10, t),
+            (c * 10 + 1, t + " extra"),
+            (c * 10 + 2, " ".join(edited)),
+        ]
+    for i in range(30):  # plus 30 mutually-unrelated docs
+        rows.append((1000 + i, f"unique document {i} " + " ".join(
+            f"tok{i}x{j}" for j in range(40))))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out_e = str(tmp_path / "cur_exact")
+    out_m = str(tmp_path / "cur_minhash")
+    assert main(["curate", "--input", src, "--output", out_e,
+                 "--min-quality", "0.0"]) == 0
+    rep_e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["curate", "--input", src, "--output", out_m,
+                 "--neardup", "minhash", "--min-quality", "0.0"]) == 0
+    rep_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # both modes collapse each 3-copy cluster to one doc and keep the
+    # 30 unrelated docs: identical survivor sets
+    assert rep_e["after_neardup"] == rep_m["after_neardup"] == 42
+    kept_e = sorted(r.doc_id for r in spark.read.parquet(out_e).collect())
+    kept_m = sorted(r.doc_id for r in spark.read.parquet(out_m).collect())
+    assert kept_e == kept_m
+
+    # the real documents table still runs e2e in minhash mode
+    out_r = str(tmp_path / "cur_real")
+    assert main(["curate", "--input", f"{sf_dir}/documents.parquet",
+                 "--output", out_r, "--neardup", "minhash"]) == 0
+    rep_r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (rep_r["input"] >= rep_r["after_exact_dedup"]
+            >= rep_r["after_neardup"] >= rep_r["written"] > 0)
