@@ -40,6 +40,7 @@ from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
+from reddit_etl_pipeline_spark import neardup_oracles as NO
 
 from pyspark.sql import functions as F
 
@@ -3303,14 +3304,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
         """,
+        # Spark xxhash64 replayed bit-exactly in DuckDB SQL (HUGEINT wrap
+        # arithmetic + hex byte walk, neardup_oracles/xxh64_sql): the
+        # MinHash and SimHash pipelines are deterministic end to end, so
+        # they hash-check like the exact operators.
+        "minhash_neardup": NO.minhash_neardup_oracle(threshold=0.7),
+        "simhash_neardup": NO.simhash_neardup_oracle(max_hamming=3),
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py
         # against the oracle-checked exact_distinct_stats companion).
-        # minhash_neardup / simhash_neardup / embedding_neardup_lsh /
-        # cosine_topk_lsh / cosine_topk_pq / cosine_topk_ivf /
-        # cosine_topk_ivfpq / knn_label_confusion_ivf: hash-family /
-        # learned-quantizer semantics (xxhash64 permutations, hyperplane
-        # LSH) are not SQL-expressible -> rows-only checks with
-        # recall/accuracy-floor tests. (kmeans_cluster_stats WAS in this
-        # family until the integerized-Lloyd lift -> _kmeans_oracle.)
+        # embedding_neardup_lsh / cosine_topk_lsh / cosine_topk_pq /
+        # cosine_topk_ivf / cosine_topk_ivfpq / knn_label_confusion_ivf:
+        # float hyperplane projections / learned-quantizer codebooks
+        # depend on numpy linear algebra -> rows-only checks with
+        # recall/accuracy-floor tests. (kmeans_cluster_stats and the
+        # minhash/simhash pair WERE in this family until the
+        # integerized-Lloyd and xxhash64-SQL lifts.)
     }

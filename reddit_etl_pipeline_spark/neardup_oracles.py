@@ -1,0 +1,169 @@
+"""DuckDB oracle SQL for the MinHash-LSH and SimHash near-dup queries.
+
+These replay the engine's pipelines EXACTLY — Spark ``xxhash64`` (via
+``xxh64_sql``'s bit-exact SQL replay), the same tokenization, the same
+permutation family, banding, pigeonhole blocks, and thresholds — so the
+driver's value-hash compare can check the approximate near-dup operators
+the same way it checks the exact ones. Before round 5 both queries were
+declared rows-only ("engine-specific hashing"); the hashing is in fact
+deterministic, so the right fix was to make the oracle speak it.
+
+Layout notes: every variable-length hash or fixed chain renders through
+``xxh64_sql.render_select`` (one nested subquery per step — see that
+module for why lateral aliases would blow up the binder), and the
+per-bit / per-slot unrolls mirror the engine's own unrolled codegen
+columns (dedup.simhash_fingerprints / minhash_signatures).
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import _MERSENNE, _perm_consts
+from . import xxh64_sql as X
+
+
+def simhash_neardup_oracle(max_hamming: int = 3, bits: int = 64) -> str:
+    """Replay of ``dedup.simhash_neardup_pairs`` (operators/dedup.py):
+    distinct lowercase whitespace tokens -> xxhash64 per token -> per-bit
+    +-1 votes -> sign fingerprint -> pigeonhole 16-bit blocks ->
+    hamming <= max_hamming. Token-less and NULL-text docs keep
+    fingerprint 0 (the engine's explode_outer branch)."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    mask = (1 << width) - 1
+    tok_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "toks", passthrough=["tok"]
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN ((th >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (SELECT DISTINCT tok FROM dtoks),
+tokh AS ({tok_hash}),
+votes AS (
+  SELECT d.doc_id, {votes}
+  FROM dtoks d JOIN tokh USING (tok) GROUP BY d.doc_id
+),
+fps AS (
+  SELECT doc_id, {fp} AS fp FROM votes
+  UNION ALL
+  SELECT doc_id, CAST(0 AS UBIGINT) AS fp FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM votes)
+),
+blocks AS (
+  SELECT doc_id, i AS block_idx, (fp >> ({width} * i)) & {mask} AS block_val
+  FROM fps, (SELECT unnest(range({nblocks})) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+"""
+
+
+def minhash_neardup_oracle(
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> str:
+    """Replay of ``dedup.minhash_neardup_pairs`` (operators/dedup.py):
+    positional whitespace tokens -> xxhash64 per token -> shingle combine
+    (3-long xxhash64 chain over lead()ed token hashes, zero-padded tail,
+    pos==0 fallback for short docs) -> pmod 2^31-1 -> distinct shingle
+    set -> per-permutation mins -> per-band bucket = xxhash64 over the
+    band's signature slice -> band-bucket candidate join -> slot
+    agreement / num_perm >= threshold."""
+    assert shingle_n == 3, "oracle replays the engine default shingle_n=3"
+    rows_per_band = num_perm // bands
+    tok_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "toks", passthrough=["tok"]
+    )
+    shingle = X.render_select(
+        X.chain_cols("ch", ["th0", "th1c", "th2c"]),
+        ["ch"],
+        "kept",
+        passthrough=["doc_id"],
+    )
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(_perm_consts(num_perm))
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_perm)) + "]"
+    band_chain = X.render_select(
+        X.chain_cols(
+            "bucket",
+            [
+                f"CAST(sig[{rows_per_band} * b + {j + 1}] AS UBIGINT)"
+                for j in range(rows_per_band)
+            ],
+        ),
+        ["bucket"],
+        "(SELECT doc_id, sig, b FROM sig_arr, (SELECT unnest(range({n})) AS b))".format(
+            n=bands
+        ),
+        passthrough=["doc_id", "b"],
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH tokpos AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+    FROM documents WHERE text IS NOT NULL
+  ) t, LATERAL (
+    SELECT generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  ) u
+),
+toks AS (SELECT DISTINCT tok FROM tokpos),
+tokh AS ({tok_hash}),
+ex AS (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
+leads AS (
+  SELECT doc_id, pos, th AS th0,
+         lead(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th1,
+         lead(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th2
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, th0,
+         coalesce(th1, CAST(0 AS UBIGINT)) AS th1c,
+         coalesce(th2, CAST(0 AS UBIGINT)) AS th2c
+  FROM leads WHERE th2 IS NOT NULL OR pos = 1
+),
+comb AS ({shingle}),
+base AS (SELECT DISTINCT doc_id, {X.pmod31('ch')} AS h FROM comb),
+sigs AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+sig_arr AS (SELECT doc_id, {sig_list} AS sig FROM sigs),
+bands AS ({band_chain}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+)
+SELECT doc_a, doc_b, round(({agree}) / {float(num_perm)}, 6) AS est_jaccard
+FROM cand c
+JOIN sig_arr sa ON sa.doc_id = c.doc_a
+JOIN sig_arr sb ON sb.doc_id = c.doc_b
+WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
+"""
