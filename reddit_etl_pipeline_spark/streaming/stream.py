@@ -837,22 +837,19 @@ def _est_jaccard_pairs(
     pairs: DataFrame, sa: DataFrame, sb: DataFrame, num_perm: int
 ) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs by signature agreement: keep
-    est_jaccard = |matching slots| / num_perm."""
-    out = (
+    est_jaccard = |matching slots| / num_perm. Slot agreement is the same
+    unrolled codegen sum as dedup.minhash_neardup_pairs — zip_with/filter
+    lambdas are interpreted per element (CLAUDE.md rule), and this runs
+    per candidate pair every micro-batch."""
+    agree = sum(
+        F.when(F.col("sig_a").getItem(i) == F.col("sig_b").getItem(i), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
-                )
-            )
-            / F.lit(num_perm),
-        )
+        .select("id_a", "id_b", (agree / F.lit(num_perm)).alias("est_jaccard"))
     )
-    return out.select("id_a", "id_b", "est_jaccard")
 
 
 def neardup_batch_against_index(
