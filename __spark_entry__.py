@@ -40,6 +40,7 @@ from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
+from reddit_etl_pipeline_spark import ann_oracles as AO
 from reddit_etl_pipeline_spark import neardup_oracles as NO
 
 from pyspark.sql import functions as F
@@ -680,8 +681,10 @@ def _cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH (rows-only:
-    hash-family bucket semantics aren't SQL-expressible)."""
+    """Approximate top-k via multi-table hyperplane LSH — value-hash
+    oracle-checked: planes/vectors live on the 1/PLANE_SCALE integer
+    grid so the bucket sign bits replay bit-exactly in SQL
+    (ann_oracles.lsh_topk_oracle), hot-bucket splits included."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(
         emb,
@@ -700,8 +703,9 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH near-dup (approximate; the scale path).
-    Rows-only check — hash-family semantics aren't SQL-expressible."""
+    """Multi-table hyperplane-LSH near-dup (approximate; the scale path)
+    — value-hash oracle-checked via the integer-grid plane replay
+    (ann_oracles.lsh_neardup_oracle)."""
     return S.embedding_neardup_pairs(
         Q.load(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
     )
@@ -3310,14 +3314,20 @@ def oracle_sql() -> dict[str, str]:
         # they hash-check like the exact operators.
         "minhash_neardup": NO.minhash_neardup_oracle(threshold=0.7),
         "simhash_neardup": NO.simhash_neardup_oracle(max_hamming=3),
+        # Hyperplane LSH replayed exactly (ann_oracles): planes + vectors
+        # are snapped to the 1/PLANE_SCALE integer grid so the engine's
+        # float64 matmul never rounds and the bucket sign bits equal the
+        # oracle's BIGINT dots; auto_planes / hot-split steps are integer
+        # bit-length formulas; the rerank uses the proven RANK_DP contract.
+        "embedding_neardup_lsh": AO.lsh_neardup_oracle(threshold=0.4),
+        "cosine_topk_lsh": AO.lsh_topk_oracle(k=5),
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py
         # against the oracle-checked exact_distinct_stats companion).
-        # embedding_neardup_lsh / cosine_topk_lsh / cosine_topk_pq /
-        # cosine_topk_ivf / cosine_topk_ivfpq / knn_label_confusion_ivf:
-        # float hyperplane projections / learned-quantizer codebooks
+        # cosine_topk_pq / cosine_topk_ivf / cosine_topk_ivfpq /
+        # knn_label_confusion_ivf: learned-quantizer codebooks
         # depend on numpy linear algebra -> rows-only checks with
-        # recall/accuracy-floor tests. (kmeans_cluster_stats and the
-        # minhash/simhash pair WERE in this family until the
-        # integerized-Lloyd and xxhash64-SQL lifts.)
+        # recall/accuracy-floor tests. (kmeans_cluster_stats, the
+        # minhash/simhash pair and the LSH pair WERE in this family until
+        # the integerized-Lloyd, xxhash64-SQL and integer-grid-LSH lifts.)
     }

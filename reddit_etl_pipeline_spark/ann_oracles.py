@@ -1,0 +1,198 @@
+"""DuckDB oracle SQL for the hyperplane-LSH ANN queries.
+
+These replay ``operators/similarity.lsh_bucket_table`` /
+``split_hot_buckets`` / the candidate joins EXACTLY, so the driver's
+value-hash compare checks the approximate LSH operators the same way it
+checks the exact ones. Three facts make the replay bit-identical (before
+round 5 these queries were declared rows-only "hash-family semantics
+aren't SQL-expressible" — they are, once the arithmetic is exact):
+
+1. Planes and vectors are snapped to the 1/PLANE_SCALE integer grid
+   (similarity.PLANE_SCALE): the engine's float64 BLAS matmul over
+   integer-valued operands never rounds (every product < 2^41, every
+   partial sum < 2^47 < 2^53), so its sign bits equal the oracle's
+   BIGINT ``list_sum`` dots. The quantized planes are emitted here as
+   SQL integer literals from the same ``_table_planes`` stream.
+2. ``auto_planes`` and the hot-bucket split ``step`` are integer
+   bit-length formulas (ceil(log2(m)) = length(bin(m-1))), not libm
+   ``log2`` — no last-ulp divergence near power-of-two boundaries.
+3. The final cosine rerank rounds to RANK_DP before ranking and
+   ROUND_DP at the boundary, the same contract every oracle-checked
+   similarity query already uses.
+
+The bucket CTE chain is shared by both queries; ``split_hot_buckets``'s
+data-dependent loop is unrolled to its ``max_rounds`` (a round with no
+hot buckets is a no-op, so a fixed unroll equals the engine's early
+break).
+"""
+
+from __future__ import annotations
+
+from .operators.similarity import PLANE_SCALE, _table_planes
+
+# Engine defaults replayed here (operators/similarity.py):
+#   lsh_bucket_table: n_tables=8; split_hot_buckets: cap=256, eb=16,
+#   max_rounds=4; auto_planes: target_bucket=32.
+_N_TABLES = 8
+_TOTAL_PLANES = 32  # n_planes (<=16) + extra_bits (16); prefix-stable
+_CAP = 256
+_EB = 16
+_ROUNDS = 4
+
+
+def _planes_values(dim: int) -> str:
+    """(tbl, p, w BIGINT[dim]) literals for every plane any n_planes
+    choice can touch — the identical quantized values the engine's
+    matmul uses, via the same deterministic PCG64 stream."""
+    import numpy as np
+
+    rows = []
+    for t in range(_N_TABLES):
+        q = np.floor(
+            _table_planes(t, _TOTAL_PLANES, dim) * PLANE_SCALE + 0.5
+        ).astype("int64")
+        for p in range(_TOTAL_PLANES):
+            w = ",".join(str(v) for v in q[p])
+            rows.append(f"({t},{p},[{w}]::BIGINT[])")
+    return ",".join(rows)
+
+
+def _bucket_ctes(dim: int, np_expr: str) -> str:
+    """CTE chain: quantize -> project -> pack sign bits -> 4 unrolled
+    hot-bucket split rounds. Ends at ``s{_ROUNDS}`` with columns
+    (vec_id, tbl, bucket, ext, lvl, sub). ``np_expr`` computes n_planes
+    from the corpus row count ``n`` (engine auto_planes variants)."""
+    sql = [f"""
+planes(tbl, p, w) AS (VALUES {_planes_values(dim)}),
+n_t AS (SELECT count(*) AS n FROM embeddings),
+np_t AS (
+  SELECT {np_expr} AS np
+  FROM (SELECT (n + 31) // 32 AS m FROM n_t)
+),
+qv AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {PLANE_SCALE}.0 + 0.5) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings
+),
+proj AS (
+  SELECT v.vec_id, pl.tbl, pl.p,
+         (list_sum([v.q[i] * pl.w[i]
+                    for i in generate_series(1, {dim})]) >= 0) AS bit
+  FROM qv v CROSS JOIN planes pl CROSS JOIN np_t
+  WHERE pl.p < np_t.np + {_EB}
+),
+s0 AS (
+  SELECT vec_id, tbl,
+         CAST(COALESCE(sum(CASE WHEN bit AND p < np
+                           THEN (1::BIGINT << p) END), 0) AS BIGINT) AS bucket,
+         CAST(COALESCE(sum(CASE WHEN bit AND p >= np
+                           THEN (1::BIGINT << (p - np)) END), 0) AS BIGINT) AS ext,
+         0 AS lvl, CAST(0 AS BIGINT) AS sub
+  FROM proj CROSS JOIN np_t
+  GROUP BY vec_id, tbl
+)"""]
+    for r in range(_ROUNDS):
+        sql.append(f""",
+h{r} AS (
+  SELECT tbl, bucket, lvl, sub,
+         least(length(bin((n + {_CAP} - 1) // {_CAP} - 1)),
+               {_EB} - lvl) AS step
+  FROM (SELECT tbl, bucket, lvl, sub, count(*) AS n
+        FROM s{r} GROUP BY tbl, bucket, lvl, sub)
+  WHERE n > {_CAP} AND lvl < {_EB}
+),
+s{r + 1} AS (
+  SELECT s.vec_id, s.tbl, s.bucket, s.ext,
+         CASE WHEN h.step IS NOT NULL THEN s.lvl + h.step ELSE s.lvl END AS lvl,
+         CASE WHEN h.step IS NOT NULL
+              THEN s.ext & ((1::BIGINT << (s.lvl + h.step)) - 1)
+              ELSE s.sub END AS sub
+  FROM s{r} s LEFT JOIN h{r} h
+    ON h.tbl = s.tbl AND h.bucket = s.bucket
+   AND h.lvl = s.lvl AND h.sub = s.sub
+)""")
+    return "".join(sql)
+
+
+# auto_planes(n): greatest(4, least(16, bit_length(ceil(n/32) - 1)))
+_AUTO = "greatest(4, least(16, CASE WHEN m >= 2 THEN length(bin(m - 1)) ELSE 0 END))"
+
+
+def lsh_neardup_oracle(threshold: float = 0.4, dim: int = 64) -> str:
+    """Replay of ``embedding_neardup_pairs(df, dim, threshold)``:
+    candidates collide in ANY table's refined bucket; verification is
+    raw-norm cosine rounded to 6 dp at the threshold boundary (the
+    engine's verify mapInPandas, similarity.py)."""
+    s = f"s{_ROUNDS}"
+    return f"""
+WITH {_bucket_ctes(dim, _AUTO)},
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM {s} x JOIN {s} y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket
+   AND x.lvl = y.lvl AND x.sub = y.sub
+   AND x.vec_id < y.vec_id
+),
+pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cand c
+  JOIN pv a ON a.vec_id = c.id_a
+  JOIN pv b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= {threshold}
+"""
+
+
+def lsh_topk_oracle(k: int = 5, dim: int = 64, n_queries: int = 5) -> str:
+    """Replay of ``cosine_topk_lsh(emb, emb.filter(vec_id < n_queries),
+    dim, k)``: corpus buckets are hot-split; each query probes its
+    refined key at every level a split produced for its (tbl, bucket);
+    exact rerank rounds to RANK_DP=12 before the row_number (the same
+    contract as the oracle-checked cosine_topk)."""
+    s = f"s{_ROUNDS}"
+    # cosine_topk_lsh: n_planes = max(auto_planes(n) - 2, 4)
+    np_expr = f"greatest({_AUTO} - 2, 4)"
+    return f"""
+WITH {_bucket_ctes(dim, np_expr)},
+hot_levels AS (
+  SELECT DISTINCT tbl, bucket, lvl FROM {s} WHERE lvl > 0
+),
+qprobe AS (
+  SELECT q.vec_id AS query_id, q.tbl, q.bucket,
+         COALESCE(hl.lvl, 0) AS lvl,
+         CASE WHEN hl.lvl IS NOT NULL
+              THEN q.ext & ((1::BIGINT << hl.lvl) - 1)
+              ELSE CAST(0 AS BIGINT) END AS sub
+  FROM s0 q LEFT JOIN hot_levels hl
+    ON hl.tbl = q.tbl AND hl.bucket = q.bucket
+  WHERE q.vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+  FROM {s} c JOIN qprobe qp
+    ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+   AND c.lvl = qp.lvl AND c.sub = qp.sub
+  WHERE c.vec_id <> qp.query_id
+),
+pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / greatest(sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v)), 1e-12),
+               12) AS sim
+  FROM cand cd
+  JOIN pv q ON q.vec_id = cd.query_id
+  JOIN pv c ON c.vec_id = cd.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) r
+WHERE rank <= {k}
+"""

@@ -154,10 +154,14 @@ def auto_planes(n_rows: int, target_bucket: int = 32) -> int:
     bucket grows as (n/2^planes)^2, so 10x the corpus at constant planes
     means 100x the candidate pairs. log2 growth keeps occupancy (and thus
     per-bucket quadratic cost) constant; recall loss per added plane is
-    compensated by the multi-table OR."""
-    import math
+    compensated by the multi-table OR.
 
-    return max(4, min(16, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+    Integer formula (ceil(log2(x)) == ceil(log2(ceil(x))) for x > 0, and
+    ceil(log2(m)) == bit_length(m-1) for int m >= 2) — no float log2, so
+    the DuckDB oracle's length(bin(...)) replay is exact at any corpus
+    size."""
+    m = (max(n_rows, 2) + target_bucket - 1) // target_bucket
+    return max(4, min(16, (m - 1).bit_length() if m >= 2 else 0))
 
 
 def cosine_topk_lsh(
@@ -779,6 +783,29 @@ def _table_planes(t: int, n: int, dim: int) -> "np.ndarray":
     return np.random.default_rng(977 + 1009 * t).standard_normal((n, dim))
 
 
+# Sign bits are taken from INTEGER-quantized projections (planes and
+# vectors both snapped to the 1/PLANE_SCALE grid): with |x| <~ 1 and
+# gaussian |g| <~ 5, every product is < 2^41 and every 64-term partial
+# sum < 2^47 — all integers exactly representable in float64, so the
+# numpy BLAS matmul below never rounds and ANY engine (DuckDB included)
+# that sums the same integer products gets the bit-identical sign. That
+# is what lets the LSH queries be value-hash oracle-checked instead of
+# rows-only: the oracle replays the same quantized planes as SQL integer
+# literals (ann_oracles._planes_values). At 2^-18 resolution the planes
+# are gaussian to ~4e-6 — recall floors are unchanged (tests/test_lsh_*).
+PLANE_SCALE = 1 << 18
+
+
+def _quantize_grid(m: "np.ndarray", scale: int = PLANE_SCALE) -> "np.ndarray":
+    """floor(x*scale + 0.5) as integer-valued float64 — each step is a
+    single correctly-rounded IEEE op (the multiply is exact for
+    power-of-two scales), so every engine computes the identical grid
+    point from the identical input."""
+    import numpy as np
+
+    return np.floor(m.astype("float64") * scale + 0.5)
+
+
 def lsh_bucket_table(
     df: DataFrame,
     dim: int,
@@ -803,13 +830,20 @@ def lsh_bucket_table(
     deterministic family (indices n_planes..n_planes+extra_bits-1, so
     the base bucket ids are unchanged). ``split_hot_buckets`` consumes
     them to subdivide over-occupied buckets without re-projecting.
+
+    Planes and vectors are quantized to the 1/PLANE_SCALE integer grid
+    before the projection (see PLANE_SCALE): the matmul then involves
+    only exactly-representable integers, so the sign bits — hence every
+    bucket id — replay bit-identically in the DuckDB oracle.
     """
     import numpy as np
     import pandas as pd
 
     total = n_planes + extra_bits
-    planes = np.concatenate(
-        [_table_planes(t, total, dim) for t in range(n_tables)], axis=0
+    planes = _quantize_grid(
+        np.concatenate(
+            [_table_planes(t, total, dim) for t in range(n_tables)], axis=0
+        )
     )
     bit_weights = 1 << np.arange(n_planes, dtype="int64")
     ext_weights = 1 << np.arange(extra_bits, dtype="int64")
@@ -819,8 +853,8 @@ def lsh_bucket_table(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            proj = m @ planes.T  # (batch, tables*total)
+            m = _quantize_grid(np.stack(pdf[vec_col].to_numpy()))
+            proj = m @ planes.T  # (batch, tables*total) — exact: see PLANE_SCALE
             bits = (proj >= 0).astype("int64").reshape(len(m), n_tables, total)
             buckets = (bits[:, :, :n_planes] * bit_weights).sum(axis=2)
             out = {
@@ -902,10 +936,15 @@ def split_hot_buckets(
                 "bucket",
                 "lvl",
                 "sub",
+                # step = ceil(log2(n/cap)) computed EXACTLY in integers:
+                # for m = ceil(n/cap) >= 2, ceil(log2(m)) = bit_length(m-1)
+                # = length(bin(m-1)). No libm log2 — its last-ulp rounding
+                # differs across engines near power-of-two boundaries, and
+                # the DuckDB oracle replays this formula verbatim.
                 F.least(
-                    F.ceil(F.log2(F.col("n") / F.lit(cap))).cast("int"),
+                    F.length(F.bin(F.expr(f"(n + {cap} - 1) div {cap} - 1"))),
                     F.lit(extra_bits) - F.col("lvl"),
-                ).alias("step"),
+                ).cast("int").alias("step"),
             )
         )
         if hot.isEmpty():
