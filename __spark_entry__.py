@@ -618,11 +618,12 @@ def _knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_label_confusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kNN classifier on the IVF ANN path (rows-only: kmeans
-    assignment isn't SQL-expressible) — same vote/argmax composition as
-    knn_label_confusion, neighbor candidates from inverted lists instead
-    of the gated broadcast; agreement with exact pinned in
-    tests/test_knn.py."""
+    """The kNN classifier on the IVF ANN path — same vote/argmax
+    composition as knn_label_confusion, neighbor candidates from
+    inverted lists instead of the gated broadcast; agreement with exact
+    pinned in tests/test_knn.py. Value-hash oracle-checked: the
+    integer-grid coarse quantizer replays as unrolled Lloyd CTEs
+    (ann_oracles.ivf_knn_confusion_oracle)."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.knn_label_confusion(
         emb.filter(F.col("vec_id") % 2 == 0),
@@ -640,8 +641,9 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: coarse-quantizer buckets + nprobe rerank
-    (rows-only: kmeans assignment isn't SQL-expressible)."""
+    """IVF approximate top-k: coarse-quantizer buckets + nprobe rerank.
+    Value-hash oracle-checked via the unit-grid/rounded-centroid Lloyd
+    replay (ann_oracles.ivf_topk_oracle)."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
@@ -3321,6 +3323,12 @@ def oracle_sql() -> dict[str, str]:
         # bit-length formulas; the rerank uses the proven RANK_DP contract.
         "embedding_neardup_lsh": AO.lsh_neardup_oracle(threshold=0.4),
         "cosine_topk_lsh": AO.lsh_topk_oracle(k=5),
+        # IVF replayed exactly (ann_oracles): unit-grid vectors (exact
+        # integer norm + one correctly-rounded divide), rounded-integer
+        # Lloyd centroids, integer distances — unrolled per-iteration
+        # CTEs like the kmeans_cluster_stats lift.
+        "cosine_topk_ivf": AO.ivf_topk_oracle(k=5),
+        "knn_label_confusion_ivf": AO.ivf_knn_confusion_oracle(k=5),
         # approx_distinct_stats: HLL++/quantile-sketch values are
         # engine-specific (accuracy bounds asserted in tests/test_sketches.py
         # against the oracle-checked exact_distinct_stats companion).

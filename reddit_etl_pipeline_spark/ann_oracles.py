@@ -28,7 +28,7 @@ break).
 
 from __future__ import annotations
 
-from .operators.similarity import PLANE_SCALE, _table_planes
+from .operators.similarity import PLANE_SCALE, VEC_SCALE, _table_planes
 
 # Engine defaults replayed here (operators/similarity.py):
 #   lsh_bucket_table: n_tables=8; split_hot_buckets: cap=256, eb=16,
@@ -195,4 +195,225 @@ SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
                                ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored) r
 WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF / PQ / IVF-PQ replays (operators/similarity.py unit-grid family).
+#
+# Everything below a unit-grid vector is exact integer arithmetic plus
+# single correctly-rounded IEEE ops (see similarity.VEC_SCALE): Lloyd
+# centroids are snapped back to the grid each update
+# (floor(sum/count + 0.5)), distances / PQ lookup sums are exact integer
+# sums, ties break to the lowest centroid/code id, and the final rerank
+# uses the proven RANK_DP cosine contract. Each data-dependent loop is
+# unrolled to its fixed iteration count (the engine runs no tolerance
+# early-stop).
+# --------------------------------------------------------------------------
+
+_IVF_K = 16        # n_centroids
+_IVF_NPROBE = 4
+_IVF_ITERS = 5
+_SAMPLE = 512
+_PQ_M = 16         # subspaces
+_PQ_CODES = 16
+_PQ_ITERS = 5
+_PQ_RERANK = 32
+
+
+def _unit_ctes(dim: int) -> str:
+    """``uv`` = (vec_id, label, u BIGINT[dim]) unit-grid vectors: quantize,
+    exact-integer norm, one divide, re-quantize — bit-identical to the
+    engine's ``_unit_grid``."""
+    s = VEC_SCALE
+    return f"""
+qv0 AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings
+),
+uv AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(q[i] AS DOUBLE) / nrm * {s}.0 + 0.5) AS BIGINT)
+          for i in generate_series(1, {dim})] AS u
+  FROM (
+    SELECT vec_id, label, q,
+           greatest(sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)),
+                    1e-12) AS nrm
+    FROM qv0
+  )
+)"""
+
+
+def _ivf_ctes(dim: int, train_pred: str, iters: int = _IVF_ITERS) -> str:
+    """Unrolled rounded-centroid Lloyd over the lowest-id ``_SAMPLE`` rows
+    of ``uv`` filtered by ``train_pred``. Ends at ``cent{iters}`` =
+    (j, p, c) exploded integer centroids and ``es`` = the exploded
+    sample. Seeds: first ``_IVF_K`` distinct unit-grid vectors in id
+    order (the kmeans_cluster_stats rule)."""
+    sql = [f"""
+samp AS (SELECT vec_id, u FROM uv WHERE {train_pred}
+         ORDER BY vec_id LIMIT {_SAMPLE}),
+seedv AS (SELECT u, min(vec_id) AS fid FROM samp GROUP BY u),
+seed AS (
+  SELECT row_number() OVER (ORDER BY fid) - 1 AS j, u
+  FROM seedv ORDER BY fid LIMIT {_IVF_K}
+),
+es AS MATERIALIZED (
+  SELECT vec_id, t.c['p'] AS p, t.c['q'] AS q
+  FROM samp, unnest([{{'p': i - 1, 'q': u[i]}}
+                     for i in generate_series(1, len(u))]) AS t(c)
+),
+cent0 AS MATERIALIZED (
+  SELECT j, t.c['p'] AS p, t.c['q'] AS c
+  FROM seed, unnest([{{'p': i - 1, 'q': u[i]}}
+                     for i in generate_series(1, len(u))]) AS t(c)
+)"""]
+    for i in range(iters):
+        sql.append(f""",
+a{i} AS (
+  SELECT e.vec_id, c.j, sum((e.q - c.c) * (e.q - c.c)) AS d2
+  FROM es e JOIN cent{i} c ON c.p = e.p
+  GROUP BY e.vec_id, c.j
+),
+asg{i} AS MATERIALIZED (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+cent{i + 1} AS MATERIALIZED (
+  SELECT c.j, c.p,
+         COALESCE(
+           CAST(floor(CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) + 0.5)
+                AS BIGINT),
+           c.c) AS c
+  FROM cent{i} c LEFT JOIN (
+    SELECT g.j, e.p, sum(e.q) AS s, count(*) AS n
+    FROM asg{i} g JOIN es e USING (vec_id) GROUP BY g.j, e.p
+  ) m ON m.j = c.j AND m.p = c.p
+)""")
+    return "".join(sql)
+
+
+def _assign_ctes(
+    name: str, src_pred: str, cent: str, dim: int, topn: int
+) -> str:
+    """``{name}`` = (vec_id, cid[, arn]) — nearest (topn=1) or top-n
+    probed centroids of every ``uv`` row matching ``src_pred``, by exact
+    integer squared L2, ties to the lowest centroid id."""
+    ea = f"""
+  SELECT v.vec_id, t.c['p'] AS p, t.c['q'] AS q
+  FROM (SELECT vec_id, u FROM uv WHERE {src_pred}) v,
+       unnest([{{'p': i - 1, 'q': u[i]}}
+               for i in generate_series(1, len(u))]) AS t(c)"""
+    arn = ", arn" if topn > 1 else ""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, j AS cid{arn} FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY sum((e.q - c.c) * (e.q - c.c)), c.j) AS arn
+    FROM ({ea}) e JOIN {cent} c ON c.p = e.p
+    GROUP BY e.vec_id, c.j
+  ) WHERE arn <= {topn}
+)"""
+
+
+_RERANK_SQL = """
+pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / greatest(sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v)), 1e-12),
+               12) AS sim
+  FROM cand cd
+  JOIN pv q ON q.vec_id = cd.query_id
+  JOIN pv c ON c.vec_id = cd.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) r
+WHERE rank <= {k}
+"""
+
+
+def ivf_topk_oracle(k: int = 5, dim: int = 64, n_queries: int = 5) -> str:
+    """Replay of ``ivf_topk(emb, emb.filter(vec_id < n_queries), k)``:
+    integer-grid coarse quantizer, nprobe probed lists, exact rerank."""
+    return f"""
+WITH {_unit_ctes(dim)},
+{_ivf_ctes(dim, 'TRUE')},
+{_assign_ctes('cassign', 'TRUE', f'cent{_IVF_ITERS}', dim, 1)},
+{_assign_ctes('qprobe', f'vec_id < {n_queries}', f'cent{_IVF_ITERS}', dim, _IVF_NPROBE)},
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM qprobe qp JOIN cassign ca ON ca.cid = qp.cid
+  WHERE ca.vec_id <> qp.vec_id
+),
+{_RERANK_SQL.format(k=k)}
+"""
+
+
+def ivf_knn_confusion_oracle(
+    k: int = 5, dim: int = 64, test_max: int = 4000
+) -> str:
+    """Replay of ``knn_label_confusion(train=even, test=odd<test_max,
+    k=5, method='ivf')``: the IVF top-k above feeds the same
+    vote/argmax stage as the oracle-checked exact kNN query."""
+    return f"""
+WITH {_unit_ctes(dim)},
+{_ivf_ctes(dim, 'vec_id % 2 = 0')},
+{_assign_ctes('cassign', 'vec_id % 2 = 0', f'cent{_IVF_ITERS}', dim, 1)},
+{_assign_ctes('qprobe', f'vec_id % 2 = 1 AND vec_id < {test_max}', f'cent{_IVF_ITERS}', dim, _IVF_NPROBE)},
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM qprobe qp JOIN cassign ca ON ca.cid = qp.cid
+  WHERE ca.vec_id <> qp.vec_id
+),
+pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / greatest(sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v)), 1e-12),
+               12) AS sim
+  FROM cand cd
+  JOIN pv q ON q.vec_id = cd.query_id
+  JOIN pv c ON c.vec_id = cd.neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored) r
+  WHERE rank <= {k}
+),
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS n_label FROM embeddings),
+votes AS (
+  SELECT t.query_id, l.n_label,
+         count(*) AS n_votes, min(t.rank) AS best_rank
+  FROM topk t JOIN lbl l ON l.vec_id = t.neighbor_id
+  GROUP BY t.query_id, l.n_label
+),
+pred AS (
+  SELECT query_id, n_label AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY n_votes DESC, best_rank, n_label) AS rn
+    FROM votes) v
+  WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS actual
+  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < {test_max}
+)
+SELECT q.actual, COALESCE(p.predicted, -1) AS predicted,
+       count(*) AS n_vecs
+FROM q LEFT JOIN pred p ON q.query_id = p.query_id
+GROUP BY 1, 2
 """

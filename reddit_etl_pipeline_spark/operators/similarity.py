@@ -282,6 +282,103 @@ def embedding_neardup_exact(
     )
 
 
+# Unit-grid quantization for the IVF/PQ family: vectors are snapped to
+# the 1/VEC_SCALE integer grid, L2-normalized through ONE exact-integer
+# norm (sum of squared grid points — order-independent), and re-snapped.
+# Every step is an exact integer or a single correctly-rounded IEEE op
+# (divide, sqrt, floor), so numpy and DuckDB compute bit-identical unit
+# vectors — the foundation that lets the whole IVF/PQ pipeline (Lloyd
+# with rounded-integer centroids, integer code distances, integer ADC
+# lookup sums) be value-hash oracle-checked instead of rows-only. At
+# 2^-17 resolution the geometry is unchanged (recall floors hold).
+VEC_SCALE = 1 << 17
+
+
+def _unit_grid(m: "np.ndarray") -> "np.ndarray":
+    """(batch, dim) floats -> integer-valued float64 unit-grid vectors:
+    u = floor(q / max(||q||, 1e-12) * VEC_SCALE + 0.5) with
+    q = floor(x * VEC_SCALE + 0.5). ||q||^2 is an exact integer (every
+    square and partial sum < 2^53), so the norm — and hence u — is the
+    identical double in any IEEE engine."""
+    import numpy as np
+
+    q = np.floor(m.astype("float64") * VEC_SCALE + 0.5)
+    nrm = np.maximum(np.sqrt((q * q).sum(axis=1, keepdims=True)), 1e-12)
+    return np.floor(q / nrm * VEC_SCALE + 0.5)
+
+
+def _first_distinct_rows(x: "np.ndarray", k: int) -> "np.ndarray":
+    """First ``k`` distinct rows in order — the deterministic seed rule
+    shared with kmeans_cluster_stats (duplicate rows would seed
+    coincident centroids and freeze them)."""
+    import numpy as np
+
+    seen: list = []
+    for row in x:
+        t = tuple(row)
+        if t not in seen:
+            seen.append(t)
+        if len(seen) == k:
+            break
+    return np.array(seen, dtype="float64")
+
+
+def _grid_lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Lloyd k-means over integer-valued rows with ROUNDED-INTEGER
+    centroids: each update snaps the mean back to the grid
+    (floor(sum/count + 0.5) — one correctly-rounded divide of exact
+    integers), so every iteration's distances are exact integer sums and
+    the loop replays bit-identically as unrolled SQL CTEs
+    (ann_oracles). Assignment = argmin squared L2, ties to the lowest
+    centroid id; empty clusters keep their previous centroid."""
+    import numpy as np
+
+    c = _first_distinct_rows(x, k)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first occurrence -> lowest id
+        nxt = c.copy()
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                nxt[j] = np.floor(members.sum(axis=0) / len(members) + 0.5)
+        c = nxt
+    return c
+
+
+def train_ivf_grid_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Integer-grid IVF coarse quantizer (the oracle-checkable twin of
+    ``train_ivf_centroids``): unit-grid the deterministic lowest-id
+    sample, then rounded-centroid Lloyd (``_grid_lloyd``). Squared-L2
+    on unit vectors is the FAISS cosine setup (normalize + METRIC_L2);
+    the returned k x dim integer-valued matrix ships to executors in
+    the task closure."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    u = _unit_grid(np.array([list(r[0]) for r in rows], dtype="float64"))
+    return _grid_lloyd(u, min(n_centroids, len(u)), iters)
+
+
+def _grid_assign_topn(u: "np.ndarray", cents: "np.ndarray", topn: int):
+    """Top-``topn`` centroids per row by (squared L2, centroid id) —
+    exact integer distances, stable sort, so the probe order is total
+    and engine-independent."""
+    import numpy as np
+
+    d2 = ((u[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argsort(d2, axis=1, kind="stable")[:, :topn]
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -339,21 +436,27 @@ def ivf_topk(
     (map-only); the probe is an equi-join on the centroid id — candidate
     cost ~ nprobe/n_centroids of the corpus instead of all of it. The
     other classic ANN layout besides LSH; prefer IVF when the corpus is
-    clusterable, LSH when it isn't."""
+    clusterable, LSH when it isn't.
+
+    The coarse quantizer is the integer-grid trainer
+    (``train_ivf_grid_centroids``): unit-grid vectors, rounded-integer
+    centroids, exact integer distances — which makes the whole query
+    value-hash oracle-checkable (ann_oracles.ivf replay) instead of
+    rows-only."""
     import numpy as np
     import pandas as pd
 
-    cents = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = train_ivf_grid_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
 
     def assigner(topn: int, out_name: str):
         def run(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                sims = m @ cents.T
-                order = np.argsort(-sims, axis=1)[:, :topn]
+                u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
+                order = _grid_assign_topn(u, cents, topn)
                 out = pd.DataFrame(
                     {
                         id_col: pdf[id_col].to_numpy().repeat(topn),
@@ -398,22 +501,24 @@ def train_pq_codebooks(
     compresses to m code bytes (16 B at m=16), so a 100 TB embedding
     corpus scans as ~6 TB of codes — the difference between an
     in-memory rescan and a disk-bound one. Returns ndarray
-    (m, n_codes, dim//m)."""
+    (m, n_codes, dim//m) of integer-valued centroids on the unit grid
+    (``_grid_lloyd`` per subspace — the exactness contract that lets
+    the PQ queries be value-hash oracle-checked)."""
     import numpy as np
 
     rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
-    x = np.array([list(r[0]) for r in rows], dtype="float64")
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    return _fit_subspace_codebooks(x, m, n_codes, iters)
+    u = _unit_grid(np.array([list(r[0]) for r in rows], dtype="float64"))
+    return _fit_subspace_codebooks(u, m, n_codes, iters)
 
 
 def _fit_subspace_codebooks(x, m: int, n_codes: int, iters: int):
-    """Per-subspace mini-Lloyd over a driver-resident sample: split the
-    rows into m contiguous sub-vectors and k-means each to n_codes
-    centroids (deterministic evenly-spaced init; degenerate samples
-    repeat the last centroid). Shared by the raw-vector and the
+    """Per-subspace mini-Lloyd over a driver-resident sample of
+    integer-valued rows: split into m contiguous sub-vectors and
+    ``_grid_lloyd`` each subspace to n_codes rounded-integer centroids
+    (first-distinct init, the kmeans_cluster_stats seed rule; degenerate
+    samples repeat the last centroid). Shared by the raw-vector and the
     IVF-residual codebook trainers."""
     import numpy as np
 
@@ -424,16 +529,7 @@ def _fit_subspace_codebooks(x, m: int, n_codes: int, iters: int):
     books = np.zeros((m, n_codes, sub))
     for s in range(m):
         xs = x[:, s * sub : (s + 1) * sub]
-        k_eff = min(n_codes, len(xs))
-        idx = np.unique(np.linspace(0, len(xs) - 1, k_eff).astype(int))
-        c = xs[idx].copy()
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(len(c)):
-                members = xs[assign == j]
-                if len(members):
-                    c[j] = members.mean(axis=0)
+        c = _grid_lloyd(xs, min(n_codes, len(xs)), iters)
         books[s, : len(c)] = c
         if len(c) < n_codes:  # degenerate sample: repeat last centroid
             books[s, len(c):] = c[-1]
@@ -447,8 +543,10 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>) — nearest sub-centroid per subspace, from
-    the L2-normalized vector. Map-only Arrow numpy; one (batch x n_codes)
-    distance block per subspace, no shuffle."""
+    the unit-grid vector. Map-only Arrow numpy; one (batch x n_codes)
+    distance block per subspace, no shuffle. Distances are exact
+    integer sums (u and codebooks both integer-valued, every term
+    < 2^53), ties to the lowest code — engine-independent."""
     import numpy as np
     import pandas as pd
 
@@ -458,12 +556,11 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(x), m), dtype="int64")
+            u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
+            codes = np.empty((len(u), m), dtype="int64")
             for s in range(m):
-                xs = x[:, s * sub : (s + 1) * sub]
-                # ||a-c||^2 = ||a||^2 - 2 a.c + ||c||^2; argmin drops ||a||^2
+                xs = u[:, s * sub : (s + 1) * sub]
+                # -2 a.c + ||c||^2 (drop ||a||^2): all exact integers
                 d = -2.0 * (xs @ codebooks[s].T) + (codebooks[s] ** 2).sum(axis=1)
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
@@ -541,9 +638,9 @@ def pq_topk(
             k,
         )
     qids = np.array([r[0] for r in qrows], dtype="int64")
-    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    # LUT[q, s, c] = <q_sub_s, codebook[s, c]>
+    qm = _unit_grid(np.array([list(r[1]) for r in qrows], dtype="float64"))
+    # LUT[q, s, c] = <u_sub_s, codebook[s, c]> — exact integer dots, so
+    # the ADC sums below are exact and the candidate cut replays in SQL
     lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
 
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
@@ -603,17 +700,18 @@ def _train_residual_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """PQ codebooks fit on IVF RESIDUALS (x − nearest centroid) of the
+    """PQ codebooks fit on IVF RESIDUALS (u − nearest centroid) of the
     deterministic lowest-id sample — the distribution the IVF-PQ scan
-    actually quantizes. Same regime as train_pq_codebooks otherwise."""
+    actually quantizes. Residuals of integer-valued unit-grid vectors
+    against rounded-integer centroids are themselves exact integers, so
+    the residual codebooks inherit the oracle-replay contract."""
     import numpy as np
 
     rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
-    x = np.array([list(r[0]) for r in rows], dtype="float64")
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    res = x - cents[(x @ cents.T).argmax(axis=1)]
+    u = _unit_grid(np.array([list(r[0]) for r in rows], dtype="float64"))
+    res = u - cents[_grid_assign_topn(u, cents, 1)[:, 0]]
     return _fit_subspace_codebooks(res, m, n_codes, iters)
 
 
@@ -653,7 +751,7 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    cents = train_ivf_centroids(
+    cents = train_ivf_grid_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
     books = _train_residual_codebooks(
@@ -672,11 +770,10 @@ def ivf_pq_topk(
             k,
         )
     qids = np.array([r[0] for r in qrows], dtype="int64")
-    qm = np.array([list(r[1]) for r in qrows], dtype="float64")
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qm = _unit_grid(np.array([list(r[1]) for r in qrows], dtype="float64"))
     lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
     # nprobe nearest lists per query -> cid -> query-index lists
-    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probes = _grid_assign_topn(qm, cents, nprobe)
     by_cid: dict[int, list[int]] = {}
     for qi, row in enumerate(probes):
         for cid in row:
@@ -686,11 +783,10 @@ def ivf_pq_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            cid = (x @ cents.T).argmax(axis=1)
-            res = x - cents[cid]  # PQ quantizes the RESIDUAL
-            codes = np.empty((len(x), m), dtype="int64")
+            u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
+            cid = _grid_assign_topn(u, cents, 1)[:, 0]
+            res = u - cents[cid]  # PQ quantizes the RESIDUAL (exact ints)
+            codes = np.empty((len(u), m), dtype="int64")
             for s in range(m):
                 xs = res[:, s * sub : (s + 1) * sub]
                 d = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
