@@ -666,18 +666,21 @@ def _parquet_rows(sf_dir: str, table: str) -> int:
 
 
 def _cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization asymmetric-distance top-k (rows-only:
-    codebook k-means isn't SQL-expressible; recall floor pinned in
-    tests/test_skew.py)."""
+    """Product-quantization asymmetric-distance top-k — value-hash
+    oracle-checked: unit-grid subspace codebooks + integer ADC sums
+    replay as SQL (ann_oracles.pq_topk_oracle); recall floor pinned in
+    tests/test_skew.py."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
 def _cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full FAISS-style IVF-PQ: nprobe inverted lists scanned as PQ code
-    arrays through the per-query LUT, exact rerank on the survivors
-    (rows-only: learned-quantizer semantics aren't SQL-expressible;
-    recall floor pinned in tests/test_skew.py)."""
+    arrays through the per-query LUT, exact rerank on the survivors —
+    value-hash oracle-checked end to end (coarse Lloyd + residual
+    codebooks + integer approx scores replay as SQL,
+    ann_oracles.ivfpq_topk_oracle); recall floor pinned in
+    tests/test_skew.py."""
     emb = Q.load(spark, sf_dir, "embeddings")
     return S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
@@ -3329,13 +3332,22 @@ def oracle_sql() -> dict[str, str]:
         # CTEs like the kmeans_cluster_stats lift.
         "cosine_topk_ivf": AO.ivf_topk_oracle(k=5),
         "knn_label_confusion_ivf": AO.ivf_knn_confusion_oracle(k=5),
-        # approx_distinct_stats: HLL++/quantile-sketch values are
-        # engine-specific (accuracy bounds asserted in tests/test_sketches.py
-        # against the oracle-checked exact_distinct_stats companion).
-        # cosine_topk_pq / cosine_topk_ivf / cosine_topk_ivfpq /
-        # knn_label_confusion_ivf: learned-quantizer codebooks
-        # depend on numpy linear algebra -> rows-only checks with
-        # recall/accuracy-floor tests. (kmeans_cluster_stats, the
-        # minhash/simhash pair and the LSH pair WERE in this family until
-        # the integerized-Lloyd, xxhash64-SQL and integer-grid-LSH lifts.)
+        # PQ / IVF-PQ replayed exactly (ann_oracles): per-subspace
+        # rounded-centroid codebooks on the unit grid, integer ADC
+        # lookup sums, the same global (approx DESC, id) candidate cut.
+        "cosine_topk_pq": AO.pq_topk_oracle(k=5),
+        "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
+        # Only TWO rows-only checks remain:
+        # - approx_distinct_stats: HLL++/quantile-sketch values are
+        #   engine-specific (accuracy bounds asserted in
+        #   tests/test_sketches.py against the oracle-checked
+        #   exact_distinct_stats companion);
+        # - stream_incremental_neardup: the within-batch greedy
+        #   first-arrival acceptance is inherently sequential (equals a
+        #   serial greedy pass — property-tested in
+        #   tests/test_stream_dedup.py) and has no monotone SQL
+        #   formulation.
+        # (The whole ANN family — LSH / IVF / PQ / IVF-PQ / kNN-IVF —
+        # plus kmeans and minhash/simhash WERE rows-only until the
+        # integer-grid / integerized-Lloyd / xxhash64-SQL lifts.)
     }

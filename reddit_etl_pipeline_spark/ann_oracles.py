@@ -417,3 +417,199 @@ SELECT q.actual, COALESCE(p.predicted, -1) AS predicted,
 FROM q LEFT JOIN pred p ON q.query_id = p.query_id
 GROUP BY 1, 2
 """
+
+
+def _pq_lloyd_ctes(src: str, pre: str, iters: int = _PQ_ITERS) -> str:
+    """Per-subspace rounded-centroid Lloyd over an exploded integer
+    source ``src`` = (vec_id, s, p, q) RESTRICTED to the training
+    sample. One CTE chain handles all ``_PQ_M`` subspaces at once (the
+    subspace id is a grouping column). Seeds: first ``_PQ_CODES``
+    distinct subvectors per subspace in id order; a subspace with fewer
+    distinct subvectors seeds them all (the engine pads its codebook by
+    repeating the last centroid, but a repeated centroid can never win
+    an argmin tie against its lower-id original, so omitting the pad
+    replays identically). Ends at ``{pre}cent{iters}`` = (s, j, p, c)."""
+    sql = [f"""
+{pre}sb AS (
+  SELECT vec_id, s, list(q ORDER BY p) AS v
+  FROM {src} GROUP BY vec_id, s
+),
+{pre}seedv AS (
+  SELECT s, v, min(vec_id) AS fid FROM {pre}sb GROUP BY s, v
+),
+{pre}seed AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY fid) - 1 AS j, v
+  FROM {pre}seedv
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY fid) <= {_PQ_CODES}
+),
+{pre}cent0 AS MATERIALIZED (
+  SELECT s, j, t.c['p'] AS p, t.c['q'] AS c
+  FROM {pre}seed, unnest([{{'p': i - 1, 'q': v[i]}}
+                          for i in generate_series(1, len(v))]) AS t(c)
+)"""]
+    for i in range(iters):
+        sql.append(f""",
+{pre}a{i} AS (
+  SELECT e.vec_id, e.s, c.j, sum((e.q - c.c) * (e.q - c.c)) AS d2
+  FROM {src} e JOIN {pre}cent{i} c ON c.s = e.s AND c.p = e.p
+  GROUP BY e.vec_id, e.s, c.j
+),
+{pre}asg{i} AS MATERIALIZED (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+    FROM {pre}a{i}
+  ) WHERE rn = 1
+),
+{pre}cent{i + 1} AS MATERIALIZED (
+  SELECT c.s, c.j, c.p,
+         COALESCE(
+           CAST(floor(CAST(m.sm AS DOUBLE) / CAST(m.n AS DOUBLE) + 0.5)
+                AS BIGINT),
+           c.c) AS c
+  FROM {pre}cent{i} c LEFT JOIN (
+    SELECT g.s, g.j, e.p, sum(e.q) AS sm, count(*) AS n
+    FROM {pre}asg{i} g
+    JOIN {src} e ON e.vec_id = g.vec_id AND e.s = g.s
+    GROUP BY g.s, g.j, e.p
+  ) m ON m.s = c.s AND m.j = c.j AND m.p = c.p
+)""")
+    return "".join(sql)
+
+
+def _sub_explode(name: str, src_pred: str, sub: int) -> str:
+    """``{name}`` = (vec_id, s, p, q): ``uv`` rows matching ``src_pred``
+    exploded into ``dim/sub`` contiguous sub-vectors."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, (t.c['i'] - 1) // {sub} AS s,
+         (t.c['i'] - 1) % {sub} AS p, t.c['q'] AS q
+  FROM (SELECT vec_id, u FROM uv WHERE {src_pred}) v,
+       unnest([{{'i': i, 'q': u[i]}}
+               for i in generate_series(1, len(u))]) AS t(c)
+)"""
+
+
+def pq_topk_oracle(
+    k: int = 5, dim: int = 64, n_queries: int = 5
+) -> str:
+    """Replay of ``pq_topk(emb, emb.filter(vec_id < n_queries), k)``:
+    unit-grid vectors, per-subspace rounded-centroid codebooks, integer
+    asymmetric-distance lookup sums, global top-``_PQ_RERANK`` candidate
+    cut by (approx DESC, id), exact rerank."""
+    sub = dim // _PQ_M
+    it = _PQ_ITERS
+    return f"""
+WITH {_unit_ctes(dim)},
+samp AS (SELECT vec_id FROM uv ORDER BY vec_id LIMIT {_SAMPLE}),
+{_sub_explode('sv', 'TRUE', sub)},
+svs AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
+{_pq_lloyd_ctes('svs', 'p')},
+enc AS MATERIALIZED (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT e.vec_id, e.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, e.s
+             ORDER BY sum((e.q - c.c) * (e.q - c.c)), c.j) AS rn
+    FROM sv e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
+    GROUP BY e.vec_id, e.s, c.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT e.vec_id AS query_id, e.s, c.j,
+         sum(e.q * c.c) AS l
+  FROM sv e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
+  WHERE e.vec_id < {n_queries}
+  GROUP BY e.vec_id, e.s, c.j
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.l) AS approx
+  FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS arn
+    FROM adc
+  ) WHERE arn <= {_PQ_RERANK}
+),
+{_RERANK_SQL.format(k=k)}
+"""
+
+
+def ivfpq_topk_oracle(
+    k: int = 5, dim: int = 64, n_queries: int = 5
+) -> str:
+    """Replay of ``ivf_pq_topk(emb, emb.filter(vec_id < n_queries), k)``
+    — the full FAISS-style composition: integer-grid coarse quantizer,
+    PQ codebooks fit on the sample's RESIDUALS, corpus scanned as codes
+    within each query's ``_IVF_NPROBE`` probed lists,
+    approx = q·centroid + Σ LUT (all exact integers), global
+    top-``_PQ_RERANK`` cut, exact rerank."""
+    sub = dim // _PQ_M
+    it = _PQ_ITERS
+    civf = f"cent{_IVF_ITERS}"
+    return f"""
+WITH {_unit_ctes(dim)},
+{_ivf_ctes(dim, 'TRUE')},
+{_assign_ctes('cassign', 'TRUE', civf, dim, 1)},
+{_assign_ctes('qprobe', f'vec_id < {n_queries}', civf, dim, _IVF_NPROBE)},
+res AS MATERIALIZED (
+  SELECT v.vec_id, (t.c['i'] - 1) // {sub} AS s,
+         (t.c['i'] - 1) % {sub} AS p,
+         t.c['q'] - cc.c AS q
+  FROM (SELECT vec_id, u FROM uv) v
+  JOIN cassign a USING (vec_id),
+       unnest([{{'i': i, 'q': u[i]}}
+               for i in generate_series(1, len(u))]) AS t(c)
+  JOIN {civf} cc ON cc.j = a.cid AND cc.p = t.c['i'] - 1
+),
+ress AS (SELECT res.* FROM res JOIN (SELECT vec_id FROM samp) sp USING (vec_id)),
+{_pq_lloyd_ctes('ress', 'p')},
+enc AS MATERIALIZED (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT e.vec_id, e.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, e.s
+             ORDER BY sum((e.q - c.c) * (e.q - c.c)), c.j) AS rn
+    FROM res e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
+    GROUP BY e.vec_id, e.s, c.j
+  ) WHERE rn = 1
+),
+{_sub_explode('qsv', f'vec_id < {n_queries}', sub)},
+lut AS (
+  SELECT e.vec_id AS query_id, e.s, c.j, sum(e.q * c.c) AS l
+  FROM qsv e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
+  GROUP BY e.vec_id, e.s, c.j
+),
+cent_term AS (
+  SELECT e.vec_id AS query_id, qp.cid,
+         sum(e.q * cc.c) AS ct
+  FROM qsv e
+  JOIN qprobe qp ON qp.vec_id = e.vec_id
+  JOIN {civf} cc ON cc.j = qp.cid AND cc.p = e.s * {sub} + e.p
+  GROUP BY e.vec_id, qp.cid
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         sum(l.l) + min(ct.ct) AS approx
+  FROM enc e
+  JOIN cassign a ON a.vec_id = e.vec_id
+  JOIN cent_term ct ON ct.cid = a.cid
+  JOIN lut l ON l.query_id = ct.query_id AND l.s = e.s AND l.j = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS arn
+    FROM adc
+  ) WHERE arn <= {_PQ_RERANK}
+),
+{_RERANK_SQL.format(k=k)}
+"""

@@ -15,6 +15,15 @@ Two paths:
 
 Vectors are cast to double before arithmetic so results are reproducible
 across engines (float32 accumulation is not).
+
+Exactness contract (what makes every query here value-hash
+oracle-checkable): the approximate index structures — LSH sign bits
+(PLANE_SCALE), IVF/PQ quantizers (VEC_SCALE) — run entirely on integer
+grids, where the only float ops are single correctly-rounded IEEE
+divides/sqrts of exactly-determined integers; multi-term float SUMS
+(the one order-dependent operation) never occur off-grid. The final
+candidate rerank is exact cosine rounded to RANK_DP before ranking.
+DuckDB replays every stage bit-identically (ann_oracles).
 """
 
 from __future__ import annotations
