@@ -434,6 +434,18 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the LEARNED (k-means) quantizer — the paper's shape.
+    Since round 5 the coarse clustering is the integer-grid Lloyd, so
+    this path is value-hash oracle-checked too
+    (ann_oracles.semantic_dedup_learned_oracle); previously only the
+    signbit variant was SQL-expressible."""
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, threshold=0.97, n_centroids=16, quantizer="learned"
+    )
+
+
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document."""
     return TX.tfidf_topk(Q.load(spark, sf_dir, "documents"), k=3)
@@ -937,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "semantic_dedup": _semantic_dedup,
+        "semantic_dedup_learned": _semantic_dedup_learned,
         "kmeans_cluster_stats": _kmeans_cluster_stats,
         "supplier_pagerank": _supplier_pagerank,
         "dq_report": _dq_report,
@@ -3337,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         # lookup sums, the same global (approx DESC, id) candidate cut.
         "cosine_topk_pq": AO.pq_topk_oracle(k=5),
         "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
+        "semantic_dedup_learned": AO.semantic_dedup_learned_oracle(0.97),
         # Only TWO rows-only checks remain:
         # - approx_distinct_stats: HLL++/quantile-sketch values are
         #   engine-specific (accuracy bounds asserted in

@@ -613,3 +613,30 @@ cand AS (
 ),
 {_RERANK_SQL.format(k=k)}
 """
+
+
+def semantic_dedup_learned_oracle(
+    threshold: float = 0.97, dim: int = 64
+) -> str:
+    """Replay of ``semantic_dedup(emb, threshold, n_centroids=16,
+    quantizer='learned')``: the integer-grid coarse k-means assigns the
+    cluster ids (same unrolled Lloyd as the IVF replay); within each
+    cluster a vector is a duplicate iff a LOWER-id mate reaches the
+    cosine threshold (the signbit variant's proven EXISTS shape)."""
+    civf = f"cent{_IVF_ITERS}"
+    return f"""
+WITH {_unit_ctes(dim)},
+{_ivf_ctes(dim, 'TRUE')},
+{_assign_ctes('cassign', 'TRUE', civf, dim, 1)},
+e AS (
+  SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v, ca.cid
+  FROM embeddings em JOIN cassign ca USING (vec_id)
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM e b
+         WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.v, b.v) >= {threshold}
+       ) THEN 0 ELSE 1 END AS BIGINT) AS keep
+FROM e a
+"""

@@ -388,46 +388,6 @@ def _grid_assign_topn(u: "np.ndarray", cents: "np.ndarray", topn: int):
     return np.argsort(d2, axis=1, kind="stable")[:, :topn]
 
 
-def train_ivf_centroids(
-    df: DataFrame,
-    n_centroids: int = 16,
-    sample_size: int = 512,
-    iters: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-):
-    """Driver-side mini-kmeans for an IVF coarse quantizer.
-
-    Centroid training needs only a small sample (deterministic: the
-    lowest-id vectors) — the model is a tiny k x dim matrix that ships to
-    executors as literals/broadcast. Lloyd iterations in numpy float64,
-    cosine geometry (vectors L2-normalized first). Returns ndarray."""
-    import numpy as np
-
-    rows = (
-        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    )
-    if not rows:
-        raise ValueError("cannot train IVF centroids on an empty corpus")
-    x = np.array([list(r[0]) for r in rows], dtype="float64")
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    # deterministic init: evenly spaced DISTINCT sample rows (a sample
-    # smaller than n_centroids would otherwise seed duplicate centroids)
-    n_centroids = min(n_centroids, len(x))
-    idx = np.unique(np.linspace(0, len(x) - 1, n_centroids).astype(int))
-    c = x[idx].copy()
-    n_centroids = len(c)
-    for _ in range(iters):
-        sims = x @ c.T
-        assign = sims.argmax(axis=1)
-        for j in range(n_centroids):
-            members = x[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                c[j] = m / max(np.linalg.norm(m), 1e-12)
-    return c
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -503,7 +463,7 @@ def train_pq_codebooks(
     """Product-quantization codebooks: split the (L2-normalized) vector
     into ``m`` contiguous sub-vectors and k-means each subspace to
     ``n_codes`` centroids (driver-side mini-Lloyd on the deterministic
-    lowest-id sample — same regime as train_ivf_centroids: the model is
+    lowest-id sample — same regime as train_ivf_grid_centroids: the model is
     a tiny m x n_codes x (dim/m) tensor that ships to executors).
 
     PQ is the memory-bounded ANN layout: a 64-dim float32 vector (256 B)
@@ -1177,8 +1137,10 @@ def semantic_dedup(
     keep-farthest-from-centroid variant).
 
     ``quantizer`` picks the clustering:
-    - ``"learned"`` (default): the deterministic coarse k-means
-      (train_ivf_centroids) — the paper's shape, best cluster quality.
+    - ``"learned"`` (default): the deterministic integer-grid coarse
+      k-means (train_ivf_grid_centroids) — the paper's shape, best
+      cluster quality, and bit-reproducible, so the driver value-hash
+      checks it end to end (semantic_dedup_learned).
     - ``"signbit"``: axis-aligned hyperplane partition — cid from the
       sign bits of the first log2(n_centroids) embedding components
       (requires power-of-two n_centroids). Slightly coarser clusters,
@@ -1206,15 +1168,17 @@ def semantic_dedup(
     import pandas as pd
 
     if quantizer == "learned":
-        cents = train_ivf_centroids(
+        # integer-grid coarse quantizer (train_ivf_grid_centroids): same
+        # clustering quality as the float cosine Lloyd it replaced, but
+        # bit-reproducible across engines — which makes the learned path
+        # value-hash oracle-checkable (semantic_dedup_learned), not just
+        # property-tested
+        cents = train_ivf_grid_centroids(
             df, n_centroids, id_col=id_col, vec_col=vec_col
         )
 
         def cid_of(m: "np.ndarray") -> "np.ndarray":
-            mn = m / np.maximum(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
-            )
-            return (mn @ cents.T).argmax(axis=1)
+            return _grid_assign_topn(_unit_grid(m), cents, 1)[:, 0]
 
     elif quantizer == "signbit":
         n_bits = int(math.log2(n_centroids))

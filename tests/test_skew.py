@@ -138,7 +138,7 @@ def test_ivf_empty_corpus_raises(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
-        S.train_ivf_centroids(empty)
+        S.train_ivf_grid_centroids(empty)
 
 
 def test_embedding_neardup_exact_gated_beyond_max_rows(spark):
