@@ -147,6 +147,7 @@ def main() -> None:
         "c4_filter_stats",
         "sentiment_rollup",
         "train_val_test_split",
+        "semantic_dedup_learned",
     ]
 
     # best-of-N (default 2): single-shot wall at sf0.1 swings within the

@@ -363,14 +363,23 @@ def train_ivf_grid_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Integer-grid IVF coarse quantizer (the oracle-checkable twin of
-    ``train_ivf_centroids``): unit-grid the deterministic lowest-id
-    sample, then rounded-centroid Lloyd (``_grid_lloyd``). Squared-L2
-    on unit vectors is the FAISS cosine setup (normalize + METRIC_L2);
-    the returned k x dim integer-valued matrix ships to executors in
-    the task closure."""
+    """Integer-grid IVF coarse quantizer: unit-grid the deterministic
+    lowest-id sample, then rounded-centroid Lloyd (``_grid_lloyd``).
+    Squared-L2 on unit vectors is the FAISS cosine setup (normalize +
+    METRIC_L2); the returned k x dim integer-valued matrix ships to
+    executors in the task closure.
+
+    The sample is floored at 32 training points per centroid — an
+    undertrained quantizer produces hub lists that degrade the probe
+    toward a scan (measured at 100x/200 k rows: 256 centroids from a
+    512-row sample gave max/mean list occupancy 10.6; from a 64x-k
+    sample, 1.2 — ``tools/audit_ivf_lists.py``). At the default
+    n_centroids=16 the floor is inactive (512 = 32x16), so small-scale
+    results — and the DuckDB oracle replay, which pins SAMPLE=512 —
+    are unchanged."""
     import numpy as np
 
+    sample_size = max(sample_size, 32 * n_centroids)
     rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     if not rows:
         raise ValueError("cannot train IVF centroids on an empty corpus")
