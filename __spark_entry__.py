@@ -803,6 +803,20 @@ def _stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_incremental_neardup(spark, sf_dir)
 
 
+def _stream_incremental_embedding_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch continuous EMBEDDING near-dup corpus build — the
+    hyperplane-LSH twin of the MinHash variant: candidate vectors
+    stream in id-ordered micro-batches against a growing accepted
+    vector index (pre-bucketed LSH probe + exact-cosine verify, greedy
+    first-arrival within batch). Rows-only — the greedy acceptance is
+    inherently sequential; equivalence with one serial greedy pass over
+    the batch operator's pair graph pinned in
+    tests/test_stream_dedup.py."""
+    return ST.streamed_incremental_embedding_neardup(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -967,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_latest": _stream_upsert,
         "stream_incremental_dedup": _stream_incremental_dedup,
         "stream_incremental_neardup": _stream_incremental_neardup,
+        "stream_incremental_embedding_neardup": _stream_incremental_embedding_neardup,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
         "stream_static_enrich": _stream_static_enrich,
@@ -3351,16 +3366,16 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_pq": AO.pq_topk_oracle(k=5),
         "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
         "semantic_dedup_learned": AO.semantic_dedup_learned_oracle(0.97),
-        # Only TWO rows-only checks remain:
+        # Only THREE rows-only checks remain:
         # - approx_distinct_stats: HLL++/quantile-sketch values are
         #   engine-specific (accuracy bounds asserted in
         #   tests/test_sketches.py against the oracle-checked
         #   exact_distinct_stats companion);
-        # - stream_incremental_neardup: the within-batch greedy
-        #   first-arrival acceptance is inherently sequential (equals a
-        #   serial greedy pass — property-tested in
-        #   tests/test_stream_dedup.py) and has no monotone SQL
-        #   formulation.
+        # - stream_incremental_neardup / stream_incremental_embedding_
+        #   neardup: the within-batch greedy first-arrival acceptance is
+        #   inherently sequential (each equals a serial greedy pass —
+        #   property-tested in tests/test_stream_dedup.py) and has no
+        #   monotone SQL formulation.
         # (The whole ANN family — LSH / IVF / PQ / IVF-PQ / kNN-IVF —
         # plus kmeans and minhash/simhash WERE rows-only until the
         # integer-grid / integerized-Lloyd / xxhash64-SQL lifts.)

@@ -1073,6 +1073,239 @@ def streamed_incremental_neardup(
     return spark.read.parquet(accepted_path).select("doc_id")
 
 
+def _cos_dup_check(cand: DataFrame, va: DataFrame, vb: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) candidates -> pairs whose cosine (rounded to 6 dp,
+    the batch operator's contract — similarity.embedding_neardup_pairs)
+    reaches ``threshold``. Arrow-batched numpy; map-only."""
+    import numpy as np
+    import pandas as pd
+
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["vec_a"].to_numpy()).astype("float64")
+            b = np.stack(pdf["vec_b"].to_numpy()).astype("float64")
+            sims = np.round(
+                (a * b).sum(axis=1)
+                / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
+                6,
+            )
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"].to_numpy(), "id_b": pdf["id_b"].to_numpy()}
+            )
+            yield out[sims >= threshold]
+
+    return paired.mapInPandas(verify, "id_a long, id_b long")
+
+
+def embedding_neardup_batch_against_index(
+    batch: DataFrame,
+    batch_id: int,
+    vec_index_path: str,
+    accepted_path: str,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_index_path: str | None = None,
+    max_batch_edges: int = 1_000_000,
+) -> None:
+    """Merge one micro-batch into a growing EMBEDDING near-dup-deduplicated
+    corpus — the hyperplane-LSH analog of ``neardup_batch_against_index``:
+    reject every batch vector whose cosine against an ALREADY-ACCEPTED
+    vector reaches ``threshold`` (candidates = multi-table LSH bucket
+    collisions, verification = exact cosine), resolve within-batch
+    near-dups greedily in id order, extend the accepted index with the
+    survivors.
+
+    Index layout mirrors the MinHash variant: (did, vec) at
+    ``vec_index_path`` for exact verification plus the PRE-BUCKETED
+    (did, tbl, bucket) rows at ``bucket_index_path`` (default
+    ``vec_index_path + "_buckets"``), both appended as ``batch_id=N``
+    partitions (overwrite per partition = replay idempotency). Each
+    batch buckets ONLY its own vectors; the probe is an equi-join
+    against the stored buckets; accepted vectors are re-read only for
+    the candidate pairs' exact cosine.
+
+    The bucket width is FIXED per index (like the MinHash band count):
+    a growing index cannot re-bucket retroactively, so ``n_planes`` is
+    part of the index contract — size it for the corpus you expect
+    (auto_planes(final_rows)) rather than the first batch."""
+    from ..operators.dedup import greedy_accept_order
+    from ..operators.similarity import lsh_bucket_table
+
+    spark = batch.sparkSession
+    if bucket_index_path is None:
+        bucket_index_path = vec_index_path + "_buckets"
+    vecs = (
+        batch.select(F.col(id_col).alias("did"), F.col(vec_col).alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    my_buckets = lsh_bucket_table(
+        vecs, dim, n_planes, n_tables, id_col="did", vec_col="vec"
+    ).localCheckpoint(eager=True)
+
+    idx = _read_index_or_none(spark, vec_index_path)
+    survivors = vecs
+    if idx is not None:
+        idx = idx.filter(F.col("batch_id") < batch_id)  # replay safety
+        idx_buckets = _read_index_or_none(spark, bucket_index_path)
+        if idx_buckets is not None:
+            idx_buckets = idx_buckets.filter(
+                F.col("batch_id") < batch_id
+            ).select(F.col("did").alias("id_b"), "tbl", "bucket")
+        else:
+            idx_buckets = lsh_bucket_table(
+                idx.select("did", "vec"), dim, n_planes, n_tables,
+                id_col="did", vec_col="vec",
+            ).withColumnRenamed("did", "id_b")
+        cand = (
+            my_buckets.withColumnRenamed("did", "id_a")
+            .join(idx_buckets, ["tbl", "bucket"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = vecs.select(F.col("did").alias("id_a"), F.col("vec").alias("vec_a"))
+        vb = idx.select(F.col("did").alias("id_b"), F.col("vec").alias("vec_b"))
+        dup = (
+            _cos_dup_check(cand, va, vb, threshold)
+            .select(F.col("id_a").alias("did"))
+            .distinct()
+        )
+        survivors = vecs.join(dup, "did", "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+
+    b = my_buckets.join(survivors.select("did"), "did", "left_semi")
+    x, y = b.alias("x"), b.alias("y")
+    wb_cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.did") < F.col("y.did")),
+        )
+        .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
+        .distinct()
+    )
+    sv_a = survivors.select(F.col("did").alias("id_a"), F.col("vec").alias("vec_a"))
+    sv_b = survivors.select(F.col("did").alias("id_b"), F.col("vec").alias("vec_b"))
+    edge_rows = (
+        _cos_dup_check(wb_cand, sv_a, sv_b, threshold)
+        .limit(max_batch_edges + 1)  # bound the driver collect
+        .collect()
+    )
+    if len(edge_rows) > max_batch_edges:
+        raise ValueError(
+            f"embedding_neardup_batch_against_index: batch {batch_id} "
+            f"produced more than max_batch_edges={max_batch_edges} verified "
+            f"within-batch near-dup edges; the greedy first-arrival "
+            f"resolution is driver-side by design and this batch would not "
+            f"fit. Shrink the trigger, raise the threshold, or raise "
+            f"max_batch_edges explicitly."
+        )
+    edges = [(r.id_a, r.id_b) for r in edge_rows]
+    ids = [r.did for r in survivors.select("did").collect()]
+    accepted_ids = greedy_accept_order(ids, edges)
+
+    acc_df = spark.createDataFrame([(int(i),) for i in accepted_ids], "did long")
+    accepted = survivors.join(
+        F.broadcast(acc_df), "did", "left_semi"
+    ).localCheckpoint(eager=True)
+    accepted.select(F.col("did").alias(id_col)).write.mode("overwrite").parquet(
+        f"{accepted_path}/batch_id={batch_id}"
+    )
+    accepted.write.mode("overwrite").parquet(
+        f"{vec_index_path}/batch_id={batch_id}"
+    )
+    my_buckets.join(F.broadcast(acc_df), "did", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{bucket_index_path}/batch_id={batch_id}")
+
+
+def streamed_incremental_embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 3,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Continuous embedding near-dup corpus build: seed the vector index
+    from the accepted corpus (even vec_ids), stream candidate vectors
+    (odd ids) in id-ordered micro-batches through
+    ``embedding_neardup_batch_against_index``, return accepted ids.
+
+    Policy equivalence (pinned in tests/test_stream_dedup.py): slices
+    arrive in id order and buckets are a pure per-vector function, so
+    the streamed result equals one sequential greedy pass — reject iff
+    cosine >= threshold (within an LSH bucket collision) against an
+    already-accepted vector. The batch analog of the candidate graph is
+    ``embedding_neardup_pairs(bucket_cap=None, n_planes=n_planes)``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..operators.similarity import lsh_bucket_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    base = scratch_dir("inc_embdup_")
+    vec_index_path = f"{base}/vec_index"
+    accepted_path = f"{base}/accepted"
+    seed = (
+        corpus.select(F.col("vec_id").alias("did"), F.col("embedding").alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    seed.write.mode("overwrite").parquet(f"{vec_index_path}/batch_id=-1")
+    lsh_bucket_table(
+        seed, dim, n_planes, id_col="did", vec_col="vec"
+    ).write.mode("overwrite").parquet(f"{vec_index_path}_buckets/batch_id=-1")
+
+    hi = new.agg(F.max("vec_id")).first()[0]
+    if hi is None:
+        return spark.createDataFrame([], "vec_id long")
+    chunk = (int(hi) + n_slices) // n_slices + 1
+    slices = [
+        new.filter(
+            (F.col("vec_id") >= i * chunk) & (F.col("vec_id") < (i + 1) * chunk)
+        )
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="inc_embdup_stream_")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge(b: DataFrame, batch_id: int) -> None:
+        embedding_neardup_batch_against_index(
+            b, batch_id, vec_index_path, accepted_path,
+            dim=dim, threshold=threshold, n_planes=n_planes,
+        )
+
+    chk = scratch_dir("inc_embdup_chk_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(accepted_path).select("vec_id")
+
+
 # ------------------------------------------- native windowed session / slide
 
 

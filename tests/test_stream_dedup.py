@@ -214,3 +214,50 @@ def test_neardup_band_index_persisted_per_batch(spark):
         r.did for r in bands.select("did").distinct().collect()
     ) == [1, 2, 4]
     assert _accepted(spark, acc) == [1, 2, 4]
+
+
+def test_streamed_embedding_neardup_matches_sequential_greedy(spark, sf_dir):
+    """The embedding-LSH streaming corpus build must equal one sequential
+    greedy pass over the batch operator's pair graph: seeds (even ids)
+    all accepted; odd vectors in id order, rejected iff cosine >=
+    threshold within an LSH bucket collision against an already-accepted
+    vector. Buckets are a pure per-vector function (fixed planes, no
+    hot-splits in the streaming index) and slices are id-ordered, so the
+    policies coincide exactly."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from reddit_etl_pipeline_spark.streaming.stream import (
+        streamed_incremental_embedding_neardup,
+    )
+
+    t = 0.4
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = [
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            emb, dim=64, threshold=t, n_planes=8, bucket_cap=None
+        ).collect()
+    ]
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    accepted = {d for d in all_ids if d % 2 == 0}  # seeds
+    want = set()
+    for d in all_ids:
+        if d % 2 == 0:
+            continue
+        if not any(e in accepted for e in nbrs.get(d, ())):
+            accepted.add(d)
+            want.add(d)
+    got = {
+        r.vec_id
+        for r in streamed_incremental_embedding_neardup(
+            spark, sf_dir, threshold=t
+        ).collect()
+    }
+    assert got == want, (len(got), len(want), sorted(got ^ want)[:10])
