@@ -2824,6 +2824,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM normed c
                               WHERE c.doc_id % 2 = 0 AND c.norm = f.norm)
         """,
+        # Streaming greedy NEAR-dup corpus builds: verified pair graph
+        # replayed exactly (the minhash / integer-grid LSH machinery the
+        # batch twins already hash-match with), then the greedy
+        # first-arrival acceptance as a recursive LFMIS walk with the
+        # even-id seed corpus pre-accepted (neardup_oracles.lfmis_walk_sql).
+        "stream_incremental_neardup": NO.incremental_neardup_oracle(
+            threshold=0.5
+        ),
+        "stream_incremental_embedding_neardup": (
+            AO.incremental_embedding_neardup_oracle(threshold=0.4, n_planes=8)
+        ),
         "stream_upsert_latest": """
             SELECT user_id, event_type,
                    last_event_id,
@@ -3366,17 +3377,16 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_pq": AO.pq_topk_oracle(k=5),
         "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
         "semantic_dedup_learned": AO.semantic_dedup_learned_oracle(0.97),
-        # Only THREE rows-only checks remain:
+        # Only ONE rows-only check remains:
         # - approx_distinct_stats: HLL++/quantile-sketch values are
         #   engine-specific (accuracy bounds asserted in
         #   tests/test_sketches.py against the oracle-checked
-        #   exact_distinct_stats companion);
-        # - stream_incremental_neardup / stream_incremental_embedding_
-        #   neardup: the within-batch greedy first-arrival acceptance is
-        #   inherently sequential (each equals a serial greedy pass —
-        #   property-tested in tests/test_stream_dedup.py) and has no
-        #   monotone SQL formulation.
+        #   exact_distinct_stats companion).
         # (The whole ANN family — LSH / IVF / PQ / IVF-PQ / kNN-IVF —
-        # plus kmeans and minhash/simhash WERE rows-only until the
-        # integer-grid / integerized-Lloyd / xxhash64-SQL lifts.)
+        # plus kmeans, minhash/simhash, and the streaming greedy corpus
+        # builds WERE rows-only until the integer-grid /
+        # integerized-Lloyd / xxhash64-SQL / recursive-LFMIS-walk lifts;
+        # greedy first-arrival is sequential but NOT SQL-inexpressible:
+        # it is the lexicographically-first maximal independent set,
+        # replayed level-synchronously in neardup_oracles.lfmis_walk_sql.)
     }

@@ -40,18 +40,20 @@ _EB = 16
 _ROUNDS = 4
 
 
-def _planes_values(dim: int) -> str:
+def _planes_values(dim: int, total: int = _TOTAL_PLANES) -> str:
     """(tbl, p, w BIGINT[dim]) literals for every plane any n_planes
     choice can touch — the identical quantized values the engine's
-    matmul uses, via the same deterministic PCG64 stream."""
+    matmul uses, via the same deterministic PCG64 stream (prefix-stable,
+    so a ``total`` smaller than _TOTAL_PLANES emits the same values the
+    full table's prefix would)."""
     import numpy as np
 
     rows = []
     for t in range(_N_TABLES):
         q = np.floor(
-            _table_planes(t, _TOTAL_PLANES, dim) * PLANE_SCALE + 0.5
+            _table_planes(t, total, dim) * PLANE_SCALE + 0.5
         ).astype("int64")
-        for p in range(_TOTAL_PLANES):
+        for p in range(total):
             w = ",".join(str(v) for v in q[p])
             rows.append(f"({t},{p},[{w}]::BIGINT[])")
     return ",".join(rows)
@@ -145,6 +147,58 @@ sims AS (
   JOIN pv b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, sim FROM sims WHERE sim >= {threshold}
+"""
+
+
+def incremental_embedding_neardup_oracle(
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> str:
+    """Replay of ``streaming.stream.streamed_incremental_embedding_neardup``:
+    even vec_ids seed the accepted vector index, odd ids stream in id
+    order and are rejected iff cosine (rounded to 6 dp, the engine's
+    verify contract) >= threshold against an already-accepted vector,
+    candidates being multi-table LSH bucket collisions at the index's
+    FIXED n_planes (no hot-bucket splitting — a growing index cannot
+    re-bucket retroactively, stream.py). The greedy first-arrival
+    acceptance is the same LFMIS walk as the MinHash twin
+    (neardup_oracles.lfmis_walk_sql)."""
+    from .neardup_oracles import lfmis_walk_sql
+
+    return f"""
+WITH RECURSIVE planes(tbl, p, w) AS (VALUES {_planes_values(dim, n_planes)}),
+qv AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {PLANE_SCALE}.0 + 0.5) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings
+),
+bk AS (
+  SELECT v.vec_id, pl.tbl,
+         CAST(COALESCE(sum(CASE WHEN list_sum([v.q[i] * pl.w[i]
+                    for i in generate_series(1, {dim})]) >= 0
+                    THEN (1::BIGINT << pl.p) END), 0) AS BIGINT) AS bucket
+  FROM qv v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bk x JOIN bk y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN pv a ON a.vec_id = c.id_a
+  JOIN pv b ON b.vec_id = c.id_b
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+),
+nodes AS (SELECT vec_id AS id FROM embeddings),
+{lfmis_walk_sql("vec_id")}
 """
 
 

@@ -78,19 +78,13 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
 """
 
 
-def minhash_neardup_oracle(
-    num_perm: int = 64,
-    shingle_n: int = 3,
-    bands: int = 16,
-    threshold: float = 0.7,
-) -> str:
-    """Replay of ``dedup.minhash_neardup_pairs`` (operators/dedup.py):
-    positional whitespace tokens -> xxhash64 per token -> shingle combine
-    (3-long xxhash64 chain over lead()ed token hashes, zero-padded tail,
-    pos==0 fallback for short docs) -> pmod 2^31-1 -> distinct shingle
-    set -> per-permutation mins -> per-band bucket = xxhash64 over the
-    band's signature slice -> band-bucket candidate join -> slot
-    agreement / num_perm >= threshold."""
+def _minhash_pair_ctes(num_perm: int, shingle_n: int, bands: int) -> tuple[str, str]:
+    """The shared signature/banding replay: returns (cte_body, agree_expr)
+    where ``cte_body`` defines CTEs through ``cand`` (distinct band-bucket
+    collision pairs, doc_a < doc_b) plus ``sig_arr`` for verification, and
+    ``agree_expr`` is the unrolled slot-agreement sum over aliases
+    ``sa``/``sb``. Used by both the batch pair oracle and the streaming
+    greedy-walk oracle so the two stay replay-identical by construction."""
     assert shingle_n == 3, "oracle replays the engine default shingle_n=3"
     rows_per_band = num_perm // bands
     tok_hash = X.render_select(
@@ -125,8 +119,7 @@ def minhash_neardup_oracle(
         f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
-    return f"""
-WITH tokpos AS (
+    body = f"""tokpos AS (
   SELECT doc_id, u.pos, u.tok
   FROM (
     SELECT doc_id,
@@ -160,10 +153,112 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
   FROM bands a JOIN bands bb
     ON a.b = bb.b AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
-)
+)"""
+    return body, agree
+
+
+def minhash_neardup_oracle(
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> str:
+    """Replay of ``dedup.minhash_neardup_pairs`` (operators/dedup.py):
+    positional whitespace tokens -> xxhash64 per token -> shingle combine
+    (3-long xxhash64 chain over lead()ed token hashes, zero-padded tail,
+    pos==0 fallback for short docs) -> pmod 2^31-1 -> distinct shingle
+    set -> per-permutation mins -> per-band bucket = xxhash64 over the
+    band's signature slice -> band-bucket candidate join -> slot
+    agreement / num_perm >= threshold."""
+    body, agree = _minhash_pair_ctes(num_perm, shingle_n, bands)
+    return f"""
+WITH {body}
 SELECT doc_a, doc_b, round(({agree}) / {float(num_perm)}, 6) AS est_jaccard
 FROM cand c
 JOIN sig_arr sa ON sa.doc_id = c.doc_a
 JOIN sig_arr sb ON sb.doc_id = c.doc_b
 WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
+"""
+
+
+def lfmis_walk_sql(out_col: str) -> str:
+    """Level-synchronous replay of ``dedup.greedy_accept_order`` with the
+    even-id docs pre-accepted (the streaming builds' seed corpus): CTE
+    text from ``dir_edges`` (expected: verified undirected pairs
+    ``edges(id_a, id_b)`` with id_a < id_b, over node set ``nodes(id)``)
+    through the final SELECT of accepted ODD ids as ``out_col``.
+
+    Greedy first-arrival over a growing accepted index equals the
+    lexicographically-first maximal independent set with seeds fixed
+    'accepted' (induction on processing order: a doc is decided once all
+    its earlier neighbors are decided, and the level-synchronous schedule
+    decides exactly those). The recursion carries one row per undecided
+    or accepted node; a round decides every node whose predecessors are
+    all decided ('ready'), accepting it iff no predecessor was accepted
+    ('ok'); rejected nodes drop out; termination when no 'u' rows remain.
+    Window lists stand in for the (disallowed) aggregates over the
+    recursive relation — the recursive term references ``walk`` once.
+
+    Predecessor orientation: evens (seed) precede every odd regardless of
+    id; odd-odd pairs orient low -> high (batches arrive in id order,
+    greedy within batch is id-ascending). Even-even pairs are dropped —
+    the seed corpus is accepted unconditionally."""
+    return """
+dir_edges AS (
+  SELECT CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_a ELSE id_b END AS v,
+         CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_b ELSE id_a END AS u
+  FROM edges
+  WHERE id_a % 2 = 1 OR id_b % 2 = 1
+),
+preds AS (SELECT v AS id, list(u) AS ps FROM dir_edges GROUP BY v),
+walk AS (
+  SELECT 0 AS rnd, n.id, coalesce(p.ps, []) AS ps,
+         CASE WHEN n.id % 2 = 0 THEN 'a' ELSE 'u' END AS st
+  FROM nodes n LEFT JOIN preds p ON p.id = n.id
+  UNION ALL
+  SELECT rnd + 1, id, ps,
+         CASE WHEN st = 'a' THEN 'a'
+              WHEN ready AND ok THEN 'a'
+              ELSE 'u' END AS st
+  FROM (
+    SELECT rnd, id, ps, st,
+           NOT list_has_any(ps, list(CASE WHEN st = 'u' THEN id END) OVER ()) AS ready,
+           NOT list_has_any(ps, list(CASE WHEN st = 'a' THEN id END) OVER ()) AS ok,
+           count(CASE WHEN st = 'u' THEN 1 END) OVER () AS n_u
+    FROM walk
+  )
+  WHERE n_u > 0 AND (st = 'a' OR NOT ready OR ok)
+)
+SELECT id AS {out} FROM walk
+WHERE rnd = (SELECT max(rnd) FROM walk) AND st = 'a' AND id % 2 = 1
+""".replace("{out}", out_col)
+
+
+def incremental_neardup_oracle(
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """Replay of ``streaming.stream.streamed_incremental_neardup``: the
+    even-id docs seed the accepted MinHash index, odd-id docs stream in
+    id order and are rejected iff slot agreement / num_perm >= threshold
+    against an already-accepted doc (band-bucket candidates only).
+    Equals greedy_accept_order over the verified pair graph with evens
+    pre-accepted — the equivalence tests/test_stream_dedup.py pins on
+    the engine side, replayed here as the recursive LFMIS walk. NULL-text
+    docs have no signature (posexplode drops them) and are neither
+    accepted nor blockers, matching the WHERE in tokpos."""
+    body, agree = _minhash_pair_ctes(num_perm, shingle_n, bands)
+    return f"""
+WITH RECURSIVE {body},
+edges AS (
+  SELECT doc_a AS id_a, doc_b AS id_b
+  FROM cand c
+  JOIN sig_arr sa ON sa.doc_id = c.doc_a
+  JOIN sig_arr sb ON sb.doc_id = c.doc_b
+  WHERE ({agree}) / {float(num_perm)} >= {threshold}
+),
+nodes AS (SELECT doc_id AS id FROM sig_arr),
+{lfmis_walk_sql("doc_id")}
 """
