@@ -489,6 +489,16 @@ def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup_stats(Q.load(spark, sf_dir, "documents"))
 
 
+def _cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit (operators/cdc): Gear
+    rolling-hash boundaries (window 16, ~64-char expected chunks), chunk
+    dedup rollup per lang — the offset-insensitive passage-dedup signal
+    line/span dedup can't give (boundaries re-align after edits)."""
+    from reddit_etl_pipeline_spark.operators import cdc as CDC
+
+    return CDC.cdc_chunk_stats(Q.load(spark, sf_dir, "documents"))
+
+
 def _duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-span REMOVAL at 5-token grain
     (operators/dedup.remove_duplicate_spans): later corpus occurrences of
@@ -941,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "tfidf_keywords": _tfidf_keywords,
         "line_dedup_stats": _line_dedup_stats,
+        "cdc_chunk_stats": _cdc_chunk_stats,
         "line_dedup_rewrite": _line_dedup_rewrite,
         "duplicate_span_stats": _duplicate_span_stats,
         "duplicate_span_rewrite": _duplicate_span_rewrite,
@@ -2232,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
         """,
+        "cdc_chunk_stats": NO.cdc_chunk_stats_oracle(),
         "line_dedup_stats": """
             WITH ln AS (
               SELECT doc_id, trim(lower(l)) AS seg

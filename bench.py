@@ -148,6 +148,7 @@ def main() -> None:
         "sentiment_rollup",
         "train_val_test_split",
         "semantic_dedup_learned",
+        "cdc_chunk_stats",
     ]
 
     # best-of-N (default 2): single-shot wall at sf0.1 swings within the

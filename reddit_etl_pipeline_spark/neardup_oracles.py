@@ -234,6 +234,80 @@ WHERE rnd = (SELECT max(rnd) FROM walk) AND st = 'a' AND id % 2 = 1
 """.replace("{out}", out_col)
 
 
+def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
+    """Replay of ``operators/cdc.cdc_chunk_stats``: per-character gear
+    values are Spark xxhash64 (bit-exact via xxh64_sql), the rolling
+    state is the closed-form windowed sum
+    H_i = sum_j g(c_j) * 2^(i-j) mod 2^64 (HUGEINT products — the shift
+    is at most window-1 bits so every term fits in 2^79 and the window
+    sum in 2^83), boundaries where the low ``mask_bits`` bits are zero,
+    final-character boundaries dropped, chunk hashes replayed over the
+    DISTINCT chunk strings. Aggregates mirror the engine's two-phase
+    (lang, hash) rollup."""
+    mod = 1 << mask_bits
+    tok_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "alpha", passthrough=["tok"]
+    )
+    chunk_hash = X.render_select(
+        X.str_hash_cols("tok", "ch"), ["ch"], "cdist", passthrough=["tok"]
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+chars AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 1) AS tok
+  FROM d, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u
+),
+alpha AS (SELECT DISTINCT tok FROM chars),
+gearh AS ({tok_hash}),
+gc AS (SELECT doc_id, pos, th FROM chars JOIN gearh USING (tok)),
+hh AS (
+  SELECT a.doc_id, a.pos,
+         CAST(sum(CAST(b.th AS HUGEINT)
+                  * CAST(CAST(1 AS BIGINT) << (a.pos - b.pos) AS HUGEINT))
+              % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h
+  FROM gc a JOIN gc b
+    ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos - {window - 1} AND a.pos
+  GROUP BY a.doc_id, a.pos
+),
+starts AS (
+  SELECT doc_id, 1 AS st FROM d
+  UNION ALL
+  SELECT h.doc_id, h.pos + 1 AS st
+  FROM hh h JOIN d USING (doc_id)
+  WHERE h.h % {mod} = 0 AND h.pos < length(d.text)
+),
+chunks AS (
+  SELECT doc_id, st,
+         coalesce(lead(st) OVER (PARTITION BY doc_id ORDER BY st),
+                  len + 1) - st AS clen
+  FROM (SELECT s.doc_id, s.st, length(d.text) AS len
+        FROM starts s JOIN d USING (doc_id))
+),
+ctext AS (
+  SELECT c.doc_id, d.lang, substring(d.text, c.st, c.clen) AS tok, c.clen
+  FROM chunks c JOIN d USING (doc_id)
+),
+cdist AS (SELECT DISTINCT tok FROM ctext),
+chashed AS ({chunk_hash}),
+per_hash AS (
+  SELECT t.lang, h.ch, count(*) AS dups, max(t.clen) AS clen
+  FROM ctext t JOIN chashed h USING (tok)
+  GROUP BY t.lang, h.ch
+)
+SELECT lang,
+       CAST(sum(dups) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(dups * clen) AS BIGINT) AS chars_total,
+       CAST(sum(clen) AS BIGINT) AS chars_unique,
+       round(1.0 - CAST(sum(clen) AS DOUBLE)
+                   / CAST(sum(dups * clen) AS DOUBLE), 6) AS dup_char_frac
+FROM per_hash GROUP BY lang
+"""
+
+
 def incremental_neardup_oracle(
     num_perm: int = 64,
     shingle_n: int = 3,

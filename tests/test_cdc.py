@@ -1,0 +1,109 @@
+"""Content-defined chunking (operators/cdc): reassembly, determinism,
+and the property that justifies CDC over fixed framing — boundary
+re-alignment after an insertion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_etl_pipeline_spark.operators import cdc
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _mk_text(n: int, seed: int = 7) -> str:
+    # deterministic pseudo-text with a small alphabet and word structure
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    out = []
+    while sum(len(w) + 1 for w in out) < n:
+        out.append(rng.choice(words))
+    return " ".join(out)[:n]
+
+
+def _chunks_of(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        cdc.cdc_chunks(df)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    return by_doc
+
+
+def test_chunks_reassemble_and_are_deterministic(spark):
+    texts = [_mk_text(600, seed=s) for s in range(4)] + [None, ""]
+    by_doc = _chunks_of(spark, texts)
+    for i, t in enumerate(texts):
+        got = by_doc.get(i, [])
+        if not t:
+            assert got == []  # NULL/empty yield no chunks
+            continue
+        assert "".join(r["chunk"] for r in got) == t
+        assert [r["start"] for r in got] == [
+            1 + sum(len(x["chunk"]) for x in got[:k]) for k in range(len(got))
+        ]
+        assert all(len(r["chunk"]) > 0 for r in got)
+    # identical text in two docs chunks identically
+    dup = _chunks_of(spark, [texts[0], texts[0]])
+    assert [r["chunk"] for r in dup[0]] == [r["chunk"] for r in dup[1]]
+
+
+def test_boundaries_realign_after_insertion(spark):
+    """The CDC property: prepending bytes shifts every character offset,
+    but once the rolling window clears the edit the boundaries re-align,
+    so the tail chunks are IDENTICAL — fixed-stride framing would lose
+    every chunk. (This is why chunk-level dedup catches boilerplate at
+    different offsets.)"""
+    base = _mk_text(2000, seed=11)
+    edited = "XYZZY " + base
+    by_doc = _chunks_of(spark, [base, edited])
+    a = [r["chunk"] for r in by_doc[0]]
+    b = [r["chunk"] for r in by_doc[1]]
+    assert len(a) > 10
+    # common suffix of the two chunk sequences covers most of the text
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    shared = sum(len(c) for c in a[len(a) - k:])
+    assert shared >= 0.8 * len(base)
+
+
+def test_chunk_stats_on_duplicated_corpus(spark):
+    t1, t2 = _mk_text(800, seed=3), _mk_text(900, seed=4)
+    df = spark.createDataFrame(
+        [(1, t1, "en"), (2, t1, "en"), (3, t2, "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in cdc.cdc_chunk_stats(df).collect()}
+    en, de = rows["en"], rows["de"]
+    # doc 2 duplicates doc 1: every chunk duplicated at least once
+    assert en["chars_total"] == 2 * en["chars_unique"] or (
+        # unless t1 already self-duplicates chunks; then strictly more
+        en["chars_total"] > 2 * en["chars_unique"] - 1
+    )
+    assert en["n_chunks"] >= 2 * en["n_unique_chunks"]
+    assert en["dup_char_frac"] >= 0.5
+    assert de["n_chunks"] >= de["n_unique_chunks"]
+    assert de["chars_total"] == len(t2)
+
+
+def test_gear_table_is_alphabet_bounded(spark):
+    df = spark.createDataFrame([(1, "aabbc"), (2, "cbade")], "doc_id long, text string")
+    g = cdc.gear_table(df)
+    assert set(g) == {"a", "b", "c", "d", "e"}
+    assert all(0 <= v < (1 << 64) for v in g.values())
+    # gear values are Spark xxhash64 of the single character
+    ref = {
+        r["c"]: r["g"] % (1 << 64)
+        for r in spark.createDataFrame([(c,) for c in g], "c string")
+        .select("c", F.xxhash64("c").alias("g"))
+        .collect()
+    }
+    assert g == ref
