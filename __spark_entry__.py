@@ -827,6 +827,15 @@ def _stream_incremental_embedding_neardup(
     return ST.streamed_incremental_embedding_neardup(spark, sf_dir)
 
 
+def _stream_cdc_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous content-defined chunk-store build
+    (operators/cdc + streaming.stream.cdc_batch_against_store): per-batch
+    dedup ledger — how many of each ingest batch's Gear-chunk passages
+    the store already held. Stored-chunk set is batch-order-independent,
+    so the ledger replays as grouped SQL over the id-range batch rule."""
+    return ST.streamed_cdc_chunk_store(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -993,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": _stream_incremental_dedup,
         "stream_incremental_neardup": _stream_incremental_neardup,
         "stream_incremental_embedding_neardup": _stream_incremental_embedding_neardup,
+        "stream_cdc_chunk_store": _stream_cdc_chunk_store,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
         "stream_static_enrich": _stream_static_enrich,
@@ -2847,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_embedding_neardup": (
             AO.incremental_embedding_neardup_oracle(threshold=0.4, n_planes=8)
         ),
+        "stream_cdc_chunk_store": NO.stream_cdc_chunk_store_oracle(),
         "stream_upsert_latest": """
             SELECT user_id, event_type,
                    last_event_id,

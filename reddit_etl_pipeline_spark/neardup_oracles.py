@@ -234,16 +234,16 @@ WHERE rnd = (SELECT max(rnd) FROM walk) AND st = 'a' AND id % 2 = 1
 """.replace("{out}", out_col)
 
 
-def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
-    """Replay of ``operators/cdc.cdc_chunk_stats``: per-character gear
-    values are Spark xxhash64 (bit-exact via xxh64_sql), the rolling
-    state is the closed-form windowed sum
+def _cdc_chunk_ctes(window: int = 16, mask_bits: int = 6) -> str:
+    """Shared replay of ``operators/cdc.cdc_chunks`` over the documents
+    table: per-character gear values are Spark xxhash64 (bit-exact via
+    xxh64_sql), the rolling state is the closed-form windowed sum
     H_i = sum_j g(c_j) * 2^(i-j) mod 2^64 (HUGEINT products — the shift
     is at most window-1 bits so every term fits in 2^79 and the window
     sum in 2^83), boundaries where the low ``mask_bits`` bits are zero,
     final-character boundaries dropped, chunk hashes replayed over the
-    DISTINCT chunk strings. Aggregates mirror the engine's two-phase
-    (lang, hash) rollup."""
+    DISTINCT chunk strings. Ends with ``ctext(doc_id, lang, tok, clen)``
+    and ``chashed(tok, ch)``."""
     mod = 1 << mask_bits
     tok_hash = X.render_select(
         X.str_hash_cols("tok", "th"), ["th"], "alpha", passthrough=["tok"]
@@ -251,8 +251,7 @@ def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
     chunk_hash = X.render_select(
         X.str_hash_cols("tok", "ch"), ["ch"], "cdist", passthrough=["tok"]
     )
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, lang, text FROM documents
   WHERE text IS NOT NULL AND length(text) > 0
 ),
@@ -291,7 +290,14 @@ ctext AS (
   FROM chunks c JOIN d USING (doc_id)
 ),
 cdist AS (SELECT DISTINCT tok FROM ctext),
-chashed AS ({chunk_hash}),
+chashed AS ({chunk_hash})"""
+
+
+def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
+    """Replay of ``operators/cdc.cdc_chunk_stats``: the shared chunk CTEs
+    plus the engine's two-phase (lang, hash) rollup."""
+    return f"""
+WITH {_cdc_chunk_ctes(window, mask_bits)},
 per_hash AS (
   SELECT t.lang, h.ch, count(*) AS dups, max(t.clen) AS clen
   FROM ctext t JOIN chashed h USING (tok)
@@ -305,6 +311,48 @@ SELECT lang,
        round(1.0 - CAST(sum(clen) AS DOUBLE)
                    / CAST(sum(dups * clen) AS DOUBLE), 6) AS dup_char_frac
 FROM per_hash GROUP BY lang
+"""
+
+
+def stream_cdc_chunk_store_oracle(
+    window: int = 16, mask_bits: int = 6, n_slices: int = 3
+) -> str:
+    """Replay of ``streaming.stream.streamed_cdc_chunk_store``: the same
+    chunk replay, batches assigned by the stream's fixed id-range rule
+    (even docs = seed batch −1; odd docs in ``n_slices`` contiguous
+    ranges of width (max_odd_id + n_slices) // n_slices + 1). A chunk is
+    NEW in the batch holding its hash's first occurrence — the
+    stored-chunk set is batch-order-independent, so no recursive walk is
+    needed, just a min(batch) per hash. Batches that produced no chunks
+    write no ledger row (engine skips the stats partition)."""
+    return f"""
+WITH {_cdc_chunk_ctes(window, mask_bits)},
+par AS (
+  SELECT CAST((max(doc_id) + {n_slices}) // {n_slices} + 1 AS BIGINT) AS csz
+  FROM documents WHERE doc_id % 2 = 1
+),
+brows AS (
+  SELECT CASE WHEN t.doc_id % 2 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(t.doc_id // par.csz AS BIGINT) END AS batch_id,
+         h.ch AS h, t.clen
+  FROM ctext t JOIN chashed h USING (tok) CROSS JOIN par
+),
+firsts AS (SELECT h, min(batch_id) AS batch_id, max(clen) AS clen
+           FROM brows GROUP BY h),
+per_batch AS (
+  SELECT batch_id, count(*) AS n_chunks, sum(clen) AS chars_total
+  FROM brows GROUP BY batch_id
+),
+news AS (
+  SELECT batch_id, count(*) AS n_new_chunks, sum(clen) AS chars_new
+  FROM firsts GROUP BY batch_id
+)
+SELECT p.batch_id,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(n.n_new_chunks, 0) AS BIGINT) AS n_new_chunks,
+       CAST(p.chars_total AS BIGINT) AS chars_total,
+       CAST(coalesce(n.chars_new, 0) AS BIGINT) AS chars_new
+FROM per_batch p LEFT JOIN news n USING (batch_id)
 """
 
 

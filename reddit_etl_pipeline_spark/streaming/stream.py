@@ -1306,6 +1306,159 @@ def streamed_incremental_embedding_neardup(
     return spark.read.parquet(accepted_path).select("vec_id")
 
 
+def cdc_batch_against_store(
+    batch: DataFrame,
+    batch_id: int,
+    chunk_index_path: str,
+    gear: dict[str, int] | None = None,
+    window: int = 16,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[int, int, int, int] | None:
+    """Merge one micro-batch into a growing content-defined CHUNK STORE
+    (operators/cdc): chunk the batch's documents with the Gear rolling
+    hash, anti-join the chunk hashes against the stored-chunk index, and
+    return the batch's dedup ledger row
+    (n_chunks, n_new_chunks, chars_total, chars_new) — the storage-dedup
+    ingest loop, where the metric of interest is how many of an ingest
+    batch's passages the store already holds. Returns None for a batch
+    that produced no chunks (empty / all-NULL texts).
+
+    Per-batch work: chunking is map-only Arrow; the gear table is a pure
+    per-character function (xxhash64), so it carries no index state —
+    callers with a known corpus pass one precomputed table (the bounded
+    driver does), otherwise each batch derives its own from its own
+    alphabet; either way the stored-chunk SET is batch-order-independent,
+    which is what makes the build SQL-replayable. Only (hash, len) rows
+    probe and extend the index; chunk text never shuffles and is never
+    re-read. The index lands in ``batch_id=N`` partitions with overwrite
+    mode (replay idempotency, same as dedup_batch_against_index); the
+    ledger row is driver-sized by construction (one per batch), so it is
+    returned rather than written — persist it wherever the job's metrics
+    go."""
+    from ..operators.cdc import cdc_chunks, gear_table
+
+    spark = batch.sparkSession
+    ch = cdc_chunks(
+        batch,
+        gear=gear if gear is not None else gear_table(batch, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        window=window,
+        mask_bits=mask_bits,
+    ).select(F.xxhash64("chunk").alias("h"), F.length("chunk").alias("clen"))
+    # one per-hash rollup feeds totals, the index probe, and the store
+    # extension; identical hash => identical chunk => identical length
+    mine = (
+        ch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dups"), F.max("clen").alias("clen"))
+        .localCheckpoint(eager=True)
+    )
+    tot = mine.agg(
+        F.sum("dups").alias("n"), F.sum(F.col("dups") * F.col("clen")).alias("c")
+    ).first()
+    if not tot["n"]:
+        return None
+    idx = _read_index_or_none(spark, chunk_index_path)
+    new = mine
+    if idx is not None:
+        new = mine.join(
+            idx.filter(F.col("batch_id") < batch_id).select("h"),
+            "h",
+            "left_anti",
+        )
+    new = new.localCheckpoint(eager=True)
+    ns = new.agg(F.count(F.lit(1)).alias("n"), F.sum("clen").alias("c")).first()
+    new.select("h", "clen").write.mode("overwrite").parquet(
+        f"{chunk_index_path}/batch_id={batch_id}"
+    )
+    return (int(tot["n"]), int(ns["n"] or 0), int(tot["c"]), int(ns["c"] or 0))
+
+
+def streamed_cdc_chunk_store(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
+    """Continuous chunk-store build: seed the store from the accepted
+    corpus (even-id docs, batch −1), stream the candidate docs (odd-id)
+    in id-ordered micro-batches through ``cdc_batch_against_store``, and
+    return the per-batch dedup ledger
+    (batch_id, n_chunks, n_new_chunks, chars_total, chars_new).
+
+    Unlike the greedy near-dup builds, the stored-chunk SET here is
+    batch-order-INDEPENDENT (a chunk is stored iff its hash's first
+    occurrence is in or before that batch, and first occurrence is
+    determined by the fixed id-range slicing) — so the ledger replays as
+    plain grouped SQL over the batch assignment, no recursive walk. The
+    ledger accumulates in a driver dict keyed by batch_id (one row per
+    batch; an at-least-once replay overwrites its own key)."""
+    from ..operators.cdc import gear_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    base = scratch_dir("cdc_store_")
+    chunk_index_path = f"{base}/chunk_index"
+    # the corpus is known for a bounded run, so the gear table (a pure
+    # per-character function) is computed once and shared by every batch
+    gear = gear_table(docs)
+    ledger: dict[int, tuple[int, int, int, int]] = {}
+    res = cdc_batch_against_store(corpus, -1, chunk_index_path, gear=gear)
+    if res is not None:
+        ledger[-1] = res
+
+    out_schema = (
+        "batch_id long, n_chunks long, n_new_chunks long, "
+        "chars_total long, chars_new long"
+    )
+
+    def _ledger_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(b, *ledger[b]) for b in sorted(ledger)], out_schema
+        )
+
+    hi = new.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        return _ledger_df()
+    chunk = (int(hi) + n_slices) // n_slices + 1
+    slices = [
+        new.filter(
+            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
+        )
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="cdc_store_stream_")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge(b: DataFrame, batch_id: int) -> None:
+        r = cdc_batch_against_store(b, batch_id, chunk_index_path, gear=gear)
+        if r is not None:
+            ledger[batch_id] = r
+
+    chk = scratch_dir("cdc_store_chk_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _ledger_df()
+
+
 # ------------------------------------------- native windowed session / slide
 
 

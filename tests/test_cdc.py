@@ -94,6 +94,41 @@ def test_chunk_stats_on_duplicated_corpus(spark):
     assert de["chars_total"] == len(t2)
 
 
+def test_stream_chunk_store_ledger_consistency(spark, tmp_path):
+    """The streaming chunk-store ledger must tie out against the batch
+    rollup: every batch's new chunks are a subset of its chunks, and the
+    TOTAL stored chars across batches equals the batch operator's global
+    chars_unique (the stored-chunk set is batch-order-independent)."""
+    from reddit_etl_pipeline_spark.streaming import stream as st
+
+    texts = [_mk_text(700, seed=s % 5) for s in range(12)]  # heavy dups
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    ledger = (
+        st.streamed_cdc_chunk_store(spark, str(tmp_path)).orderBy("batch_id").collect()
+    )
+    assert [r["batch_id"] for r in ledger][0] == -1  # seed first
+    for r in ledger:
+        assert 0 <= r["n_new_chunks"] <= r["n_chunks"]
+        assert 0 <= r["chars_new"] <= r["chars_total"]
+    glob = cdc.cdc_chunk_stats(df).collect()
+    assert sum(r["chars_new"] for r in ledger) == sum(
+        g["chars_unique"] for g in glob
+    )
+    assert sum(r["n_new_chunks"] for r in ledger) == sum(
+        g["n_unique_chunks"] for g in glob
+    )
+    assert sum(r["n_chunks"] for r in ledger) == sum(g["n_chunks"] for g in glob)
+    # heavy duplication: later batches must actually HIT the store
+    assert any(
+        r["n_new_chunks"] < r["n_chunks"] for r in ledger if r["batch_id"] >= 0
+    )
+
+
 def test_gear_table_is_alphabet_bounded(spark):
     df = spark.createDataFrame([(1, "aabbc"), (2, "cbade")], "doc_id long, text string")
     g = cdc.gear_table(df)
