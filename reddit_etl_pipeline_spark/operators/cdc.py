@@ -151,12 +151,17 @@ def cdc_chunk_stats(
     chunks = cdc_chunks(
         df, text_col=text_col, id_col=id_col, window=window, mask_bits=mask_bits
     )
-    tagged = chunks.join(
-        df.select(id_col, group_col), id_col
-    ).select(
-        F.col(group_col).alias("grp"),
+    # hash + measure BEFORE the group join so the join shuffle carries
+    # (id, hash, len) — never chunk text (Catalyst prunes columns but
+    # does not push expression evaluation below a join, so hashing after
+    # the join would ship every chunk string through the exchange)
+    hashed = chunks.select(
+        id_col,
         F.xxhash64("chunk").alias("h"),
         F.length("chunk").alias("clen"),
+    )
+    tagged = hashed.join(df.select(id_col, group_col), id_col).select(
+        F.col(group_col).alias("grp"), "h", "clen"
     )
     per_hash = tagged.groupBy("grp", "h").agg(
         F.count(F.lit(1)).alias("dups"),

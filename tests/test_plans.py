@@ -457,3 +457,24 @@ def test_media_decode_stats_is_map_only(spark, sf_dir):
     p = plan_of(E.queries()["media_decode_stats"](spark, sf_dir))
     assert "Exchange" not in p, p
     assert "MapInPandas" in p
+
+
+def test_cdc_chunk_stats_no_chunk_text_in_exchanges(spark, sf_dir):
+    """cdc_chunk_stats hashes and measures chunks BEFORE the group join,
+    so every Exchange carries only (id, hash, len) — chunk STRINGS must
+    never shuffle (at corpus scale the chunk table is the text itself).
+    Each formatted-plan Exchange detail block lists its input columns;
+    none may include the chunk column."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["cdc_chunk_stats"](spark, sf_dir))
+    assert "MapInPandas" in p
+    blocks = p.split("\n\n")
+    exchanges = [
+        b for b in blocks
+        if b.strip().splitlines()
+        and b.strip().splitlines()[0].lstrip("(0123456789) ").startswith("Exchange")
+    ]
+    assert exchanges, p  # the rollup does shuffle (hash, len) rows
+    for b in exchanges:
+        assert "chunk#" not in b, b
