@@ -103,9 +103,17 @@ def cdc_chunks(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None or len(text) == 0:
                     continue
-                g = np.fromiter(
-                    (gmap[ch] for ch in text), dtype="uint64", count=len(text)
-                )
+                try:
+                    g = np.fromiter(
+                        (gmap[ch] for ch in text), dtype="uint64", count=len(text)
+                    )
+                except KeyError as e:
+                    raise ValueError(
+                        f"cdc_chunks: character {e.args[0]!r} (doc {did}) "
+                        f"is missing from the supplied gear table; derive "
+                        f"it from a superset corpus via gear_table(), or "
+                        f"pass gear=None to derive it from this DataFrame"
+                    ) from None
                 win = sliding_window_view(np.concatenate([zpad, g]), w)
                 h = (win * pow2).sum(axis=1, dtype="uint64")  # wraps mod 2^64
                 bnd = np.flatnonzero((h & np.uint64(mask)) == 0)
