@@ -489,6 +489,13 @@ def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup_stats(Q.load(spark, sf_dir, "documents"))
 
 
+def _winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing passage-overlap report (dedup.winnow_overlap): MOSS-style
+    fingerprint selection (min gram hash per w-window), df-capped fp
+    equi-join, top document pairs by shared fingerprints."""
+    return D.winnow_overlap(Q.load(spark, sf_dir, "documents"))
+
+
 def _cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup audit (operators/cdc): Gear
     rolling-hash boundaries (window 16, ~64-char expected chunks), chunk
@@ -961,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _tfidf_keywords,
         "line_dedup_stats": _line_dedup_stats,
         "cdc_chunk_stats": _cdc_chunk_stats,
+        "winnow_overlap": _winnow_overlap,
         "line_dedup_rewrite": _line_dedup_rewrite,
         "duplicate_span_stats": _duplicate_span_stats,
         "duplicate_span_rewrite": _duplicate_span_rewrite,
@@ -2254,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "cdc_chunk_stats": NO.cdc_chunk_stats_oracle(),
+        "winnow_overlap": NO.winnow_overlap_oracle(),
         "line_dedup_stats": """
             WITH ln AS (
               SELECT doc_id, trim(lower(l)) AS seg

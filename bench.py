@@ -149,6 +149,7 @@ def main() -> None:
         "train_val_test_split",
         "semantic_dedup_learned",
         "cdc_chunk_stats",
+        "winnow_overlap",
     ]
 
     # best-of-N (default 2): single-shot wall at sf0.1 swings within the

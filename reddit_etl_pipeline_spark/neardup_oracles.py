@@ -293,6 +293,85 @@ cdist AS (SELECT DISTINCT tok FROM ctext),
 chashed AS ({chunk_hash})"""
 
 
+def winnow_overlap_oracle(
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 100,
+    topn: int = 100,
+) -> str:
+    """Replay of ``dedup.winnow_overlap``: positional tokens -> xxhash64
+    -> k-long gram chain over lead()ed token hashes (zero-padded tail,
+    pos==1 fallback for short docs — the minhash shingle rules
+    generalized to k) -> per-doc window MIN over w consecutive gram
+    positions (SIGNED comparison: Spark's min runs on signed longs, so
+    the UBIGINT chain value converts via xxh64_sql.signed before the
+    min) -> distinct fingerprints -> document-frequency cap -> pair join
+    -> totally-ordered top-n."""
+    tok_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "toks", passthrough=["tok"]
+    )
+    gram = X.render_select(
+        X.chain_cols("gh", ["th0"] + [f"th{i}c" for i in range(1, k)]),
+        ["gh"],
+        "kept",
+        passthrough=["doc_id", "pos"],
+    )
+    lead_cols = ", ".join(
+        f"lead(th, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS th{i}"
+        for i in range(1, k)
+    )
+    pad_cols = ", ".join(
+        f"coalesce(th{i}, CAST(0 AS UBIGINT)) AS th{i}c" for i in range(1, k)
+    )
+    return f"""
+WITH tokpos AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+    FROM documents WHERE text IS NOT NULL
+  ) t, LATERAL (
+    SELECT generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  ) u
+),
+toks AS (SELECT DISTINCT tok FROM tokpos),
+tokh AS ({tok_hash}),
+ex AS (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
+leads AS (
+  SELECT doc_id, pos, th AS th0, {lead_cols}
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, pos, th0, {pad_cols}
+  FROM leads WHERE th{k - 1} IS NOT NULL OR pos = 1
+),
+grams AS ({gram}),
+winfp AS (
+  SELECT DISTINCT doc_id,
+         min({X.signed('gh')}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM grams
+),
+ok AS (
+  SELECT fp FROM winfp GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {max_df}
+),
+f2 AS (SELECT doc_id, fp FROM winfp JOIN ok USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+ORDER BY shared_fps DESC, doc_a ASC, doc_b ASC
+LIMIT {topn}
+"""
+
+
 def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
     """Replay of ``operators/cdc.cdc_chunk_stats``: the shared chunk CTEs
     plus the engine's two-phase (lang, hash) rollup."""
