@@ -742,6 +742,7 @@ def dedup_batch_against_index(
     accepted.select("fp").write.mode("overwrite").parquet(
         f"{index_path}/batch_id={batch_id}"
     )
+    accepted.unpersist()  # free this batch's checkpoint blocks
 
 
 def streamed_incremental_dedup(
@@ -992,6 +993,11 @@ def neardup_batch_against_index(
     my_bands.join(F.broadcast(acc_df), "did", "left_semi").write.mode(
         "overwrite"
     ).parquet(f"{band_index_path}/batch_id={batch_id}")
+    # free this batch's checkpoints: over a long run, per-batch blocks
+    # left pinned in the block manager grow without bound (the
+    # split_hot_buckets round-4 advice pattern, applied per micro-batch)
+    for df_ in (accepted, survivors, my_bands, sigs):
+        df_.unpersist()
 
 
 def streamed_incremental_neardup(
@@ -1032,6 +1038,7 @@ def streamed_incremental_neardup(
     _banded_sigs(seed_sigs, bands, num_perm // bands).write.mode(
         "overwrite"
     ).parquet(f"{sig_index_path}_bands/batch_id=-1")
+    seed_sigs.unpersist()
 
     hi = new.agg(F.max("doc_id")).first()[0]
     if hi is None:
@@ -1225,6 +1232,9 @@ def embedding_neardup_batch_against_index(
     my_buckets.join(F.broadcast(acc_df), "did", "left_semi").write.mode(
         "overwrite"
     ).parquet(f"{bucket_index_path}/batch_id={batch_id}")
+    # free this batch's checkpoints (see neardup_batch_against_index)
+    for df_ in (accepted, survivors, my_buckets, vecs):
+        df_.unpersist()
 
 
 def streamed_incremental_embedding_neardup(
@@ -1264,6 +1274,7 @@ def streamed_incremental_embedding_neardup(
     lsh_bucket_table(
         seed, dim, n_planes, id_col="did", vec_col="vec"
     ).write.mode("overwrite").parquet(f"{vec_index_path}_buckets/batch_id=-1")
+    seed.unpersist()
 
     hi = new.agg(F.max("vec_id")).first()[0]
     if hi is None:
@@ -1359,6 +1370,7 @@ def cdc_batch_against_store(
         F.sum("dups").alias("n"), F.sum(F.col("dups") * F.col("clen")).alias("c")
     ).first()
     if not tot["n"]:
+        mine.unpersist()
         return None
     idx = _read_index_or_none(spark, chunk_index_path)
     new = mine
@@ -1373,6 +1385,8 @@ def cdc_batch_against_store(
     new.select("h", "clen").write.mode("overwrite").parquet(
         f"{chunk_index_path}/batch_id={batch_id}"
     )
+    new.unpersist()  # free this batch's checkpoint blocks
+    mine.unpersist()
     return (int(tot["n"]), int(ns["n"] or 0), int(tot["c"]), int(ns["c"] or 0))
 
 
