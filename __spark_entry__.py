@@ -1073,7 +1073,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, scale: int = 1000) -> str:
         )"""]
     for i in range(iters):
         sql.append(f""",
-        a{i} AS (
+        a{i} AS MATERIALIZED (
           SELECT e.vec_id, c.j,
                  SUM((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS A,
                  MAX(c.n) AS n
@@ -1169,7 +1169,7 @@ def _bpe_oracle(iters: int = 8, min_count: int = 2, max_vocab: int = 50_000) -> 
         sy{i} AS MATERIALIZED (
           SELECT string_split(trim(seq, ' '), '  ') AS s, n FROM hist{i - 1}
         ),
-        pairs{i} AS (
+        pairs{i} AS MATERIALIZED (
           SELECT p[1] AS a, p[2] AS b, sum(n) AS cnt
           FROM sy{i},
                unnest([[s[j], s[j+1]]
@@ -1228,31 +1228,38 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
     iteration) — recursive-CTE aggregation restrictions make the loop
     form awkward in DuckDB, and a fixed iteration count unrolls exactly.
     Mirrors operators/graph.py:pagerank incl. dangling-mass
-    redistribution and the (base + damping*contrib) update order."""
+    redistribution and the (base + damping*contrib) update order.
+
+    Every CTE is AS MATERIALIZED: DuckDB 1.0 INLINES plain CTEs at each
+    reference, and r{{i+1}} references r{{i}} through both d{{i}} and
+    c{{i}} — inlined, the expansion doubles per iteration (2^iters
+    copies of the lineitem⋈orders edge build; at sf0.1 this spilled the
+    disk). Materialization is an evaluation hint only — values are
+    bit-identical."""
     parts = [
         """
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
           SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ),
-        nodes AS (SELECT src AS node FROM edges
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
-        deg AS (SELECT src AS node, count(*) AS out_degree
+        deg AS MATERIALIZED (SELECT src AS node, count(*) AS out_degree
                 FROM edges GROUP BY src),
-        nn AS (SELECT count(*) AS n FROM nodes),
-        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
     ]
     for i in range(iters):
         parts.append(
             f""",
-        d{i} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+        d{i} AS MATERIALIZED (SELECT coalesce(sum(r.pr), 0) AS dm
                  FROM r{i} r LEFT JOIN deg USING (node)
                  WHERE deg.out_degree IS NULL),
-        c{i} AS (SELECT e.dst AS node, sum(r.pr / d.out_degree) AS contrib
+        c{i} AS MATERIALIZED (SELECT e.dst AS node, sum(r.pr / d.out_degree) AS contrib
                  FROM r{i} r JOIN deg d USING (node)
                  JOIN edges e ON e.src = r.node
                  GROUP BY e.dst),
-        r{i + 1} AS (SELECT n.node,
+        r{i + 1} AS MATERIALIZED (SELECT n.node,
                      ({1.0 - damping!r} + {damping} * (SELECT dm FROM d{i})
                         / (SELECT n FROM nn))
                      + {damping} * coalesce(c.contrib, 0) AS pr
@@ -1898,13 +1905,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "jaccard_pairs": f"""
-            WITH tok AS (
+            WITH tok AS MATERIALIZED (
               SELECT DISTINCT doc_id AS did, t.tok
               FROM documents, UNNEST({_TOKENS}) AS t(tok)
               WHERE t.tok <> ''
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
               SELECT did, count(*) AS sz FROM tok GROUP BY did
-            ), inter AS (
+            ), inter AS MATERIALIZED (
               SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
               GROUP BY a.did, b.did
@@ -1917,23 +1924,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.9
         """,
         "neardup_clusters": f"""
-            WITH RECURSIVE tok AS (
+            WITH RECURSIVE tok AS MATERIALIZED (
               SELECT DISTINCT doc_id AS did, t.tok
               FROM documents, UNNEST({_TOKENS}) AS t(tok)
               WHERE t.tok <> ''
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
               SELECT did, count(*) AS sz FROM tok GROUP BY did
-            ), inter AS (
+            ), inter AS MATERIALIZED (
               SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
               GROUP BY a.did, b.did
-            ), pairs AS (
+            ), pairs AS MATERIALIZED (
               SELECT doc_a, doc_b
               FROM inter
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS (
+            ), edges AS MATERIALIZED (
               SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs
             ), walk(n, m) AS (
@@ -1957,30 +1964,30 @@ def oracle_sql() -> dict[str, str]:
         # quality expression (dq_report's) and per-cluster argmax on
         # (quality DESC, doc_id ASC) — mirrors max(struct(quality, -id))
         "neardup_canonical": f"""
-            WITH RECURSIVE tok AS (
+            WITH RECURSIVE tok AS MATERIALIZED (
               SELECT DISTINCT doc_id AS did, t.tok
               FROM documents, UNNEST({_TOKENS}) AS t(tok)
               WHERE t.tok <> ''
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
               SELECT did, count(*) AS sz FROM tok GROUP BY did
-            ), inter AS (
+            ), inter AS MATERIALIZED (
               SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
               GROUP BY a.did, b.did
-            ), pairs AS (
+            ), pairs AS MATERIALIZED (
               SELECT doc_a, doc_b
               FROM inter
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS (
+            ), edges AS MATERIALIZED (
               SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs
             ), walk(n, m) AS (
               SELECT s, s FROM edges
               UNION
               SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
-            ), memb AS (
+            ), memb AS MATERIALIZED (
               SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id,
                      coalesce(
                        round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
@@ -2576,23 +2583,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "curated_corpus": f"""
-            WITH RECURSIVE tok AS (
+            WITH RECURSIVE tok AS MATERIALIZED (
               SELECT DISTINCT doc_id AS did, t.tok
               FROM documents, UNNEST({_TOKENS}) AS t(tok)
               WHERE t.tok <> ''
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
               SELECT did, count(*) AS sz FROM tok GROUP BY did
-            ), inter AS (
+            ), inter AS MATERIALIZED (
               SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
               GROUP BY a.did, b.did
-            ), pairs AS (
+            ), pairs AS MATERIALIZED (
               SELECT doc_a, doc_b
               FROM inter
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS (
+            ), edges AS MATERIALIZED (
               SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs
             ), walk(n, m) AS (

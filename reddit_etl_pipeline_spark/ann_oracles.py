@@ -66,25 +66,25 @@ def _bucket_ctes(dim: int, np_expr: str) -> str:
     from the corpus row count ``n`` (engine auto_planes variants)."""
     sql = [f"""
 planes(tbl, p, w) AS (VALUES {_planes_values(dim)}),
-n_t AS (SELECT count(*) AS n FROM embeddings),
-np_t AS (
+n_t AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+np_t AS MATERIALIZED (
   SELECT {np_expr} AS np
   FROM (SELECT (n + 31) // 32 AS m FROM n_t)
 ),
-qv AS (
+qv AS MATERIALIZED (
   SELECT vec_id,
          [CAST(floor(CAST(x AS DOUBLE) * {PLANE_SCALE}.0 + 0.5) AS BIGINT)
           for x in embedding] AS q
   FROM embeddings
 ),
-proj AS (
+proj AS MATERIALIZED (
   SELECT v.vec_id, pl.tbl, pl.p,
          (list_sum([v.q[i] * pl.w[i]
                     for i in generate_series(1, {dim})]) >= 0) AS bit
   FROM qv v CROSS JOIN planes pl CROSS JOIN np_t
   WHERE pl.p < np_t.np + {_EB}
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT vec_id, tbl,
          CAST(COALESCE(sum(CASE WHEN bit AND p < np
                            THEN (1::BIGINT << p) END), 0) AS BIGINT) AS bucket,
@@ -96,7 +96,7 @@ s0 AS (
 )"""]
     for r in range(_ROUNDS):
         sql.append(f""",
-h{r} AS (
+h{r} AS MATERIALIZED (
   SELECT tbl, bucket, lvl, sub,
          least(length(bin((n + {_CAP} - 1) // {_CAP} - 1)),
                {_EB} - lvl) AS step
@@ -104,7 +104,7 @@ h{r} AS (
         FROM s{r} GROUP BY tbl, bucket, lvl, sub)
   WHERE n > {_CAP} AND lvl < {_EB}
 ),
-s{r + 1} AS (
+s{r + 1} AS MATERIALIZED (
   SELECT s.vec_id, s.tbl, s.bucket, s.ext,
          CASE WHEN h.step IS NOT NULL THEN s.lvl + h.step ELSE s.lvl END AS lvl,
          CASE WHEN h.step IS NOT NULL
@@ -129,15 +129,15 @@ def lsh_neardup_oracle(threshold: float = 0.4, dim: int = 64) -> str:
     s = f"s{_ROUNDS}"
     return f"""
 WITH {_bucket_ctes(dim, _AUTO)},
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM {s} x JOIN {s} y
     ON x.tbl = y.tbl AND x.bucket = y.bucket
    AND x.lvl = y.lvl AND x.sub = y.sub
    AND x.vec_id < y.vec_id
 ),
-pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sims AS (
+pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS MATERIALIZED (
   SELECT c.id_a, c.id_b,
          round(list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v))
@@ -168,13 +168,13 @@ def incremental_embedding_neardup_oracle(
 
     return f"""
 WITH RECURSIVE planes(tbl, p, w) AS (VALUES {_planes_values(dim, n_planes)}),
-qv AS (
+qv AS MATERIALIZED (
   SELECT vec_id,
          [CAST(floor(CAST(x AS DOUBLE) * {PLANE_SCALE}.0 + 0.5) AS BIGINT)
           for x in embedding] AS q
   FROM embeddings
 ),
-bk AS (
+bk AS MATERIALIZED (
   SELECT v.vec_id, pl.tbl,
          CAST(COALESCE(sum(CASE WHEN list_sum([v.q[i] * pl.w[i]
                     for i in generate_series(1, {dim})]) >= 0
@@ -182,13 +182,13 @@ bk AS (
   FROM qv v CROSS JOIN planes pl
   GROUP BY v.vec_id, pl.tbl
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM bk x JOIN bk y
     ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 ),
-pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-edges AS (
+pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edges AS MATERIALIZED (
   SELECT c.id_a, c.id_b
   FROM cand c
   JOIN pv a ON a.vec_id = c.id_a
@@ -197,7 +197,7 @@ edges AS (
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
 ),
-nodes AS (SELECT vec_id AS id FROM embeddings),
+nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
 {lfmis_walk_sql("vec_id")}
 """
 
@@ -213,10 +213,10 @@ def lsh_topk_oracle(k: int = 5, dim: int = 64, n_queries: int = 5) -> str:
     np_expr = f"greatest({_AUTO} - 2, 4)"
     return f"""
 WITH {_bucket_ctes(dim, np_expr)},
-hot_levels AS (
+hot_levels AS MATERIALIZED (
   SELECT DISTINCT tbl, bucket, lvl FROM {s} WHERE lvl > 0
 ),
-qprobe AS (
+qprobe AS MATERIALIZED (
   SELECT q.vec_id AS query_id, q.tbl, q.bucket,
          COALESCE(hl.lvl, 0) AS lvl,
          CASE WHEN hl.lvl IS NOT NULL
@@ -226,15 +226,15 @@ qprobe AS (
     ON hl.tbl = q.tbl AND hl.bucket = q.bucket
   WHERE q.vec_id < {n_queries}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
   FROM {s} c JOIN qprobe qp
     ON c.tbl = qp.tbl AND c.bucket = qp.bucket
    AND c.lvl = qp.lvl AND c.sub = qp.sub
   WHERE c.vec_id <> qp.query_id
 ),
-pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
+pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS MATERIALIZED (
   SELECT cd.query_id, cd.neighbor_id,
          round(list_dot_product(q.v, c.v)
                / greatest(sqrt(list_dot_product(q.v, q.v))
@@ -281,13 +281,13 @@ def _unit_ctes(dim: int) -> str:
     engine's ``_unit_grid``."""
     s = VEC_SCALE
     return f"""
-qv0 AS (
+qv0 AS MATERIALIZED (
   SELECT vec_id, label,
          [CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT)
           for x in embedding] AS q
   FROM embeddings
 ),
-uv AS (
+uv AS MATERIALIZED (
   SELECT vec_id, label,
          [CAST(floor(CAST(q[i] AS DOUBLE) / nrm * {s}.0 + 0.5) AS BIGINT)
           for i in generate_series(1, {dim})] AS u
@@ -307,10 +307,10 @@ def _ivf_ctes(dim: int, train_pred: str, iters: int = _IVF_ITERS) -> str:
     sample. Seeds: first ``_IVF_K`` distinct unit-grid vectors in id
     order (the kmeans_cluster_stats rule)."""
     sql = [f"""
-samp AS (SELECT vec_id, u FROM uv WHERE {train_pred}
+samp AS MATERIALIZED (SELECT vec_id, u FROM uv WHERE {train_pred}
          ORDER BY vec_id LIMIT {_SAMPLE}),
-seedv AS (SELECT u, min(vec_id) AS fid FROM samp GROUP BY u),
-seed AS (
+seedv AS MATERIALIZED (SELECT u, min(vec_id) AS fid FROM samp GROUP BY u),
+seed AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY fid) - 1 AS j, u
   FROM seedv ORDER BY fid LIMIT {_IVF_K}
 ),
@@ -326,7 +326,7 @@ cent0 AS MATERIALIZED (
 )"""]
     for i in range(iters):
         sql.append(f""",
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT e.vec_id, c.j, sum((e.q - c.c) * (e.q - c.c)) AS d2
   FROM es e JOIN cent{i} c ON c.p = e.p
   GROUP BY e.vec_id, c.j
@@ -378,8 +378,8 @@ def _assign_ctes(
 
 
 _RERANK_SQL = """
-pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
+pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS MATERIALIZED (
   SELECT cd.query_id, cd.neighbor_id,
          round(list_dot_product(q.v, c.v)
                / greatest(sqrt(list_dot_product(q.v, q.v))
@@ -405,7 +405,7 @@ WITH {_unit_ctes(dim)},
 {_ivf_ctes(dim, 'TRUE')},
 {_assign_ctes('cassign', 'TRUE', f'cent{_IVF_ITERS}', dim, 1)},
 {_assign_ctes('qprobe', f'vec_id < {n_queries}', f'cent{_IVF_ITERS}', dim, _IVF_NPROBE)},
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
   FROM qprobe qp JOIN cassign ca ON ca.cid = qp.cid
   WHERE ca.vec_id <> qp.vec_id
@@ -425,13 +425,13 @@ WITH {_unit_ctes(dim)},
 {_ivf_ctes(dim, 'vec_id % 2 = 0')},
 {_assign_ctes('cassign', 'vec_id % 2 = 0', f'cent{_IVF_ITERS}', dim, 1)},
 {_assign_ctes('qprobe', f'vec_id % 2 = 1 AND vec_id < {test_max}', f'cent{_IVF_ITERS}', dim, _IVF_NPROBE)},
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
   FROM qprobe qp JOIN cassign ca ON ca.cid = qp.cid
   WHERE ca.vec_id <> qp.vec_id
 ),
-pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
+pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS MATERIALIZED (
   SELECT cd.query_id, cd.neighbor_id,
          round(list_dot_product(q.v, c.v)
                / greatest(sqrt(list_dot_product(q.v, q.v))
@@ -441,28 +441,28 @@ scored AS (
   JOIN pv q ON q.vec_id = cd.query_id
   JOIN pv c ON c.vec_id = cd.neighbor_id
 ),
-topk AS (
+topk AS MATERIALIZED (
   SELECT query_id, neighbor_id, rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id) AS rank
     FROM scored) r
   WHERE rank <= {k}
 ),
-lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS n_label FROM embeddings),
-votes AS (
+lbl AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS n_label FROM embeddings),
+votes AS MATERIALIZED (
   SELECT t.query_id, l.n_label,
          count(*) AS n_votes, min(t.rank) AS best_rank
   FROM topk t JOIN lbl l ON l.vec_id = t.neighbor_id
   GROUP BY t.query_id, l.n_label
 ),
-pred AS (
+pred AS MATERIALIZED (
   SELECT query_id, n_label AS predicted FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY n_votes DESC, best_rank, n_label) AS rn
     FROM votes) v
   WHERE rn = 1
 ),
-q AS (
+q AS MATERIALIZED (
   SELECT vec_id AS query_id, CAST(label AS BIGINT) AS actual
   FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < {test_max}
 )
@@ -484,14 +484,14 @@ def _pq_lloyd_ctes(src: str, pre: str, iters: int = _PQ_ITERS) -> str:
     an argmin tie against its lower-id original, so omitting the pad
     replays identically). Ends at ``{pre}cent{iters}`` = (s, j, p, c)."""
     sql = [f"""
-{pre}sb AS (
+{pre}sb AS MATERIALIZED (
   SELECT vec_id, s, list(q ORDER BY p) AS v
   FROM {src} GROUP BY vec_id, s
 ),
-{pre}seedv AS (
+{pre}seedv AS MATERIALIZED (
   SELECT s, v, min(vec_id) AS fid FROM {pre}sb GROUP BY s, v
 ),
-{pre}seed AS (
+{pre}seed AS MATERIALIZED (
   SELECT s, row_number() OVER (PARTITION BY s ORDER BY fid) - 1 AS j, v
   FROM {pre}seedv
   QUALIFY row_number() OVER (PARTITION BY s ORDER BY fid) <= {_PQ_CODES}
@@ -503,7 +503,7 @@ def _pq_lloyd_ctes(src: str, pre: str, iters: int = _PQ_ITERS) -> str:
 )"""]
     for i in range(iters):
         sql.append(f""",
-{pre}a{i} AS (
+{pre}a{i} AS MATERIALIZED (
   SELECT e.vec_id, e.s, c.j, sum((e.q - c.c) * (e.q - c.c)) AS d2
   FROM {src} e JOIN {pre}cent{i} c ON c.s = e.s AND c.p = e.p
   GROUP BY e.vec_id, e.s, c.j
@@ -555,9 +555,9 @@ def pq_topk_oracle(
     it = _PQ_ITERS
     return f"""
 WITH {_unit_ctes(dim)},
-samp AS (SELECT vec_id FROM uv ORDER BY vec_id LIMIT {_SAMPLE}),
+samp AS MATERIALIZED (SELECT vec_id FROM uv ORDER BY vec_id LIMIT {_SAMPLE}),
 {_sub_explode('sv', 'TRUE', sub)},
-svs AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
+svs AS MATERIALIZED (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
 {_pq_lloyd_ctes('svs', 'p')},
 enc AS MATERIALIZED (
   SELECT vec_id, s, j AS code FROM (
@@ -569,20 +569,20 @@ enc AS MATERIALIZED (
     GROUP BY e.vec_id, e.s, c.j
   ) WHERE rn = 1
 ),
-lut AS (
+lut AS MATERIALIZED (
   SELECT e.vec_id AS query_id, e.s, c.j,
          sum(e.q * c.c) AS l
   FROM sv e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
   WHERE e.vec_id < {n_queries}
   GROUP BY e.vec_id, e.s, c.j
 ),
-adc AS (
+adc AS MATERIALIZED (
   SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.l) AS approx
   FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
   WHERE e.vec_id <> l.query_id
   GROUP BY l.query_id, e.vec_id
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
@@ -621,7 +621,7 @@ res AS MATERIALIZED (
                for i in generate_series(1, len(u))]) AS t(c)
   JOIN {civf} cc ON cc.j = a.cid AND cc.p = t.c['i'] - 1
 ),
-ress AS (SELECT res.* FROM res JOIN (SELECT vec_id FROM samp) sp USING (vec_id)),
+ress AS MATERIALIZED (SELECT res.* FROM res JOIN (SELECT vec_id FROM samp) sp USING (vec_id)),
 {_pq_lloyd_ctes('ress', 'p')},
 enc AS MATERIALIZED (
   SELECT vec_id, s, j AS code FROM (
@@ -634,12 +634,12 @@ enc AS MATERIALIZED (
   ) WHERE rn = 1
 ),
 {_sub_explode('qsv', f'vec_id < {n_queries}', sub)},
-lut AS (
+lut AS MATERIALIZED (
   SELECT e.vec_id AS query_id, e.s, c.j, sum(e.q * c.c) AS l
   FROM qsv e JOIN pcent{it} c ON c.s = e.s AND c.p = e.p
   GROUP BY e.vec_id, e.s, c.j
 ),
-cent_term AS (
+cent_term AS MATERIALIZED (
   SELECT e.vec_id AS query_id, qp.cid,
          sum(e.q * cc.c) AS ct
   FROM qsv e
@@ -647,7 +647,7 @@ cent_term AS (
   JOIN {civf} cc ON cc.j = qp.cid AND cc.p = e.s * {sub} + e.p
   GROUP BY e.vec_id, qp.cid
 ),
-adc AS (
+adc AS MATERIALIZED (
   SELECT l.query_id, e.vec_id AS neighbor_id,
          sum(l.l) + min(ct.ct) AS approx
   FROM enc e
@@ -657,7 +657,7 @@ adc AS (
   WHERE e.vec_id <> l.query_id
   GROUP BY l.query_id, e.vec_id
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
@@ -682,7 +682,7 @@ def semantic_dedup_learned_oracle(
 WITH {_unit_ctes(dim)},
 {_ivf_ctes(dim, 'TRUE')},
 {_assign_ctes('cassign', 'TRUE', civf, dim, 1)},
-e AS (
+e AS MATERIALIZED (
   SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v, ca.cid
   FROM embeddings em JOIN cassign ca USING (vec_id)
 )

@@ -43,28 +43,28 @@ def simhash_neardup_oracle(max_hamming: int = 3, bits: int = 64) -> str:
         for i in range(bits)
     )
     return f"""
-WITH dtoks AS (
+WITH dtoks AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_filter(
     string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))) AS tok
   FROM documents WHERE text IS NOT NULL
 ),
-toks AS (SELECT DISTINCT tok FROM dtoks),
-tokh AS ({tok_hash}),
-votes AS (
+toks AS MATERIALIZED (SELECT DISTINCT tok FROM dtoks),
+tokh AS MATERIALIZED ({tok_hash}),
+votes AS MATERIALIZED (
   SELECT d.doc_id, {votes}
   FROM dtoks d JOIN tokh USING (tok) GROUP BY d.doc_id
 ),
-fps AS (
+fps AS MATERIALIZED (
   SELECT doc_id, {fp} AS fp FROM votes
   UNION ALL
   SELECT doc_id, CAST(0 AS UBIGINT) AS fp FROM documents
   WHERE doc_id NOT IN (SELECT doc_id FROM votes)
 ),
-blocks AS (
+blocks AS MATERIALIZED (
   SELECT doc_id, i AS block_idx, (fp >> ({width} * i)) & {mask} AS block_val
   FROM fps, (SELECT unnest(range({nblocks})) AS i)
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM blocks a JOIN blocks b
     ON a.block_idx = b.block_idx AND a.block_val = b.block_val
@@ -119,7 +119,7 @@ def _minhash_pair_ctes(num_perm: int, shingle_n: int, bands: int) -> tuple[str, 
         f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
-    body = f"""tokpos AS (
+    body = f"""tokpos AS MATERIALIZED (
   SELECT doc_id, u.pos, u.tok
   FROM (
     SELECT doc_id,
@@ -129,27 +129,27 @@ def _minhash_pair_ctes(num_perm: int, shingle_n: int, bands: int) -> tuple[str, 
     SELECT generate_subscripts(l, 1) AS pos, unnest(l) AS tok
   ) u
 ),
-toks AS (SELECT DISTINCT tok FROM tokpos),
-tokh AS ({tok_hash}),
-ex AS (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
-leads AS (
+toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokpos),
+tokh AS MATERIALIZED ({tok_hash}),
+ex AS MATERIALIZED (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
+leads AS MATERIALIZED (
   SELECT doc_id, pos, th AS th0,
          lead(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th1,
          lead(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th2
   FROM ex
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, th0,
          coalesce(th1, CAST(0 AS UBIGINT)) AS th1c,
          coalesce(th2, CAST(0 AS UBIGINT)) AS th2c
   FROM leads WHERE th2 IS NOT NULL OR pos = 1
 ),
-comb AS ({shingle}),
-base AS (SELECT DISTINCT doc_id, {X.pmod31('ch')} AS h FROM comb),
-sigs AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
-sig_arr AS (SELECT doc_id, {sig_list} AS sig FROM sigs),
-bands AS ({band_chain}),
-cand AS (
+comb AS MATERIALIZED ({shingle}),
+base AS MATERIALIZED (SELECT DISTINCT doc_id, {X.pmod31('ch')} AS h FROM comb),
+sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+sig_arr AS MATERIALIZED (SELECT doc_id, {sig_list} AS sig FROM sigs),
+bands AS MATERIALIZED ({band_chain}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
   FROM bands a JOIN bands bb
     ON a.b = bb.b AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
@@ -204,13 +204,13 @@ def lfmis_walk_sql(out_col: str) -> str:
     greedy within batch is id-ascending). Even-even pairs are dropped —
     the seed corpus is accepted unconditionally."""
     return """
-dir_edges AS (
+dir_edges AS MATERIALIZED (
   SELECT CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_a ELSE id_b END AS v,
          CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_b ELSE id_a END AS u
   FROM edges
   WHERE id_a % 2 = 1 OR id_b % 2 = 1
 ),
-preds AS (SELECT v AS id, list(u) AS ps FROM dir_edges GROUP BY v),
+preds AS MATERIALIZED (SELECT v AS id, list(u) AS ps FROM dir_edges GROUP BY v),
 walk AS (
   SELECT 0 AS rnd, n.id, coalesce(p.ps, []) AS ps,
          CASE WHEN n.id % 2 = 0 THEN 'a' ELSE 'u' END AS st
@@ -251,18 +251,18 @@ def _cdc_chunk_ctes(window: int = 16, mask_bits: int = 6) -> str:
     chunk_hash = X.render_select(
         X.str_hash_cols("tok", "ch"), ["ch"], "cdist", passthrough=["tok"]
     )
-    return f"""d AS (
+    return f"""d AS MATERIALIZED (
   SELECT doc_id, lang, text FROM documents
   WHERE text IS NOT NULL AND length(text) > 0
 ),
-chars AS (
+chars AS MATERIALIZED (
   SELECT doc_id, u.i AS pos, substring(text, u.i, 1) AS tok
   FROM d, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u
 ),
-alpha AS (SELECT DISTINCT tok FROM chars),
-gearh AS ({tok_hash}),
-gc AS (SELECT doc_id, pos, th FROM chars JOIN gearh USING (tok)),
-hh AS (
+alpha AS MATERIALIZED (SELECT DISTINCT tok FROM chars),
+gearh AS MATERIALIZED ({tok_hash}),
+gc AS MATERIALIZED (SELECT doc_id, pos, th FROM chars JOIN gearh USING (tok)),
+hh AS MATERIALIZED (
   SELECT a.doc_id, a.pos,
          CAST(sum(CAST(b.th AS HUGEINT)
                   * CAST(CAST(1 AS BIGINT) << (a.pos - b.pos) AS HUGEINT))
@@ -271,26 +271,26 @@ hh AS (
     ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos - {window - 1} AND a.pos
   GROUP BY a.doc_id, a.pos
 ),
-starts AS (
+starts AS MATERIALIZED (
   SELECT doc_id, 1 AS st FROM d
   UNION ALL
   SELECT h.doc_id, h.pos + 1 AS st
   FROM hh h JOIN d USING (doc_id)
   WHERE h.h % {mod} = 0 AND h.pos < length(d.text)
 ),
-chunks AS (
+chunks AS MATERIALIZED (
   SELECT doc_id, st,
          coalesce(lead(st) OVER (PARTITION BY doc_id ORDER BY st),
                   len + 1) - st AS clen
   FROM (SELECT s.doc_id, s.st, length(d.text) AS len
         FROM starts s JOIN d USING (doc_id))
 ),
-ctext AS (
+ctext AS MATERIALIZED (
   SELECT c.doc_id, d.lang, substring(d.text, c.st, c.clen) AS tok, c.clen
   FROM chunks c JOIN d USING (doc_id)
 ),
-cdist AS (SELECT DISTINCT tok FROM ctext),
-chashed AS ({chunk_hash})"""
+cdist AS MATERIALIZED (SELECT DISTINCT tok FROM ctext),
+chashed AS MATERIALIZED ({chunk_hash})"""
 
 
 def winnow_overlap_oracle(
@@ -325,7 +325,7 @@ def winnow_overlap_oracle(
         f"coalesce(th{i}, CAST(0 AS UBIGINT)) AS th{i}c" for i in range(1, k)
     )
     return f"""
-WITH tokpos AS (
+WITH tokpos AS MATERIALIZED (
   SELECT doc_id, u.pos, u.tok
   FROM (
     SELECT doc_id,
@@ -335,31 +335,31 @@ WITH tokpos AS (
     SELECT generate_subscripts(l, 1) AS pos, unnest(l) AS tok
   ) u
 ),
-toks AS (SELECT DISTINCT tok FROM tokpos),
-tokh AS ({tok_hash}),
-ex AS (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
-leads AS (
+toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokpos),
+tokh AS MATERIALIZED ({tok_hash}),
+ex AS MATERIALIZED (SELECT doc_id, pos, th FROM tokpos JOIN tokh USING (tok)),
+leads AS MATERIALIZED (
   SELECT doc_id, pos, th AS th0, {lead_cols}
   FROM ex
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, pos, th0, {pad_cols}
   FROM leads WHERE th{k - 1} IS NOT NULL OR pos = 1
 ),
-grams AS ({gram}),
-winfp AS (
+grams AS MATERIALIZED ({gram}),
+winfp AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          min({X.signed('gh')}) OVER (
            PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
   FROM grams
 ),
-ok AS (
+ok AS MATERIALIZED (
   SELECT fp FROM winfp GROUP BY fp
   HAVING count(*) BETWEEN 2 AND {max_df}
 ),
-f2 AS (SELECT doc_id, fp FROM winfp JOIN ok USING (fp)),
-pairs AS (
+f2 AS MATERIALIZED (SELECT doc_id, fp FROM winfp JOIN ok USING (fp)),
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS BIGINT) AS shared_fps
   FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -377,7 +377,7 @@ def cdc_chunk_stats_oracle(window: int = 16, mask_bits: int = 6) -> str:
     plus the engine's two-phase (lang, hash) rollup."""
     return f"""
 WITH {_cdc_chunk_ctes(window, mask_bits)},
-per_hash AS (
+per_hash AS MATERIALIZED (
   SELECT t.lang, h.ch, count(*) AS dups, max(t.clen) AS clen
   FROM ctext t JOIN chashed h USING (tok)
   GROUP BY t.lang, h.ch
@@ -406,23 +406,23 @@ def stream_cdc_chunk_store_oracle(
     write no ledger row (engine skips the stats partition)."""
     return f"""
 WITH {_cdc_chunk_ctes(window, mask_bits)},
-par AS (
+par AS MATERIALIZED (
   SELECT CAST((max(doc_id) + {n_slices}) // {n_slices} + 1 AS BIGINT) AS csz
   FROM documents WHERE doc_id % 2 = 1
 ),
-brows AS (
+brows AS MATERIALIZED (
   SELECT CASE WHEN t.doc_id % 2 = 0 THEN CAST(-1 AS BIGINT)
               ELSE CAST(t.doc_id // par.csz AS BIGINT) END AS batch_id,
          h.ch AS h, t.clen
   FROM ctext t JOIN chashed h USING (tok) CROSS JOIN par
 ),
-firsts AS (SELECT h, min(batch_id) AS batch_id, max(clen) AS clen
+firsts AS MATERIALIZED (SELECT h, min(batch_id) AS batch_id, max(clen) AS clen
            FROM brows GROUP BY h),
-per_batch AS (
+per_batch AS MATERIALIZED (
   SELECT batch_id, count(*) AS n_chunks, sum(clen) AS chars_total
   FROM brows GROUP BY batch_id
 ),
-news AS (
+news AS MATERIALIZED (
   SELECT batch_id, count(*) AS n_new_chunks, sum(clen) AS chars_new
   FROM firsts GROUP BY batch_id
 )
@@ -453,13 +453,13 @@ def incremental_neardup_oracle(
     body, agree = _minhash_pair_ctes(num_perm, shingle_n, bands)
     return f"""
 WITH RECURSIVE {body},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS id_a, doc_b AS id_b
   FROM cand c
   JOIN sig_arr sa ON sa.doc_id = c.doc_a
   JOIN sig_arr sb ON sb.doc_id = c.doc_b
   WHERE ({agree}) / {float(num_perm)} >= {threshold}
 ),
-nodes AS (SELECT doc_id AS id FROM sig_arr),
+nodes AS MATERIALIZED (SELECT doc_id AS id FROM sig_arr),
 {lfmis_walk_sql("doc_id")}
 """
