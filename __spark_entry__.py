@@ -43,6 +43,11 @@ from reddit_etl_pipeline_spark.streaming import stream as ST
 from reddit_etl_pipeline_spark import ann_oracles as AO
 from reddit_etl_pipeline_spark import neardup_oracles as NO
 
+# Shared star-based connected-components oracle chain (consumes a
+# ``pairs(doc_a, doc_b)`` CTE, yields ``rep(doc_id, rep_id)``): the
+# closure-free replay used by the three CC-family oracles below.
+NO_CC_STAR = NO.cc_star_member_ctes()
+
 from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1940,18 +1945,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS MATERIALIZED (
-              SELECT doc_a AS s, doc_b AS d FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ), walk(n, m) AS (
-              SELECT s, s FROM edges
-              UNION
-              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
-            )
-            SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+            ), {NO_CC_STAR}
+            SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
             FROM documents d
-            LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
-              ON c.n = d.doc_id
+            LEFT JOIN rep c ON c.doc_id = d.doc_id
         """,
         "corpus_mix": f"""
             SELECT source, count(*) AS n_kept,
@@ -1960,7 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % (CASE WHEN source LIKE 'src0%' THEN 2 ELSE 5 END) = 0
             GROUP BY source
         """,
-        # same recursive-CTE cluster walk as neardup_clusters, plus the
+        # same star-based cluster chain as neardup_clusters, plus the
         # quality expression (dq_report's) and per-cluster argmax on
         # (quality DESC, doc_id ASC) — mirrors max(struct(quality, -id))
         "neardup_canonical": f"""
@@ -1980,15 +1977,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS MATERIALIZED (
-              SELECT doc_a AS s, doc_b AS d FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ), walk(n, m) AS (
-              SELECT s, s FROM edges
-              UNION
-              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
-            ), memb AS MATERIALIZED (
-              SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id,
+            ), {NO_CC_STAR}, memb AS MATERIALIZED (
+              SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id,
                      coalesce(
                        round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
                            + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
@@ -1997,8 +1987,7 @@ def oracle_sql() -> dict[str, str]:
                                     / greatest(length(text), 1), 1.0)), 6),
                        -1.0) AS quality
               FROM documents d
-              LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
-                ON c.n = d.doc_id
+              LEFT JOIN rep c ON c.doc_id = d.doc_id
             ), best AS (
               SELECT rep_id, doc_id AS canonical_id FROM (
                 SELECT rep_id, doc_id,
@@ -2599,18 +2588,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.did = doc_a
               JOIN sizes sb ON sb.did = doc_b
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), edges AS MATERIALIZED (
-              SELECT doc_a AS s, doc_b AS d FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ), walk(n, m) AS (
-              SELECT s, s FROM edges
-              UNION
-              SELECT w.n, e.d FROM walk w JOIN edges e ON w.m = e.s
-            ), reps AS (
-              SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+            ), {NO_CC_STAR}, reps AS (
+              SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
               FROM documents d
-              LEFT JOIN (SELECT n, min(m) AS rep FROM walk GROUP BY n) c
-                ON c.n = d.doc_id
+              LEFT JOIN rep c ON c.doc_id = d.doc_id
             ), scored AS (
               SELECT doc_id,
                      CASE

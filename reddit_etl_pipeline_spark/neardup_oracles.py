@@ -1,18 +1,24 @@
-"""DuckDB oracle SQL for the MinHash-LSH and SimHash near-dup queries.
+"""DuckDB oracle SQL for the hash-based dedup/fingerprint queries:
+MinHash-LSH and SimHash near-dup pairs, the streaming greedy corpus
+builds (recursive LFMIS walk), content-defined chunking (Gear rolling
+hash), and winnowing passage overlap.
 
 These replay the engine's pipelines EXACTLY — Spark ``xxhash64`` (via
 ``xxh64_sql``'s bit-exact SQL replay), the same tokenization, the same
 permutation family, banding, pigeonhole blocks, and thresholds — so the
 driver's value-hash compare can check the approximate near-dup operators
-the same way it checks the exact ones. Before round 5 both queries were
+the same way it checks the exact ones. Before round 5 these were
 declared rows-only ("engine-specific hashing"); the hashing is in fact
 deterministic, so the right fix was to make the oracle speak it.
 
 Layout notes: every variable-length hash or fixed chain renders through
 ``xxh64_sql.render_select`` (one nested subquery per step — see that
-module for why lateral aliases would blow up the binder), and the
-per-bit / per-slot unrolls mirror the engine's own unrolled codegen
-columns (dedup.simhash_fingerprints / minhash_signatures).
+module for why lateral aliases would blow up the binder), the per-bit /
+per-slot unrolls mirror the engine's own unrolled codegen columns
+(dedup.simhash_fingerprints / minhash_signatures), and every CTE is
+``AS MATERIALIZED`` — DuckDB 1.0 inlines plain CTEs at each reference,
+which turns multi-reference chains exponential (see the round-5
+materialization commit).
 """
 
 from __future__ import annotations
@@ -291,6 +297,73 @@ ctext AS MATERIALIZED (
 ),
 cdist AS MATERIALIZED (SELECT DISTINCT tok FROM ctext),
 chashed AS MATERIALIZED ({chunk_hash})"""
+
+
+def cc_star_member_ctes(rounds: int = 34, pairs_cte: str = "pairs") -> str:
+    """Connected components as unrolled alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — CTE text from ``e0`` through ``rep``
+    (doc_id, rep_id = component minimum), expecting ``pairs_cte`` to
+    provide (doc_a, doc_b) with doc_a < doc_b.
+
+    This replaces the recursive transitive-closure walk the CC oracles
+    used before: the closure materializes every reachable (n, m) pair —
+    quadratic in duplicate-clique membership, unusable at sf0.1's 964 k
+    near-dup pairs — while each star round rewrites the edge set in
+    O(E) and converges to per-component stars centered at the minimum
+    in ~1.4·log2(n) alternating rounds (measured on shuffled-path
+    worst cases; the published bound is O(log² n)). ``rounds`` unrolls
+    with headroom (34 ≳ 2·log2(8192) + 8) and converged rounds are
+    no-ops. Insurance against a pathological input exceeding the
+    unroll: ``nonstar`` counts the two non-fixpoint shapes — edges whose
+    larger endpoint still centers edges of its own (chains), and nodes
+    attached to more than one center (shared leaves). Zero of both ⇒
+    disjoint stars, which IS the fixpoint (star ops leave a star
+    unchanged) and has one star per component (the ops preserve
+    connectivity), centered at the component minimum. If either
+    remains, every rep_id is poisoned to −1 (an impossible doc id, NOT
+    NULL — callers coalesce NULL away for isolated docs) so the
+    driver's hash compare fails LOUDLY instead of accepting a
+    partially-converged labeling."""
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM {pairs_cte})"""
+    ]
+    cur = "e0"
+    for i in range(rounds):
+        if i % 2 == 0:  # large-star: larger neighbors attach to the min
+            parts.append(f""",
+nb{i} AS MATERIALIZED (SELECT u AS c, v AS x FROM {cur}
+          UNION ALL SELECT v, u FROM {cur}),
+mn{i} AS MATERIALIZED (SELECT c, least(c, min(x)) AS m FROM nb{i} GROUP BY c),
+e{i + 1} AS MATERIALIZED (
+  SELECT DISTINCT least(n.x, s.m) AS u, greatest(n.x, s.m) AS v
+  FROM nb{i} n JOIN mn{i} s USING (c)
+  WHERE n.x > n.c AND n.x <> s.m)""")
+        else:  # small-star: smaller neighbors (and the center) attach
+            parts.append(f""",
+nb{i} AS MATERIALIZED (SELECT u AS c, v AS x FROM {cur}
+          UNION ALL SELECT v, u FROM {cur}),
+mn{i} AS MATERIALIZED (SELECT c, least(c, min(x)) AS m FROM nb{i} GROUP BY c),
+e{i + 1} AS MATERIALIZED (
+  SELECT DISTINCT least(t.x, t.m) AS u, greatest(t.x, t.m) AS v
+  FROM (SELECT n.c, n.x, s.m FROM nb{i} n JOIN mn{i} s USING (c)
+        WHERE n.x < n.c
+        UNION ALL SELECT c, c, m FROM mn{i}) t
+  WHERE t.x <> t.m)""")
+        cur = f"e{i + 1}"
+    parts.append(f""",
+nonstar AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM {cur} a JOIN {cur} b ON a.v = b.u)
+       + (SELECT count(*) FROM (SELECT v FROM {cur}
+                                GROUP BY v HAVING count(DISTINCT u) > 1)) AS n),
+rep AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN (SELECT n FROM nonstar) > 0 THEN -1
+              ELSE min(rep_id) END AS rep_id
+  FROM (SELECT v AS doc_id, u AS rep_id FROM {cur}
+        UNION ALL SELECT u, u FROM {cur})
+  GROUP BY doc_id)""")
+    return "".join(parts)
 
 
 def winnow_overlap_oracle(
