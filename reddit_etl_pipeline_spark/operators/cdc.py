@@ -76,11 +76,14 @@ def cdc_chunks(
     id_col: str = "doc_id",
     window: int = 16,
     mask_bits: int = 6,
+    rolling_block: int = 1 << 16,
 ) -> DataFrame:
     """(id, chunk_idx, start, chunk) rows — ``start`` 1-based in
     characters, chunks concatenate back to the document. NULL and empty
     texts yield no rows. Map-only Arrow; one uint64 sliding-window dot
-    product per document."""
+    product per document (documents longer than ``rolling_block``
+    compute it in overlapping blocks — identical values, bounded
+    transient memory)."""
     import numpy as np
     import pandas as pd
 
@@ -94,10 +97,30 @@ def cdc_chunks(
     )
     zpad = np.zeros(w - 1, dtype="uint64")
     gmap = {c: np.uint64(v) for c, v in gear.items()}
+    # the windowed product materializes a (block x w) uint64 matrix; a
+    # very long document would otherwise allocate len(text) x w x 8 B at
+    # once (1.3 GB for a 10 MB doc at w=16), so the rolling state is
+    # computed in fixed blocks with w-1 characters of overlap — values
+    # identical, transient memory bounded at rolling_block x w x 8 B
+    block = max(rolling_block, w)
 
-    def run(batches):
+    def _rolling(g):
         from numpy.lib.stride_tricks import sliding_window_view
 
+        gp = np.concatenate([zpad, g])
+        if len(g) <= block:
+            return (sliding_window_view(gp, w) * pow2).sum(
+                axis=1, dtype="uint64"
+            )
+        out = np.empty(len(g), dtype="uint64")
+        for st in range(0, len(g), block):
+            en = min(st + block, len(g))
+            # gp[st : en + w - 1] covers windows ending at st..en-1
+            seg = sliding_window_view(gp[st : en + w - 1], w)
+            out[st:en] = (seg * pow2).sum(axis=1, dtype="uint64")
+        return out
+
+    def run(batches):
         for pdf in batches:
             out_id, out_idx, out_start, out_chunk = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -114,8 +137,7 @@ def cdc_chunks(
                         f"it from a superset corpus via gear_table(), or "
                         f"pass gear=None to derive it from this DataFrame"
                     ) from None
-                win = sliding_window_view(np.concatenate([zpad, g]), w)
-                h = (win * pow2).sum(axis=1, dtype="uint64")  # wraps mod 2^64
+                h = _rolling(g)  # uint64 wrap == mod 2^64
                 bnd = np.flatnonzero((h & np.uint64(mask)) == 0)
                 starts = [0] + [int(b) + 1 for b in bnd if b + 1 < len(text)]
                 for ci, st in enumerate(starts):

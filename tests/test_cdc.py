@@ -129,6 +129,23 @@ def test_stream_chunk_store_ledger_consistency(spark, tmp_path):
     )
 
 
+def test_blocked_rolling_equals_single_shot(spark):
+    """Long-document memory guard: computing the rolling state in
+    overlapping blocks must yield byte-identical chunks to the
+    single-shot windowed product."""
+    texts = [_mk_text(3000, seed=s) for s in range(3)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    one = cdc.cdc_chunks(df).orderBy("doc_id", "chunk_idx").collect()
+    blk = (
+        cdc.cdc_chunks(df, rolling_block=37)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in blk]
+
+
 def test_gear_table_is_alphabet_bounded(spark):
     df = spark.createDataFrame([(1, "aabbc"), (2, "cbade")], "doc_id long, text string")
     g = cdc.gear_table(df)
