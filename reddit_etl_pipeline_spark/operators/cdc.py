@@ -96,7 +96,12 @@ def cdc_chunks(
         "uint64"
     )
     zpad = np.zeros(w - 1, dtype="uint64")
-    gmap = {c: np.uint64(v) for c, v in gear.items()}
+    # vectorized char -> gear lookup: sorted codepoint table + searchsorted
+    # (a per-character Python dict loop dominated executor CPU at 100x)
+    _cps = np.array(sorted(ord(c) for c in gear), dtype="uint32")
+    _vals = np.array(
+        [gear[chr(cp)] for cp in _cps.tolist()], dtype="uint64"
+    )
     # the windowed product materializes a (block x w) uint64 matrix; a
     # very long document would otherwise allocate len(text) x w x 8 B at
     # once (1.3 GB for a 10 MB doc at w=16), so the rolling state is
@@ -126,17 +131,25 @@ def cdc_chunks(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None or len(text) == 0:
                     continue
-                try:
-                    g = np.fromiter(
-                        (gmap[ch] for ch in text), dtype="uint64", count=len(text)
-                    )
-                except KeyError as e:
+                arr = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype("uint32", copy=False)
+                idx = np.searchsorted(_cps, arr)
+                idx_c = np.minimum(idx, max(len(_cps) - 1, 0))
+                miss = (
+                    np.ones(len(arr), dtype=bool)
+                    if len(_cps) == 0
+                    else (idx >= len(_cps)) | (_cps[idx_c] != arr)
+                )
+                if miss.any():
+                    ch = chr(int(arr[int(np.argmax(miss))]))
                     raise ValueError(
-                        f"cdc_chunks: character {e.args[0]!r} (doc {did}) "
-                        f"is missing from the supplied gear table; derive "
-                        f"it from a superset corpus via gear_table(), or "
-                        f"pass gear=None to derive it from this DataFrame"
-                    ) from None
+                        f"cdc_chunks: character {ch!r} (doc {did}) is "
+                        f"missing from the supplied gear table; derive it "
+                        f"from a superset corpus via gear_table(), or pass "
+                        f"gear=None to derive it from this DataFrame"
+                    )
+                g = _vals[idx_c]
                 h = _rolling(g)  # uint64 wrap == mod 2^64
                 bnd = np.flatnonzero((h & np.uint64(mask)) == 0)
                 starts = [0] + [int(b) + 1 for b in bnd if b + 1 < len(text)]

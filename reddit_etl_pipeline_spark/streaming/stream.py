@@ -23,6 +23,7 @@ from .bounded import (  # noqa: F401
     scratch_dir,
     stage_bounded_stream,
 )
+from ..operators.similarity import _free_local_checkpoint
 
 
 def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -742,7 +743,7 @@ def dedup_batch_against_index(
     accepted.select("fp").write.mode("overwrite").parquet(
         f"{index_path}/batch_id={batch_id}"
     )
-    accepted.unpersist()  # free this batch's checkpoint blocks
+    _free_local_checkpoint(accepted)  # free this batch's checkpoint blocks
 
 
 def streamed_incremental_dedup(
@@ -777,28 +778,52 @@ def streamed_incremental_dedup(
         nullable_fingerprint("text").alias("fp")
     ).distinct().write.mode("overwrite").parquet(f"{index_path}/batch_id=-1")
 
-    hi = new.agg(F.max("doc_id")).first()[0]
-    if hi is None:
+    def merge(b: DataFrame, batch_id: int) -> None:
+        dedup_batch_against_index(b, batch_id, index_path, accepted_path)
+
+    if not _drain_id_sliced_stream(
+        spark, new, "doc_id", n_slices, "inc_dedup_", merge
+    ):
         # no candidate docs at all: nothing to stream, nothing accepted
         return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(accepted_path).select("doc_id")
+
+
+def _drain_id_sliced_stream(
+    spark: SparkSession,
+    new: DataFrame,
+    id_col: str,
+    n_slices: int,
+    prefix: str,
+    merge,
+) -> bool:
+    """Shared scaffolding of the four bounded incremental-build drivers
+    (exact dedup, MinHash near-dup, embedding near-dup, CDC chunk
+    store): slice the candidate table into ``n_slices`` CONTIGUOUS
+    id ranges delivered in order (file-source batches are
+    mtime-ordered, so streaming first-arrival equals the id-order
+    policy every build's oracle replays), stage them as a bounded file
+    stream, and drain through ``foreachBatch(merge)`` under a reduced
+    shuffle-partition count. Returns False — staging nothing — when
+    there are no candidate rows, so each caller can return its own
+    empty shape."""
+    hi = new.agg(F.max(id_col)).first()[0]
+    if hi is None:
+        return False
     chunk = (int(hi) + n_slices) // n_slices + 1
     slices = [
         new.filter(
-            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
+            (F.col(id_col) >= i * chunk) & (F.col(id_col) < (i + 1) * chunk)
         )
         for i in range(n_slices)
     ]
-    src_dir = stage_bounded_stream(slices, prefix="inc_dedup_stream_")
+    src_dir = stage_bounded_stream(slices, prefix=f"{prefix}stream_")
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-
-    def merge(b: DataFrame, batch_id: int) -> None:
-        dedup_batch_against_index(b, batch_id, index_path, accepted_path)
-
-    chk = scratch_dir("inc_dedup_chk_")
+    chk = scratch_dir(f"{prefix}chk_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -813,7 +838,7 @@ def streamed_incremental_dedup(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(accepted_path).select("doc_id")
+    return True
 
 
 def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -995,9 +1020,11 @@ def neardup_batch_against_index(
     ).parquet(f"{band_index_path}/batch_id={batch_id}")
     # free this batch's checkpoints: over a long run, per-batch blocks
     # left pinned in the block manager grow without bound (the
-    # split_hot_buckets round-4 advice pattern, applied per micro-batch)
+    # split_hot_buckets round-4 advice pattern, applied per micro-batch).
+    # DataFrame.unpersist() is a CacheManager call that does NOT touch
+    # localCheckpoint blocks — the RDD-level release is required.
     for df_ in (accepted, survivors, my_bands, sigs):
-        df_.unpersist()
+        _free_local_checkpoint(df_)
 
 
 def streamed_incremental_neardup(
@@ -1038,45 +1065,17 @@ def streamed_incremental_neardup(
     _banded_sigs(seed_sigs, bands, num_perm // bands).write.mode(
         "overwrite"
     ).parquet(f"{sig_index_path}_bands/batch_id=-1")
-    seed_sigs.unpersist()
-
-    hi = new.agg(F.max("doc_id")).first()[0]
-    if hi is None:
-        return spark.createDataFrame([], "doc_id long")
-    chunk = (int(hi) + n_slices) // n_slices + 1
-    slices = [
-        new.filter(
-            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
-        )
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="inc_neardup_stream_")
-    stream = (
-        spark.readStream.schema(new.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    _free_local_checkpoint(seed_sigs)
 
     def merge(b: DataFrame, batch_id: int) -> None:
         neardup_batch_against_index(
             b, batch_id, sig_index_path, accepted_path, threshold=threshold
         )
 
-    chk = scratch_dir("inc_neardup_chk_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not _drain_id_sliced_stream(
+        spark, new, "doc_id", n_slices, "inc_neardup_", merge
+    ):
+        return spark.createDataFrame([], "doc_id long")
     return spark.read.parquet(accepted_path).select("doc_id")
 
 
@@ -1234,7 +1233,7 @@ def embedding_neardup_batch_against_index(
     ).parquet(f"{bucket_index_path}/batch_id={batch_id}")
     # free this batch's checkpoints (see neardup_batch_against_index)
     for df_ in (accepted, survivors, my_buckets, vecs):
-        df_.unpersist()
+        _free_local_checkpoint(df_)
 
 
 def streamed_incremental_embedding_neardup(
@@ -1274,24 +1273,7 @@ def streamed_incremental_embedding_neardup(
     lsh_bucket_table(
         seed, dim, n_planes, id_col="did", vec_col="vec"
     ).write.mode("overwrite").parquet(f"{vec_index_path}_buckets/batch_id=-1")
-    seed.unpersist()
-
-    hi = new.agg(F.max("vec_id")).first()[0]
-    if hi is None:
-        return spark.createDataFrame([], "vec_id long")
-    chunk = (int(hi) + n_slices) // n_slices + 1
-    slices = [
-        new.filter(
-            (F.col("vec_id") >= i * chunk) & (F.col("vec_id") < (i + 1) * chunk)
-        )
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="inc_embdup_stream_")
-    stream = (
-        spark.readStream.schema(new.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    _free_local_checkpoint(seed)
 
     def merge(b: DataFrame, batch_id: int) -> None:
         embedding_neardup_batch_against_index(
@@ -1299,21 +1281,10 @@ def streamed_incremental_embedding_neardup(
             dim=dim, threshold=threshold, n_planes=n_planes,
         )
 
-    chk = scratch_dir("inc_embdup_chk_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not _drain_id_sliced_stream(
+        spark, new, "vec_id", n_slices, "inc_embdup_", merge
+    ):
+        return spark.createDataFrame([], "vec_id long")
     return spark.read.parquet(accepted_path).select("vec_id")
 
 
@@ -1370,7 +1341,7 @@ def cdc_batch_against_store(
         F.sum("dups").alias("n"), F.sum(F.col("dups") * F.col("clen")).alias("c")
     ).first()
     if not tot["n"]:
-        mine.unpersist()
+        _free_local_checkpoint(mine)
         return None
     idx = _read_index_or_none(spark, chunk_index_path)
     new = mine
@@ -1385,8 +1356,8 @@ def cdc_batch_against_store(
     new.select("h", "clen").write.mode("overwrite").parquet(
         f"{chunk_index_path}/batch_id={batch_id}"
     )
-    new.unpersist()  # free this batch's checkpoint blocks
-    mine.unpersist()
+    _free_local_checkpoint(new)  # free this batch's checkpoint blocks
+    _free_local_checkpoint(mine)
     return (int(tot["n"]), int(ns["n"] or 0), int(tot["c"]), int(ns["c"] or 0))
 
 
@@ -1433,43 +1404,12 @@ def streamed_cdc_chunk_store(
             [(b, *ledger[b]) for b in sorted(ledger)], out_schema
         )
 
-    hi = new.agg(F.max("doc_id")).first()[0]
-    if hi is None:
-        return _ledger_df()
-    chunk = (int(hi) + n_slices) // n_slices + 1
-    slices = [
-        new.filter(
-            (F.col("doc_id") >= i * chunk) & (F.col("doc_id") < (i + 1) * chunk)
-        )
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="cdc_store_stream_")
-    stream = (
-        spark.readStream.schema(new.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-
     def merge(b: DataFrame, batch_id: int) -> None:
         r = cdc_batch_against_store(b, batch_id, chunk_index_path, gear=gear)
         if r is not None:
             ledger[batch_id] = r
 
-    chk = scratch_dir("cdc_store_chk_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _drain_id_sliced_stream(spark, new, "doc_id", n_slices, "cdc_store_", merge)
     return _ledger_df()
 
 

@@ -83,11 +83,9 @@ def test_chunk_stats_on_duplicated_corpus(spark):
     )
     rows = {r["lang"]: r for r in cdc.cdc_chunk_stats(df).collect()}
     en, de = rows["en"], rows["de"]
-    # doc 2 duplicates doc 1: every chunk duplicated at least once
-    assert en["chars_total"] == 2 * en["chars_unique"] or (
-        # unless t1 already self-duplicates chunks; then strictly more
-        en["chars_total"] > 2 * en["chars_unique"] - 1
-    )
+    # doc 2 duplicates doc 1: every chunk appears at least twice, so the
+    # stored (unique) chars are at most half the total
+    assert en["chars_total"] >= 2 * en["chars_unique"]
     assert en["n_chunks"] >= 2 * en["n_unique_chunks"]
     assert en["dup_char_frac"] >= 0.5
     assert de["n_chunks"] >= de["n_unique_chunks"]
@@ -144,6 +142,26 @@ def test_blocked_rolling_equals_single_shot(spark):
         .collect()
     )
     assert [tuple(r) for r in one] == [tuple(r) for r in blk]
+
+
+def test_stream_build_frees_checkpoint_blocks(spark, tmp_path):
+    """Regression for the round-5 review finding: DataFrame.unpersist()
+    is a CacheManager call and does NOT release localCheckpoint blocks,
+    so the per-batch frees must go through the RDD-level
+    _free_local_checkpoint. A bounded run (seed + 3 batches, two
+    checkpoints each) must not leave its per-batch RDDs pinned in the
+    block manager."""
+    from reddit_etl_pipeline_spark.streaming import stream as st
+
+    df = spark.createDataFrame(
+        [(i, _mk_text(400, seed=i % 4)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    st.streamed_cdc_chunk_store(spark, str(tmp_path)).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 0, (before, after)
 
 
 def test_gear_table_is_alphabet_bounded(spark):
