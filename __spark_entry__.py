@@ -2007,7 +2007,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, doc_id, n_tokens,
                      sum(n_tokens) OVER (
                        PARTITION BY lang
-                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ORDER BY ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296, doc_id
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
               FROM counted
             )
@@ -2466,9 +2466,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "train_val_test_split": f"""
             WITH s AS (
-              SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 5
+              SELECT CASE WHEN ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 % 100 < 5
                           THEN 'test'
-                          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                          WHEN ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 % 100 < 10
                           THEN 'val'
                           ELSE 'train' END AS split,
                      lang,
@@ -2481,8 +2481,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shard_manifest": f"""
             WITH s AS (
-              SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard_id,
-                     len({_TOKENS}) AS n_tokens,
+              SELECT ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 % 16 AS shard_id,
+                     coalesce(len({_TOKENS}), 0) AS n_tokens,
                      length(text) AS n_chars
               FROM documents
             )
@@ -2494,7 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sequence_pack": f"""
             WITH d AS (
-              SELECT doc_id, source, len({_TOKENS}) AS n_tokens FROM documents
+              SELECT doc_id, source, coalesce(len({_TOKENS}), 0) AS n_tokens FROM documents
             ), a AS (
               SELECT source, n_tokens,
                      CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -2511,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lang,
                      row_number() OVER (
                        PARTITION BY lang
-                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ORDER BY ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296, doc_id
                      ) AS rn
               FROM documents
             ) WHERE rn <= 20
@@ -2815,7 +2815,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+                     round(list_dot_product(a.v, b.v)
+                           / greatest(a.nrm * b.nrm, 1e-12), 6) AS sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             WHERE sim >= 0.4
         """,
@@ -3045,9 +3046,9 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ), kept AS (
               SELECT d.source, count(*) AS n_kept,
-                     CAST(sum(len({_TOKENS})) AS BIGINT) AS kept_tokens
+                     CAST(sum(coalesce(len({_TOKENS}), 0)) AS BIGINT) AS kept_tokens
               FROM documents d JOIN rates r ON d.source = r.source
-              WHERE (d.doc_id * 2654435761) % 4294967296 / 4294967296.0
+              WHERE ((((d.doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536 + ((d.doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 / 4294967296.0
                     < r.keep_rate
               GROUP BY d.source
             )
@@ -3361,7 +3362,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN EXISTS (
                      SELECT 1 FROM e b
                      WHERE b.cid = a.cid AND b.vec_id < a.vec_id
-                       AND list_cosine_similarity(a.v, b.v) >= 0.97
+                       AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.97
                    ) THEN 0 ELSE 1 END AS BIGINT) AS keep
             FROM e a
         """,

@@ -140,8 +140,8 @@ pv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddi
 sims AS MATERIALIZED (
   SELECT c.id_a, c.id_b,
          round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+               / greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6) AS sim
   FROM cand c
   JOIN pv a ON a.vec_id = c.id_a
   JOIN pv b ON b.vec_id = c.id_b
@@ -194,8 +194,9 @@ edges AS MATERIALIZED (
   JOIN pv a ON a.vec_id = c.id_a
   JOIN pv b ON b.vec_id = c.id_b
   WHERE round(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+              / greatest(sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+        >= {threshold}
 ),
 nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
 {lfmis_walk_sql("vec_id")}
@@ -690,7 +691,7 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
        CAST(CASE WHEN EXISTS (
          SELECT 1 FROM e b
          WHERE b.cid = a.cid AND b.vec_id < a.vec_id
-           AND list_cosine_similarity(a.v, b.v) >= {threshold}
+           AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
        ) THEN 0 ELSE 1 END AS BIGINT) AS keep
 FROM e a
 """

@@ -32,9 +32,32 @@ _KNUTH = 2654435761
 _MOD = 1 << 32
 
 
+def _ntok0(text_col: str) -> "F.Column":
+    """token_count with NULL text counted as 0 tokens — the convention
+    token_budget_sample documents; without it a NULL-text doc carries a
+    NULL n_tokens through the packing windows and surfaces as a NULL
+    group at a query boundary (CLAUDE.md type rules)."""
+    return F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+
+
 def scramble(col) -> "F.Column":
-    """Deterministic pseudo-random ordering key from an id column."""
-    return (F.col(col) if isinstance(col, str) else col) * _KNUTH % _MOD
+    """Deterministic pseudo-random ordering key from an id column.
+
+    Computed as (id * _KNUTH) mod 2^32 via a 16-bit split multiply so no
+    intermediate exceeds 2^49: the naive product overflows BIGINT for
+    ids >= 2^63 / _KNUTH (~3.5e9 — any snowflake/timestamp-derived id),
+    which throws under Spark's ANSI mode and silently wraps otherwise
+    while the DuckDB replay errors — a parity break exactly at corpus
+    scale. The id reduces mod 2^32 first ((a mod m)·k mod m == a·k mod
+    m), so values are unchanged for every id the old form could handle.
+    Division by 2^16 is exact in IEEE doubles (power-of-two divisor),
+    making floor() the true 16-bit shift. The SQL replays mirror this
+    split form verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = c % _MOD
+    xh = F.floor(x / F.lit(65536)).cast("long")
+    xl = x % F.lit(65536)
+    return ((xh * _KNUTH % 65536) * 65536 + xl * _KNUTH) % _MOD
 
 
 def pack_assignments(
@@ -55,7 +78,7 @@ def pack_assignments(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ntok = token_count(text_col)
+    ntok = _ntok0(text_col)
     return df.select(
         F.col(id_col), F.col(group_col), ntok.cast("long").alias("n_tokens")
     ).select(
@@ -210,7 +233,7 @@ def shard_manifest(
     — what a training-data writer emits alongside the shard files so
     loaders can plan epochs without re-scanning. One map-side-combined
     groupBy on the (tiny-cardinality) shard id."""
-    ntok = token_count(text_col)
+    ntok = _ntok0(text_col)
     return (
         shard_assignments(df, n_shards, id_col)
         .select(
@@ -261,7 +284,7 @@ def temperature_mix(
             6,
         ).alias("keep_rate"),
     )
-    ntok = token_count(text_col)
+    ntok = _ntok0(text_col)
     kept = (
         df.select(F.col(id_col), F.col(group_col), ntok.cast("long").alias("_nt"))
         .join(F.broadcast(rates), group_col)

@@ -279,7 +279,11 @@ def embedding_neardup_exact(
         _norm(F.col(vec_col)).alias("nrm"),
     )
     x, y = e.alias("x"), e.alias("y")
-    sim = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
+    # zero-norm guard (same convention as _pair_cosine_scored): a zero
+    # vector's similarity is 0, not NaN/NULL, on both engine and oracle
+    sim = _dot(F.col("x.vec"), F.col("y.vec")) / F.greatest(
+        F.col("x.nrm") * F.col("y.nrm"), F.lit(1e-12)
+    )
     return (
         x.join(y, F.col("x.did") < F.col("y.did"))
         .select(
@@ -344,7 +348,12 @@ def _grid_lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
 
     c = _first_distinct_rows(x, k)
     for _ in range(iters):
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # exact expansion of ||x-c||^2 minus the per-row ||x||^2 constant:
+        # integer-valued operands keep every term < 2^53 (same bound as
+        # pq_encode), and dropping a row constant preserves argmin AND tie
+        # order — the O(n*k*dim) difference tensor this replaces allocated
+        # ~1.3 GB per 10k-row block at k=256/dim=64
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)
         assign = d2.argmin(axis=1)  # first occurrence -> lowest id
         nxt = c.copy()
         for j in range(len(c)):
@@ -390,10 +399,15 @@ def train_ivf_grid_centroids(
 def _grid_assign_topn(u: "np.ndarray", cents: "np.ndarray", topn: int):
     """Top-``topn`` centroids per row by (squared L2, centroid id) —
     exact integer distances, stable sort, so the probe order is total
-    and engine-independent."""
+    and engine-independent. Returns min(topn, len(cents)) columns.
+
+    Distances use the -2 u·c + ||c||^2 expansion (exact on the integer
+    grid, every term < 2^53; the per-row ||u||^2 constant cannot change
+    the ordering or tie groups) instead of materializing the
+    O(rows x centroids x dim) difference tensor."""
     import numpy as np
 
-    d2 = ((u[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    d2 = -2.0 * (u @ cents.T) + (cents * cents).sum(axis=1)
     return np.argsort(d2, axis=1, kind="stable")[:, :topn]
 
 
@@ -429,15 +443,20 @@ def ivf_topk(
     )
 
     def assigner(topn: int, out_name: str):
+        # a duplicate-heavy sample can train fewer centroids than nprobe;
+        # _grid_assign_topn then returns min(topn, len(cents)) columns,
+        # and the id repeat must match or the Arrow batch is ragged
+        eff = min(topn, len(cents))
+
         def run(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
-                order = _grid_assign_topn(u, cents, topn)
+                order = _grid_assign_topn(u, cents, eff)
                 out = pd.DataFrame(
                     {
-                        id_col: pdf[id_col].to_numpy().repeat(topn),
+                        id_col: pdf[id_col].to_numpy().repeat(eff),
                         out_name: order.ravel(),
                     }
                 )
@@ -629,25 +648,35 @@ def pq_topk(
                 continue
             c = np.stack(pdf["codes"].to_numpy()).astype("int64")
             ids = pdf[id_col].to_numpy()
-            # approx[q, x] = sum_s LUT[q, s, c[x, s]]
-            approx = np.round(
-                lut[:, np.arange(m)[None, :], c].sum(axis=2), RANK_DP
-            )
             out = []
-            for qi in range(len(qids)):
-                mask = ids != qids[qi]
-                a, nids = approx[qi][mask], ids[mask]
-                # same (-approx, id) total order as the global cut below
-                keep = np.lexsort((nids, -a))[:rerank]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": nids[keep],
-                            "approx": a[keep],
-                        }
+            # approx[q, x] = sum_s LUT[q, s, c[x, s]] — accumulated per
+            # subspace over query BLOCKS: the fancy-indexed
+            # (n_queries x batch x m) tensor this replaces allocated
+            # ~128 TB at the max_queries gate (the gate was sold as the
+            # safety limit); blocks bound it at QBLK x batch x 8 B.
+            # Exact-integer terms (< 2^53) make the accumulation order
+            # irrelevant to the value.
+            QBLK = 1024
+            for qs in range(0, len(qids), QBLK):
+                qe = min(qs + QBLK, len(qids))
+                approx = np.zeros((qe - qs, len(ids)))
+                for s in range(m):
+                    approx += lut[qs:qe, s, :][:, c[:, s]]
+                approx = np.round(approx, RANK_DP)
+                for qi in range(qs, qe):
+                    mask = ids != qids[qi]
+                    a, nids = approx[qi - qs][mask], ids[mask]
+                    # same (-approx, id) total order as the global cut
+                    keep = np.lexsort((nids, -a))[:rerank]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": nids[keep],
+                                "approx": a[keep],
+                            }
+                        )
                     )
-                )
             yield pd.concat(out, ignore_index=True)
 
     # Global top-``rerank`` per query (deterministic total order) so the
@@ -793,29 +822,40 @@ def ivf_pq_topk(
                 c = np.stack(grp["codes"].to_numpy()).astype("int64")
                 ids = grp[id_col].to_numpy()
                 # q.x ~ q.centroid (one scalar per query for this list)
-                #     + sum_s LUT[q, s, code_s] (residual part)
+                #     + sum_s LUT[q, s, code_s] (residual part) —
+                # accumulated per subspace over query BLOCKS, like
+                # pq_topk's scan: the fancy-indexed (queries x rows x m)
+                # tensor blew past the max_queries gate's promise; exact
+                # integer terms make the accumulation order value-neutral
                 cent_term = qm[qs] @ cents[int(cid_val)]
-                approx = (
-                    lut[qs][:, np.arange(m)[None, :], c].sum(axis=2)
-                    + cent_term[:, None]
-                )
-                approx = np.round(approx, RANK_DP)
-                for row_i, qi in enumerate(qs):
-                    mask = ids != qids[qi]
-                    a, nids = approx[row_i][mask], ids[mask]
-                    # batch-local prune under the SAME (-approx, id) total
-                    # order as the global window cut below, so the global
-                    # top-rerank is a subset of each batch's survivors
-                    keep = np.lexsort((nids, -a))[:rerank]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qids[qi],
-                                "neighbor_id": nids[keep],
-                                "approx": a[keep],
-                            }
-                        )
+                QBLK = 1024
+                for bs in range(0, len(qs), QBLK):
+                    be = min(bs + QBLK, len(qs))
+                    blk = qs[bs:be]
+                    lb = lut[blk]  # (block, m, n_codes), copied once
+                    approx = np.zeros((len(blk), len(ids)))
+                    for s in range(m):
+                        approx += lb[:, s, :][:, c[:, s]]
+                    approx = np.round(
+                        approx + cent_term[bs:be, None], RANK_DP
                     )
+                    for row_i, qi in enumerate(blk):
+                        mask = ids != qids[qi]
+                        a, nids = approx[row_i][mask], ids[mask]
+                        # batch-local prune under the SAME (-approx, id)
+                        # total order as the global window cut below, so
+                        # the global top-rerank is a subset of each
+                        # batch's survivors
+                        keep = np.lexsort((nids, -a))[:rerank]
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": qids[qi],
+                                    "neighbor_id": nids[keep],
+                                    "approx": a[keep],
+                                }
+                            )
+                        )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -1021,8 +1061,14 @@ def split_hot_buckets(
                 ).cast("int").alias("step"),
             )
         )
-        if hot.isEmpty():
+        # materialize the hot table ONCE: isEmpty() + the join used to
+        # run the corpus-wide groupBy twice per round. The collect is
+        # bounded by |assignments|/cap rows (each hot row holds > cap
+        # members) — the same bound that already justified broadcasting.
+        hot_rows = hot.collect()
+        if not hot_rows:
             break
+        hot = b.sparkSession.createDataFrame(hot_rows, hot.schema)
         prev = cur
         cur = (
             cur.join(F.broadcast(hot), ["tbl", "bucket", "lvl", "sub"], "left")
@@ -1116,8 +1162,12 @@ def embedding_neardup_pairs(
                 continue
             a = np.stack(pdf["vec_a"].to_numpy()).astype("float64")
             bm = np.stack(pdf["vec_b"].to_numpy()).astype("float64")
-            sims = (a * bm).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)
+            # zero-norm guard: sim 0, not NaN (a NaN here is DROPPED by
+            # the pandas >= filter but KEPT by the SQL oracle and the
+            # exact baseline's NaN-larger semantics — engine-dependent)
+            sims = (a * bm).sum(axis=1) / np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1),
+                1e-12,
             )
             out = pd.DataFrame(
                 {
@@ -1234,7 +1284,12 @@ def semantic_dedup(
         col_idx = np.arange(n)
         for s in range(0, n, blk_rows):
             e = min(s + blk_rows, n)
-            sims = m[s:e] @ m.T  # (block, n)
+            # round to ROUND_DP before the threshold compare (the same
+            # 6-dp boundary contract every thresholded sim query uses):
+            # numpy's normalized gram and DuckDB's cosine differ at
+            # ~1e-16, so an unrounded compare is engine-dependent on
+            # near-threshold pairs
+            sims = np.round(m[s:e] @ m.T, ROUND_DP)  # (block, n)
             later = col_idx[None, :] > np.arange(s, e)[:, None]
             dup |= ((sims >= threshold) & later).any(axis=0)
         return pd.DataFrame(

@@ -78,8 +78,9 @@ def curate_corpus(
         neard = exact.join(kept, id_col).localCheckpoint()
     elif keep == "first":
         reps = D.neardup_clusters(
-            exact, threshold=neardup_threshold, method=neardup_method
-        )
+            exact, text_col, id_col,
+            threshold=neardup_threshold, method=neardup_method,
+        ).withColumnRenamed("doc_id", id_col)
         neard = (
             exact.join(reps, id_col)
             .filter(F.col(id_col) == F.col("rep_id"))
@@ -106,10 +107,10 @@ def curate_corpus(
     if c4_rules:
         from ..operators.text_quality import c4_filter_stats
 
-        keep = c4_filter_stats(gated, text_col=text_col, id_col=id_col).filter(
+        c4_ids = c4_filter_stats(gated, text_col=text_col, id_col=id_col).filter(
             F.col("would_keep") == 1
         ).select(id_col)
-        gated = gated.join(keep, id_col).localCheckpoint()
+        gated = gated.join(c4_ids, id_col).localCheckpoint()
         report["after_c4_rules"] = gated.count()
     curated = gated.withColumn(text_col, scrub_pii(text_col)).localCheckpoint()
 
@@ -146,8 +147,8 @@ def curate_corpus(
                 )
                 cond = this if cond is None else (cond | this)
             if cond is not None:
-                keep = scored.filter(cond).select(id_col)
-                curated = curated.join(keep, id_col)
+                lm_ids = scored.filter(cond).select(id_col)
+                curated = curated.join(lm_ids, id_col)
             report["after_lm_tail_drop"] = curated.count()
 
     curated.write.mode("overwrite").parquet(output_path)

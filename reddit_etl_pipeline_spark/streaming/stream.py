@@ -1094,9 +1094,13 @@ def _cos_dup_check(cand: DataFrame, va: DataFrame, vb: DataFrame, threshold: flo
                 continue
             a = np.stack(pdf["vec_a"].to_numpy()).astype("float64")
             b = np.stack(pdf["vec_b"].to_numpy()).astype("float64")
+            # zero-norm guard: sim 0, not NaN (similarity.py convention)
             sims = np.round(
                 (a * b).sum(axis=1)
-                / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
+                / np.maximum(
+                    np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1),
+                    1e-12,
+                ),
                 6,
             )
             out = pd.DataFrame(

@@ -121,3 +121,18 @@ def test_pq_candidates_partition_independent(spark, sf_dir):
     b = S.pq_topk(emb.repartition(13, "vec_id"), q, k=4).collect()
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_ivf_topk_handles_fewer_centroids_than_nprobe(spark):
+    """A duplicate-heavy corpus can train fewer distinct centroids than
+    nprobe; the query-side assigner must emit min(nprobe, k) probes per
+    query instead of a ragged Arrow batch (round-5 review crash)."""
+    rows = [(i, [float(i % 2)] * DIM) for i in range(12)]  # 2 distinct vecs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.ivf_topk(df, df, k=2, n_centroids=8, nprobe=4).collect()
+    assert len(out) > 0
+    # every neighbor of an even-id query shares its vector (cos = 1)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(12))

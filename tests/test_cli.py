@@ -217,3 +217,40 @@ def test_curate_neardup_minhash(spark, sf_dir, tmp_path, capsys):
     rep_r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (rep_r["input"] >= rep_r["after_exact_dedup"]
             >= rep_r["after_neardup"] >= rep_r["written"] > 0)
+
+
+def test_curate_custom_columns_both_keep_modes(spark, tmp_path):
+    """curate_corpus(text_col=..., id_col=...) must thread the custom
+    names through BOTH near-dup branches (the round-5 review found the
+    keep='first' branch hardcoding text/doc_id)."""
+    from reddit_etl_pipeline_spark.plans.curation import curate_corpus
+
+    rows = [
+        (
+            i,
+            "the engine was running and the tests were green for all of "
+            "the cases that we checked in this run " * 3 + f"tail {i % 3}",
+        )
+        for i in range(9)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "post_id long, body string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    for mode in ("first", "best"):
+        out = str(tmp_path / f"out_{mode}")
+        rep = curate_corpus(
+            spark, src, out,
+            text_col="body", id_col="post_id",
+            min_quality=0.0, keep=mode,
+        )
+        assert rep["written"] >= 1
+        got = spark.read.parquet(out)
+        assert "post_id" in got.columns and "body" in got.columns
+        # after exact dedup 3 distinct docs remain, and they are mutual
+        # near-dups (only the tail digit differs, Jaccard ~ 0.96): one
+        # representative survives; with equal quality both modes pick
+        # the lowest id
+        kept = got.collect()
+        assert len(kept) == 1, mode
+        assert kept[0]["post_id"] == 0, mode

@@ -207,3 +207,26 @@ def test_token_budget_sample_properties(spark):
     # determinism
     again = token_budget_sample(docs, budget_tokens=50, group_col="lang").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_scramble_is_overflow_safe_for_large_ids(spark):
+    """(id * 2654435761) mod 2^32 must be computable for ANY BIGINT id:
+    the naive product overflows past id ~3.5e9 (ANSI throw / silent
+    wrap + DuckDB error — round-5 review). The split-multiply form must
+    equal exact Python arithmetic up to 2^62, under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators.packing import scramble
+
+    ids = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32 + 7, 10**12, 10**18, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select("doc_id", scramble("doc_id").alias("s")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == {i: (i * 2654435761) % (1 << 32) for i in ids}
