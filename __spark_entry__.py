@@ -37,6 +37,7 @@ from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
+from reddit_etl_pipeline_spark.operators import sketches as SK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
@@ -911,7 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": Q.cohort_retention,
         "funnel_conversion": Q.funnel_conversion,
         "stats_moments": Q.stats_moments,
-        "approx_distinct_stats": Q.approx_distinct_stats,
+        "approx_distinct_stats": SK.approx_distinct_stats,
         "exact_distinct_stats": Q.exact_distinct_stats,
         "buyer_segments": Q.buyer_segments,
         "value_anomalies": Q.value_anomalies,
@@ -3398,11 +3399,13 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_pq": AO.pq_topk_oracle(k=5),
         "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
         "semantic_dedup_learned": AO.semantic_dedup_learned_oracle(0.97),
-        # Only ONE rows-only check remains:
-        # - approx_distinct_stats: HLL++/quantile-sketch values are
-        #   engine-specific (accuracy bounds asserted in
-        #   tests/test_sketches.py against the oracle-checked
-        #   exact_distinct_stats companion).
+        # Hand-rolled HLL (xxhash64 registers, integer harmonic sum,
+        # shared linear-counting table) + histogram quantile — the last
+        # formerly-rows-only cell, now hash-checked like everything else
+        # (Spark's own HLL++ twin stays as approx_distinct_stats_native,
+        # outside the driver surface).
+        "approx_distinct_stats": SK.hll_oracle_sql(),
+        # Zero rows-only checks remain.
         # (The whole ANN family — LSH / IVF / PQ / IVF-PQ / kNN-IVF —
         # plus kmeans, minhash/simhash, and the streaming greedy corpus
         # builds WERE rows-only until the integer-grid /

@@ -373,13 +373,17 @@ def buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(clean)
 
 
-def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates — the 100 TB path for distinct counts and
-    quantiles: HyperLogLog++ (approx_count_distinct) and a quantile
-    sketch (approx_percentile), both single-pass and mergeable (partial
-    aggregation works, unlike exact distinct/percentile which shuffle
-    full values). Rows-only driver check; accuracy bounds are asserted
-    against exact results in tests/test_sketches.py."""
+def approx_distinct_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native sketch aggregates — HyperLogLog++
+    (approx_count_distinct) and a quantile sketch (approx_percentile),
+    both single-pass and mergeable (partial aggregation works, unlike
+    exact distinct/percentile which shuffle full values). Sketch state
+    is engine-private, so this variant can't be oracle-replayed; the
+    driver-facing ``approx_distinct_stats`` is the hash-checked
+    hand-rolled twin in operators/sketches.py (same scale shape,
+    replayable HLL + histogram quantile). Use this one when you want
+    rsd control and don't need cross-engine parity. Accuracy bounds
+    asserted in tests/test_sketches.py."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

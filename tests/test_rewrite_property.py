@@ -20,7 +20,7 @@ _CORPUS = st.lists(_DOC, min_size=1, max_size=5)
 
 
 def _spark_tokens(text):
-    """Mirror functions/text.tokens() exactly: SQL TRIM strips SPACES
+    r"""Mirror functions/text.tokens() exactly: SQL TRIM strips SPACES
     only, then Java \s+ split — a leading newline/tab therefore yields
     an empty first token (the oracle agrees; the reference must too)."""
     import re

@@ -12,14 +12,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from reddit_etl_pipeline_spark.plans import star as Q  # noqa: E402
+from reddit_etl_pipeline_spark.operators import sketches as SK  # noqa: E402
 from reddit_etl_pipeline_spark.sources.lake import write_sorted  # noqa: E402
+import pytest  # noqa: E402
 
 
-def test_approx_distinct_within_rsd(spark, sf_dir, events):
-    approx = {
-        r.event_type: r.approx_users
-        for r in Q.approx_distinct_stats(spark, sf_dir).collect()
-    }
+@pytest.fixture(
+    params=[SK.approx_distinct_stats, Q.approx_distinct_stats_native],
+    ids=["hll_replayable", "hllpp_native"],
+)
+def sketch_rows(request, spark, sf_dir):
+    return request.param(spark, sf_dir).collect()
+
+
+def test_approx_distinct_within_rsd(sketch_rows, events):
+    approx = {r.event_type: r.approx_users for r in sketch_rows}
     exact = {
         r.event_type: r.n
         for r in events.groupBy("event_type")
@@ -30,11 +37,8 @@ def test_approx_distinct_within_rsd(spark, sf_dir, events):
         assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
 
 
-def test_approx_percentile_close_to_exact(spark, sf_dir, events):
-    approx = {
-        r.event_type: r.approx_p50
-        for r in Q.approx_distinct_stats(spark, sf_dir).collect()
-    }
+def test_approx_percentile_close_to_exact(sketch_rows, events):
+    approx = {r.event_type: r.approx_p50 for r in sketch_rows}
     exact = {
         r.event_type: r.p50
         for r in events.groupBy("event_type")
@@ -43,6 +47,35 @@ def test_approx_percentile_close_to_exact(spark, sf_dir, events):
     }
     for et, p in exact.items():
         assert abs(approx[et] - p) <= 0.05 * max(abs(p), 1.0), (et, approx[et], p)
+
+
+def test_hll_oracle_matches_spark(spark, sf_dir):
+    """The whole point of the hand-rolled sketch: DuckDB replays it bit
+    for bit (register maxes, integer harmonic sum, shared LC table)."""
+    import duckdb
+
+    got = sorted(
+        tuple(r) for r in SK.approx_distinct_stats(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(con.execute(SK.hll_oracle_sql()).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_hll_register_state_bounded():
+    """Sketch state per group is m registers regardless of input size —
+    the table literal and geometry constants agree with the docstring."""
+    assert SK.M == 1 << SK.B
+    table = SK._lc_table()
+    assert len(table) == SK.M
+    assert table[SK.M - 1] == 0  # V=m -> ln(1)=0
+    assert table[0] == round(SK.M * __import__("math").log(SK.M))
+    # estimator numerator fits DECIMAL(38,0)/HUGEINT with headroom
+    assert SK._EST_NUM < 10**34
 
 
 def test_write_sorted_clusters_values(spark, events):
