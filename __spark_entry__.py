@@ -274,6 +274,18 @@ def _neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_canonical(Q.load(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def _neardup_canonical_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB keep-best path end to end: banded MinHash-LSH pair
+    graph (linear-shuffle banding, no text rescans) -> connected
+    components -> per-cluster quality argmax. Same composition the
+    curate CLI runs with --neardup minhash; hash-checked against the
+    xxhash64-band + CC-star-rounds oracle so regressions in the scale
+    path fail the driver gate, not just the CLI e2e test."""
+    return D.neardup_canonical(
+        Q.load(spark, sf_dir, "documents"), threshold=0.7, method="minhash"
+    )
+
+
 def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixing to an exact token budget: docs selected in
     deterministic scramble order until 2000 tokens per language."""
@@ -960,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _jaccard_pairs,
         "neardup_clusters": _neardup_clusters,
         "neardup_canonical": _neardup_canonical,
+        "neardup_canonical_minhash": _neardup_canonical_minhash,
         "token_budget_sample": _token_budget_sample,
         "curated_corpus": _curated_corpus,
         "corpus_mix": _corpus_mix,
@@ -3379,6 +3392,9 @@ def oracle_sql() -> dict[str, str]:
         # MinHash and SimHash pipelines are deterministic end to end, so
         # they hash-check like the exact operators.
         "minhash_neardup": NO.minhash_neardup_oracle(threshold=0.7),
+        # the scale-path composition: same band replay -> CC star rounds
+        # -> keep-best argmax (neardup_oracles.minhash_canonical_oracle)
+        "neardup_canonical_minhash": NO.minhash_canonical_oracle(threshold=0.7),
         "simhash_neardup": NO.simhash_neardup_oracle(max_hamming=3),
         # Hyperplane LSH replayed exactly (ann_oracles): planes + vectors
         # are snapped to the 1/PLANE_SCALE integer grid so the engine's

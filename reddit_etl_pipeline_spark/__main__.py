@@ -47,6 +47,19 @@ def _build_parser() -> argparse.ArgumentParser:
             help="use the deterministic offline source with N posts",
         )
     daily.add_argument("--date", required=True, help="YYYYMMDD batch key")
+    daily.add_argument(
+        "--stage",
+        choices=["all", "extract", "load", "upsert", "models"],
+        default="all",
+        help="run one DAG task instead of the whole batch (the Airflow "
+        "DAG in airflow/dags/reddit_pipeline_spark.py runs the four "
+        "stages as separate processes with per-stage retries)",
+    )
+    daily.add_argument(
+        "--staging",
+        help="day-file staging root for staged runs "
+        "(default: <lake>__staging)",
+    )
     backfill.add_argument(
         "--dates", required=True, help="comma-separated YYYYMMDD list, in order"
     )
@@ -192,6 +205,24 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.pipeline import run_backfill, run_daily_batch
 
     if args.cmd == "daily":
+        if args.stage != "all":
+            from .plans import pipeline as P
+
+            staging = args.staging or (lake.rstrip("/") + "__staging")
+            if args.stage == "extract":
+                audits = P.stage_extract(
+                    spark, fetchers(args.date), staging, args.date
+                )
+            elif args.stage == "load":
+                audits = P.stage_load_lake(spark, staging, lake, args.date)
+            elif args.stage == "upsert":
+                audits = P.stage_load_warehouse(
+                    spark, lake, args.warehouse, args.date
+                )
+            else:
+                audits = P.stage_models(spark, args.warehouse)
+            print(json.dumps({args.date: {args.stage: audits}}, default=str))
+            return 0
         audits = run_daily_batch(
             spark, fetchers(args.date), lake, args.warehouse, args.date
         )

@@ -187,6 +187,61 @@ WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
 """
 
 
+# dq_report's quality_score replayed in SQL — shared by the canonical
+# oracles (the entry file's exact-path oracle carries the same text)
+QUALITY_SQL = """coalesce(
+  round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+      + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1))
+      + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 1.0)), 6),
+  -1.0)"""
+
+
+def minhash_canonical_oracle(
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> str:
+    """Replay of ``dedup.neardup_canonical(method='minhash')`` — the
+    100 TB keep-best path, end to end: the banded MinHash pair graph
+    (``_minhash_pair_ctes``, identical by construction to the
+    ``minhash_neardup`` oracle), connected components via the star
+    rounds (``cc_star_member_ctes``), then the per-cluster
+    (quality DESC, doc_id) argmax that mirrors the engine's
+    ``max(struct(quality, -id))``. Before round 6 this composition was
+    exercised only by the curate-CLI e2e test; a regression anywhere in
+    band-join -> CC -> canonical now fails the driver's hash gate."""
+    body, agree = _minhash_pair_ctes(num_perm, shingle_n, bands)
+    return f"""
+WITH {body},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM cand c
+  JOIN sig_arr sa ON sa.doc_id = c.doc_a
+  JOIN sig_arr sb ON sb.doc_id = c.doc_b
+  WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
+),
+{cc_star_member_ctes()},
+memb AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id,
+         {QUALITY_SQL} AS quality
+  FROM documents d
+  LEFT JOIN rep c ON c.doc_id = d.doc_id
+),
+best AS MATERIALIZED (
+  SELECT rep_id, doc_id AS canonical_id FROM (
+    SELECT rep_id, doc_id,
+           row_number() OVER (PARTITION BY rep_id
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM memb) WHERE rn = 1
+)
+SELECT m.doc_id, b.canonical_id, m.quality
+FROM memb m JOIN best b USING (rep_id)
+"""
+
+
 def lfmis_walk_sql(out_col: str) -> str:
     """Level-synchronous replay of ``dedup.greedy_accept_order`` with the
     even-id docs pre-accepted (the streaming builds' seed corpus): CTE

@@ -51,21 +51,36 @@ TWO64 = 1 << 64
 
 
 def gear_table(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", max_alphabet: int = 1 << 18
 ) -> dict[str, int]:
     """{character: uint64 gear value} over the corpus alphabet.
 
     One tiny distributed job: explode to characters, DISTINCT (the
     shuffle carries one row per distinct character — alphabet-bounded,
     not corpus-bounded), hash JVM-side. The driver holds only the
-    alphabet."""
+    alphabet.
+
+    ``max_alphabet`` bounds the driver collect (limit(max+1), the
+    bounded-collect pattern): text corpora sit at 10^2–10^4 distinct
+    characters, but a binary-garbage corpus could push toward the full
+    Unicode range (~1.1 M codepoints). 2^18 covers every natural-language
+    corpus including full CJK with 2x headroom; exceeding it means the
+    input is not text — fail loudly instead of hoarding driver memory."""
     rows = (
         df.select(F.explode(F.split(F.col(text_col), "")).alias("c"))
         .filter(F.col("c") != "")
         .distinct()
         .select("c", F.xxhash64("c").alias("g"))
+        .limit(max_alphabet + 1)
         .collect()
     )
+    if len(rows) > max_alphabet:
+        raise ValueError(
+            f"gear_table: corpus alphabet exceeds max_alphabet="
+            f"{max_alphabet} distinct characters — this input looks like "
+            "binary data, not text; decode/filter it first or raise "
+            "max_alphabet explicitly"
+        )
     return {r["c"]: r["g"] % TWO64 for r in rows}
 
 

@@ -65,6 +65,25 @@ def run_daily_batch(
 
     # warehouse upsert (COPY + DELETE USING + INSERT parity)
     batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
+    _upsert_warehouse(spark, batch, warehouse_path)
+
+    warehouse = spark.read.parquet(warehouse_path)
+    assert_unique(warehouse, "id")
+    assert_not_null(warehouse, "id")
+    audits["warehouse_rows"] = warehouse.count()
+    audits["batch_rows"] = batch.count()
+
+    if run_dbt_models:
+        warehouse.createOrReplaceTempView("reddit")
+        M.run_models(spark)
+    return audits
+
+
+def _upsert_warehouse(spark: SparkSession, batch: DataFrame, warehouse_path: str) -> None:
+    """Last-write-wins upsert of ``batch`` into the parquet warehouse with
+    crash-safe directory swap (the rename-manifest pattern on a real
+    object store). Shared by the one-program daily batch and the staged
+    DAG task (``stage_load_warehouse``)."""
     import os
     import shutil
 
@@ -81,8 +100,7 @@ def run_daily_batch(
         main = spark.read.parquet(warehouse_path)
         merged = upsert_anti_join(main, batch)
         # parquet can't overwrite its own input in place: write the merge
-        # once to a staging dir, then swap directories (on a real object
-        # store this is the rename-manifest pattern) — one full write
+        # once to a staging dir, then swap directories — one full write
         # instead of two
         tmp = warehouse_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
@@ -92,16 +110,92 @@ def run_daily_batch(
     else:
         batch.write.mode("overwrite").parquet(warehouse_path)
 
+
+# ------------------------------------------------------------- staged DAG
+# tasks: the reference's 4-process chain (reddit_pipeline.py:20-44,
+# extract -> upload_to_s3 -> s3_to_redshift -> dbt) decomposed onto the
+# engine's stages, communicating through files keyed by YYYYMMDD exactly
+# like the reference's daily CSVs. ``run_daily_batch`` remains the
+# one-program fast path (no intermediate day file); these four run as
+# separate OS processes under airflow/dags/reddit_pipeline_spark.py so
+# each stage gets its own retry/backoff — the point of the DAG.
+
+
+def stage_extract(
+    spark: SparkSession,
+    fetcher: Callable[[], Iterable[object]],
+    staging_path: str,
+    batch_date: str,
+    extraction_at=None,
+) -> dict:
+    """Task 1 (reference extract-from-reddit.py): fetch + transform, then
+    the date-stamped single-file CSV — the reference's actual interchange
+    format, written/read by the tolerant COPY-parity codecs so the
+    round-trip is lossless (multi-line selftext included)."""
+    from ..sources.csv_tolerant import write_posts_csv
+
+    raw = fetch_posts_df(spark, fetcher)
+    staged = transform_posts(raw, extraction_at=extraction_at)
+    audits = {"nulls_raw": total_nulls(raw), **summary_stats(staged)}
+    if audits["n_rows"] == 0:
+        # empty-input guard (extract-from-reddit.py:106-108): write no day
+        # file; downstream stages see its absence and no-op
+        audits["csv_path"] = None
+        return audits
+    path = f"{staging_path.rstrip('/')}/{batch_date}"
+    write_posts_csv(staged, path, single_file=True)
+    audits["csv_path"] = path
+    return audits
+
+
+def stage_load_lake(
+    spark: SparkSession, staging_path: str, lake_path: str, batch_date: str
+) -> dict:
+    """Task 2 (reference upload_to_s3.py): day CSV -> lake partition
+    (rerun-safe dynamic overwrite of that date only)."""
+    import os
+
+    from ..sources.csv_tolerant import read_posts_csv
+
+    path = f"{staging_path.rstrip('/')}/{batch_date}"
+    if not os.path.exists(path):
+        return {"batch_rows": 0, "skipped": "no day file (empty extract)"}
+    staged = read_posts_csv(spark, path)
+    write_table(
+        with_batch_date(staged, batch_date),
+        lake_path,
+        mode="overwrite",
+        dynamic_overwrite=True,
+    )
+    return {"batch_rows": staged.count()}
+
+
+def stage_load_warehouse(
+    spark: SparkSession, lake_path: str, warehouse_path: str, batch_date: str
+) -> dict:
+    """Task 3 (reference s3_to_redshift.py): upsert the day's lake
+    partition into the warehouse, then the reference's post-load
+    integrity audits."""
+    import os
+
+    part = os.path.join(lake_path, f"batch_date={batch_date}")
+    if not os.path.exists(part):
+        return {"warehouse_rows": None, "skipped": "no lake partition"}
+    batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
+    _upsert_warehouse(spark, batch, warehouse_path)
     warehouse = spark.read.parquet(warehouse_path)
     assert_unique(warehouse, "id")
     assert_not_null(warehouse, "id")
-    audits["warehouse_rows"] = warehouse.count()
-    audits["batch_rows"] = batch.count()
+    return {"warehouse_rows": warehouse.count(), "batch_rows": batch.count()}
 
-    if run_dbt_models:
-        warehouse.createOrReplaceTempView("reddit")
-        M.run_models(spark)
-    return audits
+
+def stage_models(spark: SparkSession, warehouse_path: str) -> dict:
+    """Task 4 (reference ``dbt run``): rebuild the model views/tables over
+    the warehouse."""
+    warehouse = spark.read.parquet(warehouse_path)
+    warehouse.createOrReplaceTempView("reddit")
+    M.run_models(spark)
+    return {"models_rows": spark.table("reddit_summary").count()}
 
 
 AIRFLOW_RETRIES = 1  # reference reddit_pipeline.py:13-16

@@ -177,3 +177,18 @@ def test_gear_table_is_alphabet_bounded(spark):
         .collect()
     }
     assert g == ref
+
+
+def test_gear_table_rejects_binary_scale_alphabets(spark):
+    """The driver collect is bounded: an alphabet above max_alphabet
+    raises loudly instead of materializing toward the full Unicode
+    range on the driver."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "ijklmnop")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_alphabet"):
+        cdc.gear_table(df, max_alphabet=10)
+    # at exactly the cap it still works
+    assert len(cdc.gear_table(df, max_alphabet=16)) == 16

@@ -1,0 +1,121 @@
+"""The Airflow DAG artifact (airflow/dags/reddit_pipeline_spark.py) and
+the staged daily pipeline it drives: the reference's 4-task chain
+(reddit_pipeline.py:14-44) re-expressed as CLI stages communicating
+through date-keyed files."""
+
+import ast
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reddit_etl_pipeline_spark.__main__ import main  # noqa: E402
+
+DAG_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "airflow",
+    "dags",
+    "reddit_pipeline_spark.py",
+)
+
+
+def test_dag_file_compiles_and_mirrors_reference_chain():
+    """Compile-check the DAG source without importing airflow, and pin
+    the reference-parity facts: 4 BashOperators, a linear chain, @daily,
+    retries=1 / 15 s."""
+    src = open(DAG_PATH).read()
+    tree = ast.parse(src, DAG_PATH)  # syntax check
+    compile(tree, DAG_PATH, "exec")
+
+    n_bash = sum(
+        isinstance(node, ast.Call)
+        and getattr(node.func, "id", "") == "BashOperator"
+        for node in ast.walk(tree)
+    )
+    assert n_bash == 4
+    assert '"@daily"' in src or "'@daily'" in src
+    assert '"retries": 1' in src
+    assert "timedelta(seconds=15)" in src
+    # linear chain, every stage shelling to the engine CLI
+    assert "extract_reddit >> load_to_lake >> load_to_warehouse >> run_models" in src
+    for stage in ("extract", "load", "upsert", "models"):
+        assert f'"{stage}"' in src or f"--stage {stage}" in src or stage in src
+
+
+def test_dag_imports_when_airflow_available():
+    # importorskip alone is not enough: a bare namespace package named
+    # ``airflow`` (no real install) imports fine but has no DAG symbol
+    pytest.importorskip("airflow")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("reddit_dag", DAG_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except ImportError as e:
+        pytest.skip(f"airflow present but not importable: {e}")
+    assert len(mod.dag.tasks) == 4
+
+
+def test_staged_chain_matches_one_program_daily(spark, tmp_path, capsys):
+    """Running the DAG's four stages as separate CLI invocations must
+    produce the same warehouse and models as the one-program daily."""
+    lake_a, wh_a = str(tmp_path / "lake_a"), str(tmp_path / "wh_a")
+    lake_b, wh_b = str(tmp_path / "lake_b"), str(tmp_path / "wh_b")
+
+    # one-program path
+    assert main(
+        ["daily", "--date", "20250318", "--lake", lake_a,
+         "--warehouse", wh_a, "--fake-source", "40"]
+    ) == 0
+    capsys.readouterr()
+
+    # staged path: extract -> load -> upsert -> models
+    outs = {}
+    for stage in ("extract", "load", "upsert", "models"):
+        assert main(
+            ["daily", "--date", "20250318", "--lake", lake_b,
+             "--warehouse", wh_b, "--fake-source", "40", "--stage", stage]
+        ) == 0
+        outs[stage] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["20250318"][stage]
+
+    assert outs["extract"]["n_rows"] == 40
+    assert outs["load"]["batch_rows"] == 40
+    assert outs["upsert"]["warehouse_rows"] == 40
+    assert outs["models"]["models_rows"] >= 1
+
+    a = spark.read.parquet(wh_a)
+    b = spark.read.parquet(wh_b)
+    assert sorted(a.columns) == sorted(b.columns)
+    # modulo the two documented interchange effects of the day-CSV hop
+    # (the reference's own chain has both): extraction_at is stamped per
+    # RUN, and CSV<->COPY maps empty string to NULL (Redshift semantics)
+    cols = sorted(c for c in a.columns if c != "extraction_timestamp")
+
+    def rows(df):
+        return sorted(
+            tuple(None if v == "" else v for v in r)
+            for r in df.select(cols).collect()
+        )
+
+    assert rows(a) == rows(b)
+
+
+def test_staged_chain_empty_extract_noops(spark, tmp_path, capsys):
+    """Empty day: extract writes no day file; load/upsert no-op without
+    touching lake or warehouse (the reference aborts its chain; ours
+    degrades to an auditable no-op per stage)."""
+    lake, wh = str(tmp_path / "lake"), str(tmp_path / "wh")
+    for stage in ("extract", "load", "upsert"):
+        assert main(
+            ["daily", "--date", "20250318", "--lake", lake,
+             "--warehouse", wh, "--fake-source", "0", "--stage", stage]
+        ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert not os.path.exists(wh)
+    assert json.loads(out[-1])["20250318"]["upsert"]["warehouse_rows"] is None

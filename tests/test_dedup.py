@@ -96,3 +96,33 @@ def test_neardup_canonical_single_cluster_pass(spark):
     # LocalRelation/LogicalRDD of the INPUT docs must not appear: every
     # branch of the final join reads the checkpointed member table
     assert "LocalRelation" not in plan and "LocalTableScan" not in plan, plan
+
+
+def test_neardup_canonical_minhash_matches_exact_on_true_dups(spark):
+    """On unmistakable near-duplicates (copies with tiny edits) the
+    minhash scale path must collapse the same clusters and pick the same
+    canonicals as the exact PPJoin path (the cross-mode contract the
+    curate CLI relies on)."""
+    from reddit_etl_pipeline_spark.operators.dedup import neardup_canonical
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            (0, base + "!!!! ###"),
+            (1, base + "plus clean prose"),
+            (2, base + "???? @@@"),
+            (5, "completely different text about spark engines at scale"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.canonical_id
+        for r in neardup_canonical(docs, threshold=0.5, method="exact").collect()
+    }
+    mh = {
+        r.doc_id: r.canonical_id
+        for r in neardup_canonical(docs, threshold=0.5, method="minhash").collect()
+    }
+    assert mh == exact
+    assert mh[0] == mh[1] == mh[2] == 1 and mh[5] == 5 and mh[6] == 6
