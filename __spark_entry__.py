@@ -2759,17 +2759,18 @@ def oracle_sql() -> dict[str, str]:
                    END AS f0
             FROM documents
         """,
-        # media_decode_stats: the engine BUILDS real WAV/BMP containers
-        # from id arithmetic and PARSES them back with stdlib decoders;
-        # the oracle recomputes the decoded statistics from the same
+        # media_decode_stats: the engine BUILDS real WAV/PNG/BMP
+        # containers from id arithmetic and PARSES them back with stdlib
+        # decoders (PNG: chunk CRCs, inflate, full un-filter set); the
+        # oracle recomputes the decoded statistics from the same
         # arithmetic directly — verifying encode -> decode -> aggregate
         # without reading a byte (checksums are position-weighted, so
-        # row-order/BGR/padding decoder bugs break the hash)
+        # row-order/BGR/padding/filter decoder bugs break the hash)
         "media_decode_stats": """
             WITH wav AS (
               SELECT doc_id, 64 + doc_id % 64 AS n,
                      8000 + (doc_id % 4) * 4000 AS rate
-              FROM documents WHERE doc_id % 2 = 1
+              FROM documents WHERE doc_id % 3 = 1
             ), wav_stats AS (
               SELECT doc_id AS media_id, 'wav' AS format,
                      CAST(n AS BIGINT) AS n_units,
@@ -2781,11 +2782,16 @@ def oracle_sql() -> dict[str, str]:
                                     for i in generate_series(0, n-1)]) AS BIGINT)
                        AS checksum
               FROM wav
-            ), bmp AS (
-              SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-              FROM documents WHERE doc_id % 2 = 0
-            ), bmp_stats AS (
-              SELECT doc_id AS media_id, 'bmp' AS format,
+            ), img AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 2 THEN 'png' ELSE 'bmp' END AS fmt,
+                     CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 6
+                          ELSE 4 + doc_id % 5 END AS w,
+                     CASE WHEN doc_id % 3 = 2 THEN 3 + doc_id % 5
+                          ELSE 3 + doc_id % 4 END AS h
+              FROM documents WHERE doc_id % 3 <> 1
+            ), img_stats AS (
+              SELECT doc_id AS media_id, fmt AS format,
                      CAST(w * h AS BIGINT) AS n_units,
                      CAST(w AS BIGINT) AS rate_or_width,
                      round(list_avg(flatten(
@@ -2797,9 +2803,9 @@ def oracle_sql() -> dict[str, str]:
                           for x in generate_series(0, w-1)]
                         for y in generate_series(0, h-1)])) AS BIGINT)
                        AS checksum
-              FROM bmp
+              FROM img
             )
-            SELECT * FROM wav_stats UNION ALL SELECT * FROM bmp_stats
+            SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats
         """,
         "stream_sessionize": """
             WITH marked AS (

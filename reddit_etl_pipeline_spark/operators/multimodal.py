@@ -78,12 +78,13 @@ def _fake_decode(content: bytes, media_type: str) -> bytes:
 
 # ------------------------------------------------------------- real codecs
 #
-# Two REAL uncompressed containers, decoded with the stdlib only: PCM WAV
-# (RIFF, via the ``wave`` module — the spec-true reference reader) and
-# 24-bit BI_RGB BMP (hand-parsed headers: bottom-up/top-down row order,
-# BGR channel order, 4-byte row padding — all the traps a genuine binary
-# decoder must handle). Compressed formats (JPEG/MP3/H.264) still need
-# native libs this container lacks and keep the NotImplementedError path.
+# Three REAL containers, decoded with the stdlib only: PCM WAV (RIFF, via
+# the ``wave`` module — the spec-true reference reader), 24-bit BI_RGB BMP
+# (hand-parsed headers: bottom-up/top-down row order, BGR channel order,
+# 4-byte row padding), and 8-bit truecolor PNG (chunk walk with CRC
+# verification, zlib inflate, and the full scanline un-filter set —
+# None/Sub/Up/Average/Paeth). Formats needing native libs (JPEG/MP3/
+# H.264) keep the NotImplementedError path.
 
 
 def synth_wav(media_id: int) -> bytes:
@@ -135,6 +136,163 @@ def synth_bmp(media_id: int) -> bytes:
     )
     file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
     return file_hdr + info + pixel_data
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): pick the neighbor (left/up/
+    up-left) closest to the linear estimate a + b − c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encoder side). The
+    synthetic blobs cycle through all five types so the decoder's
+    un-filter paths are all genuinely exercised."""
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        left = row[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = _paeth(left, up, upleft)
+        out[i] = (x - pred) % 256
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Reverse one scanline filter (decoder side) — reconstruction is
+    sequential in x for Sub/Average/Paeth by spec (each byte's predictor
+    reads the RECONSTRUCTED left neighbor)."""
+    if ftype == 0:
+        return bytes(row)
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        left = out[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[i] = (x + pred) % 256
+    return bytes(out)
+
+
+def synth_png(media_id: int) -> bytes:
+    """Deterministic REAL 8-bit truecolor PNG blob (IHDR + one IDAT +
+    IEND, correct CRCs, zlib-compressed scanlines whose filter types
+    cycle through None/Sub/Up/Average/Paeth). Pixel channels reuse the
+    BMP id arithmetic — at (x, y): R=(x*7+y*13+id)%256,
+    G=(x*3+y*5+2*id)%256, B=(x*11+y*17+3*id)%256 — so the SQL oracle
+    recomputes decoded statistics without inflating a byte."""
+    import struct
+    import zlib
+
+    w = 4 + media_id % 6
+    h = 3 + media_id % 5
+    filtered = bytearray()
+    prev = bytes(3 * w)
+    for y in range(h):  # PNG stores top-down
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (x * 7 + y * 13 + media_id) % 256,
+                    (x * 3 + y * 5 + 2 * media_id) % 256,
+                    (x * 11 + y * 17 + 3 * media_id) % 256,
+                )
+            )
+        row = bytes(row)
+        ftype = (y + media_id) % 5
+        filtered.append(ftype)
+        filtered += _png_filter_row(ftype, row, prev)
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[dict, bytes]:
+    """Parse an 8-bit truecolor PNG: chunk walk with CRC verification,
+    IDAT concatenation + zlib inflate, then the per-scanline un-filter
+    (None/Sub/Up/Average/Paeth). Returns (meta, payload) with payload as
+    top-down row-major RGB — PNG's native order, so unlike BMP no flip
+    or channel swap is needed; the decoder's real work is the filter
+    reconstruction."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        row = _png_unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev)
+        out += row
+        prev = row
+    return {"width": w, "height": h, "channels": 3}, bytes(out)
 
 
 def decode_wav(data: bytes) -> tuple[dict, bytes]:
@@ -213,10 +371,13 @@ def _decode_one(content: bytes) -> tuple:
     if content[:2] == b"BM":
         meta, payload = decode_bmp(content)
         return ("bmp", meta["width"], meta["height"], meta["channels"], None, payload)
+    if content[:8] == _PNG_MAGIC:
+        meta, payload = decode_png(content)
+        return ("png", meta["width"], meta["height"], meta["channels"], None, payload)
     raise NotImplementedError(
-        "unsupported media container (only PCM WAV and 24-bit BMP decode "
-        "with the stdlib; JPEG/MP3/video need pillow/ffmpeg — use "
-        "fake=True for the pass-through stand-in)"
+        "unsupported media container (PCM WAV, 24-bit BMP and 8-bit "
+        "truecolor PNG decode with the stdlib; JPEG/MP3/video need "
+        "pillow/ffmpeg — use fake=True for the pass-through stand-in)"
     )
 
 
@@ -256,8 +417,9 @@ def decode_media(
 
 def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media relation with REAL container blobs, derived deterministically
-    from an id column: odd ids carry a PCM-16 WAV (``synth_wav``), even
-    ids a 24-bit BMP (``synth_bmp``). Content is genuine RIFF/BMP bytes —
+    from an id column: id%3==1 carries a PCM-16 WAV (``synth_wav``),
+    id%3==2 an 8-bit truecolor PNG (``synth_png``), id%3==0 a 24-bit BMP
+    (``synth_bmp``). Content is genuine RIFF/PNG/BMP bytes —
     ``decode_media(fake=False)`` exercises real parsers on it — while
     every decoded statistic stays closed-form in the id, so a SQL oracle
     can verify the full encode→decode→aggregate path without reading a
@@ -270,6 +432,11 @@ def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
 
+    def _blob(i: int) -> bytes:
+        if i % 3 == 1:
+            return synth_wav(i)
+        return synth_png(i) if i % 3 == 2 else synth_bmp(i)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
@@ -277,11 +444,9 @@ def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": ids,
                     "media_type": [
-                        "audio" if i % 2 else "image" for i in ids
+                        "audio" if i % 3 == 1 else "image" for i in ids
                     ],
-                    "content": [
-                        synth_wav(i) if i % 2 else synth_bmp(i) for i in ids
-                    ],
+                    "content": [_blob(i) for i in ids],
                 }
             )
 
@@ -289,12 +454,12 @@ def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def media_decode_stats(media: DataFrame) -> DataFrame:
-    """Genuinely-decoded per-blob statistics: parse each WAV/BMP container
-    (``decode_wav`` / ``decode_bmp``) and aggregate its raw samples /
-    pixels. Output per media_id:
+    """Genuinely-decoded per-blob statistics: parse each WAV/PNG/BMP
+    container (``decode_wav`` / ``decode_png`` / ``decode_bmp``) and
+    aggregate its raw samples / pixels. Output per media_id:
 
-    - format ('wav'|'bmp'), n_units (samples | pixels), rate_or_width
-      (sample_rate | image width) — straight from the parsed headers
+    - format ('wav'|'png'|'bmp'), n_units (samples | pixels),
+      rate_or_width (sample_rate | image width) — from the parsed headers
     - mean_val: mean PCM sample / mean RED channel (6 dp)
     - checksum: position-weighted sum — Σ (i+1)·sample for audio,
       Σ (y·w+x+1)·R for images in TOP-DOWN row-major order — order-
@@ -335,14 +500,17 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
                         )
                     )
                 else:
-                    meta, payload = decode_bmp(data)
+                    if data[:8] == _PNG_MAGIC:
+                        fmt, (meta, payload) = "png", decode_png(data)
+                    else:
+                        fmt, (meta, payload) = "bmp", decode_bmp(data)
                     px = np.frombuffer(payload, dtype="u1").astype("int64")
                     red = px[0::3]  # payload normalized to top-down RGB
                     n = len(red)
                     rows.append(
                         (
                             int(mid),
-                            "bmp",
+                            fmt,
                             n,
                             meta["width"],
                             round(float(red.mean()), 6),

@@ -182,10 +182,13 @@ def test_decode_media_real_path(spark):
     assert out[1].channels == 1 and out[1].width is None
     assert out[0].format == "bmp" and out[0].width == 4 and out[0].height == 3
     assert len(bytes(out[0].payload)) == 4 * 3 * 3  # w*h*RGB, padding stripped
+    assert out[2].format == "png" and out[2].width == 6 and out[2].height == 5
+    assert len(bytes(out[2].payload)) == 6 * 5 * 3
+    assert out[5].format == "png" and out[5].width == 9 and out[5].height == 3
 
 
 def test_media_decode_stats_small_by_hand(spark):
-    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     out = {
         r.media_id: r
         for r in MM.media_decode_stats(MM.attach_codec_media(docs)).collect()
@@ -195,9 +198,64 @@ def test_media_decode_stats_small_by_hand(spark):
     assert out[1].format == "wav" and out[1].n_units == 65
     assert out[1].rate_or_width == 12000
     assert out[1].checksum == sum((i + 1) * s for i, s in enumerate(samples))
-    # bmp id=2: w=4+2%5=6, h=3+2%4=5, red=(7x+13y+2)%256
+    # png id=2: w=4+2%6=6, h=3+2%5=5, red=(7x+13y+2)%256
     reds = [(x * 7 + y * 13 + 2) % 256 for y in range(5) for x in range(6)]
-    assert out[2].format == "bmp" and out[2].n_units == 30
+    assert out[2].format == "png" and out[2].n_units == 30
     assert out[2].rate_or_width == 6
     assert out[2].checksum == sum((i + 1) * r for i, r in enumerate(reds))
     assert abs(out[2].mean_val - round(sum(reds) / 30, 6)) < 1e-9
+    # bmp id=3: w=4+3%5=7, h=3+3%4=6, red=(7x+13y+3)%256
+    reds3 = [(x * 7 + y * 13 + 3) % 256 for y in range(6) for x in range(7)]
+    assert out[3].format == "bmp" and out[3].n_units == 42
+    assert out[3].rate_or_width == 7
+    assert out[3].checksum == sum((i + 1) * r for i, r in enumerate(reds3))
+
+
+def test_png_synth_decodes_to_generator_arithmetic():
+    """Round-trip across ids 2..21 — (y+id)%5 cycles every scanline
+    filter type (None/Sub/Up/Average/Paeth) through the un-filter."""
+    filter_types = set()
+    for mid in range(2, 22):
+        blob = MM.synth_png(mid)
+        meta, payload = MM.decode_png(blob)
+        w, h = 4 + mid % 6, 3 + mid % 5
+        assert (meta["width"], meta["height"]) == (w, h)
+        px = list(payload)
+        for y in range(h):
+            for x in range(w):
+                base = (y * w + x) * 3
+                assert px[base] == (x * 7 + y * 13 + mid) % 256
+                assert px[base + 1] == (x * 3 + y * 5 + 2 * mid) % 256
+                assert px[base + 2] == (x * 11 + y * 17 + 3 * mid) % 256
+        filter_types |= {(y + mid) % 5 for y in range(h)}
+    assert filter_types == {0, 1, 2, 3, 4}
+
+
+def test_png_decoder_rejects_corrupt_and_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    with pytest.raises(ValueError, match="signature"):
+        MM.decode_png(b"NOPE")
+    blob = bytearray(MM.synth_png(2))
+    blob[40] ^= 0xFF  # corrupt one IDAT byte -> chunk CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(blob))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    # grayscale (color type 0) is honestly unsupported
+    gray = (
+        MM._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        MM.decode_png(gray)
