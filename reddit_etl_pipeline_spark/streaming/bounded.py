@@ -37,11 +37,31 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
+def _iter_arrow_tables(subitem):
+    """Yield pyarrow Tables for one merged-batch constituent: a pyarrow
+    Table passes through; a parquet file path reads as one table; a
+    Spark-written table directory yields one table per part (row-group
+    streaming — never the whole directory in memory at once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(subitem, pa.Table):
+        yield subitem
+        return
+    src = os.path.abspath(subitem)
+    if os.path.isdir(src):
+        for p in sorted(os.listdir(src)):
+            if p.endswith(".parquet"):
+                yield pq.read_table(f"{src}/{p}")
+    else:
+        yield pq.read_table(src)
+
+
 def stage_bounded_stream(
     items: list, prefix: str = "bounded_stream_"
 ) -> str:
-    """Stage a list of DataFrames / parquet part-file paths as an ordered
-    micro-batch sequence for a file-source stream.
+    """Stage a list of DataFrames / parquet part-file paths / pyarrow
+    Tables as an ordered micro-batch sequence for a file-source stream.
 
     File streams order batches by modification time; each item gets an
     mtime 3 s after the previous so ``maxFilesPerTrigger=1`` delivers item
@@ -49,14 +69,34 @@ def stage_bounded_stream(
     in; existing part files are COPIED — never hard/soft-linked, because
     the mtime stagger on a linked file would mutate the shared inode (and
     with it the original file's metadata, which may be read-only
-    testdata). Returns the stream source directory.
+    testdata). A LIST item merges its constituents (paths / pyarrow
+    Tables) into ONE staged file = one micro-batch — the cheap way to
+    co-deliver a small control row (e.g. a watermark sentinel) with a
+    data batch without a Spark write job. Returns the stream source
+    directory.
     """
     import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     stream_dir = scratch_dir(prefix)
     now = time.time()
     for i, item in enumerate(items):
         dst = f"{stream_dir}/{i}.parquet"
+        if isinstance(item, (list, tuple)) or isinstance(item, pa.Table):
+            subs = item if isinstance(item, (list, tuple)) else [item]
+            writer = None
+            for sub in subs:
+                for t in _iter_arrow_tables(sub):
+                    if writer is None:
+                        writer = pq.ParquetWriter(dst, t.schema)
+                    writer.write_table(t.cast(writer.schema))
+            if writer is None:
+                continue  # all constituents empty
+            writer.close()
+            os.utime(dst, (now + i * 3, now + i * 3))
+            continue
         if isinstance(item, DataFrame):
             d = scratch_dir(f"{prefix}item{i}_")
             item.coalesce(1).write.mode("overwrite").parquet(d)

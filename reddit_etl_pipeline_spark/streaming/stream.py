@@ -142,25 +142,79 @@ def _event_sentinel(batch: DataFrame, sentinel_ts) -> DataFrame:
     )
 
 
+def _event_sentinel_table(src_path: str, sentinel_ts):
+    """The watermark sentinel as a one-row pyarrow Table carrying the
+    SOURCE FILE's exact arrow schema (so the staged file keeps the same
+    parquet logical ts type — nanos, NTZ micros, or UTC micros). Built
+    without a Spark job: sentinel staging used to cost one
+    coalesce(1).write per sentinel, ~40% of the bounded-stream setup."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = src_path
+    if os.path.isdir(path):
+        path = next(
+            f"{path}/{p}" for p in sorted(os.listdir(path))
+            if p.endswith(".parquet")
+        )
+    schema = pq.read_schema(path)
+    # strip writer-specific metadata (pandas index info etc.) — the
+    # sentinel row carries none of it and merged writers cast by schema
+    schema = schema.remove_metadata()
+    vals = []
+    for f in schema:
+        if f.name == "ts":
+            v = sentinel_ts
+            if (
+                isinstance(f.type, pa.TimestampType)
+                and f.type.tz is not None
+                and hasattr(v, "tzinfo")
+                and v.tzinfo is None
+            ):
+                import datetime
+
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            vals.append(pa.array([v], type=f.type))
+        elif f.name in ("event_id", "user_id"):
+            vals.append(pa.array([-1], type=f.type))
+        elif f.name == "event_type":
+            vals.append(pa.array(["__sentinel__"], type=f.type))
+        elif f.name == "value":
+            vals.append(pa.array([0.0], type=f.type))
+        else:
+            vals.append(pa.array([None], type=f.type))
+    return pa.Table.from_arrays(vals, schema=schema)
+
+
 def _bounded_events_stream(
     spark: SparkSession, sf_dir: str, margin_seconds: int
 ):
-    """Events table staged as [data, watermark-sentinel] micro-batches.
+    """Events table staged as [data + watermark-sentinel, sentinel]
+    micro-batches.
 
-    The first sentinel row sits ``margin_seconds`` past max(ts); once its
-    batch commits, the watermark passes every real window/timeout. A
-    SECOND sentinel at the SAME timestamp follows in its own batch,
-    because emission/flush happens while processing a batch under the
-    already-advanced watermark — Spark can also do it in a
-    watermark-triggered no-data micro-batch, but ``processAllAvailable``
-    does not wait for those (it returns when all *file* data is
-    consumed), so relying on it is a race. The equal timestamp matters:
-    the watermark therefore never passes the sentinels' own
-    window/timeout horizon, so sentinel state can never be emitted —
-    making output deterministic with no sentinel filter (which Catalyst
-    would push below the watermark node anyway, killing the watermark
-    advance). Two rows per run, not one per key. Returns (stream, ns_ts);
-    sentinel rows carry event_type='__sentinel__' and ids of -1.
+    The sentinel row sits ``margin_seconds`` past max(ts). It rides IN
+    the data batch (a one-row pyarrow table appended to the staged file —
+    batch watermark comes from the batch MAX event time, so co-delivery
+    advances it exactly like a separate batch would, one micro-batch
+    cheaper): once that batch commits, the watermark passes every real
+    window/timeout. A SECOND sentinel at the SAME timestamp follows in
+    its own batch, because emission/flush happens while PROCESSING a
+    batch under the already-advanced watermark — Spark can also do it in
+    a watermark-triggered no-data micro-batch, but
+    ``processAllAvailable`` does not wait for those (it returns when all
+    *file* data is consumed), so relying on it is a race. Keyed state
+    still genuinely crosses the batch boundary: batch 1 processes under
+    watermark 0 (the watermark only advances at its COMMIT), so open
+    sessions / unclosed windows sit in the state store until batch 2
+    flushes them. The equal timestamp matters: the watermark never
+    passes the sentinels' own window/timeout horizon, so sentinel state
+    can never be emitted — making output deterministic with no sentinel
+    filter (which Catalyst would push below the watermark node anyway,
+    killing the watermark advance). Two rows per run, not one per key.
+    Returns (stream, ns_ts); sentinel rows carry
+    event_type='__sentinel__' and ids of -1.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -176,12 +230,10 @@ def _bounded_events_stream(
         import datetime
 
         sentinel_ts = max_ts + datetime.timedelta(seconds=margin_seconds)
+    src = f"{sf_dir}/events.parquet"
+    sentinel = _event_sentinel_table(src, sentinel_ts)
     d = stage_bounded_stream(
-        [
-            f"{sf_dir}/events.parquet",
-            _event_sentinel(batch, sentinel_ts),
-            _event_sentinel(batch, sentinel_ts),
-        ],
+        [[src, sentinel], sentinel],
         prefix="events_bounded_",
     )
     stream = (

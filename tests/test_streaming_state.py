@@ -324,3 +324,49 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
             spark.conf.set(key, prev)
     assert got == want
 
+
+
+def test_bounded_stream_stages_two_batches_with_riding_sentinel(spark, sf_dir):
+    """Round-6 staging shape: the first watermark sentinel rides in the
+    data batch (one-row pyarrow append, no Spark write job) and exactly
+    one follow-up sentinel batch remains — two staged files, not three.
+    The merged file must carry the source's exact arrow ts type and end
+    with the sentinel row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    stream, _ = ST._bounded_events_stream(spark, sf_dir, margin_seconds=3600)
+    src_dir = None
+    # the staged dir is the stream's source path; recover it from the plan
+    for line in stream._jdf.queryExecution().logical().toString().splitlines():
+        if "events_bounded_" in line:
+            import re
+
+            m = re.search(r"(/[^\s,\])]*events_bounded_[^\s,\])]*)", line)
+            if m:
+                src_dir = m.group(1)
+                break
+    assert src_dir is not None
+    files = sorted(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    assert files == ["0.parquet", "1.parquet"]
+    t0 = pq.read_table(f"{src_dir}/0.parquet")
+    t1 = pq.read_table(f"{src_dir}/1.parquet")
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert t0.num_rows == n_src + 1 and t1.num_rows == 1
+    # sentinel is the LAST row of the data batch and the only row of the
+    # follow-up, with the same (max) ts in the file's own logical type
+    last = t0.slice(t0.num_rows - 1).to_pylist()[0]
+    only = t1.to_pylist()[0]
+    assert last["event_id"] == -1 and only["event_id"] == -1
+    assert last["event_type"] == "__sentinel__"
+    assert last["ts"] == only["ts"]
+    assert t0.schema.field("ts").type == pq.read_schema(
+        f"{sf_dir}/events.parquet"
+        if not os.path.isdir(f"{sf_dir}/events.parquet")
+        else next(
+            f"{sf_dir}/events.parquet/" + p
+            for p in sorted(os.listdir(f"{sf_dir}/events.parquet"))
+            if p.endswith(".parquet")
+        )
+    ).field("ts").type
