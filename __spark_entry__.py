@@ -401,6 +401,62 @@ def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the part co-purchase graph
+    (parts co-occurring in an order are adjacent) via degree-oriented
+    wedge closure (operators/graph.triangle_counts) — the distributed
+    triangle algorithm whose orientation bounds wedge fan-out on skew."""
+    from reddit_etl_pipeline_spark.operators.graph import triangle_counts
+
+    li = (
+        Q.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_key"), "n_triangles"
+    )
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates beside exact counts for the
+    top-50 corpus tokens — est >= exact always (the CMS guarantee)."""
+    return SK.cms_heavy_hitters(spark, sf_dir, top_n=50)
+
+
+def _bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning accounting: per source, docs
+    flagged by the broadcast banned-fingerprint bloom vs the exact
+    semi-join ground truth (false-positive column included)."""
+    return SK.bloom_contamination_stats(spark, sf_dir)
+
+
+def _fuzzy_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: deterministically-corrupted customer names
+    resolved back against the clean relation via pigeonhole-blocked
+    levenshtein (operators/resolve.py) — best match per dirty record."""
+    from reddit_etl_pipeline_spark.operators import resolve as RS
+
+    cust = Q.load(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_id"), F.col("c_name").alias("name")
+    )
+    dirty = RS.corrupt_names(cust, "c_custkey", "c_name", every=5)
+    return RS.fuzzy_resolve(dirty, clean, max_dist=2)
+
+
 def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (distinct edges
     from orders ⋈ lineitem). Rows-only check (iterative float algorithm);
@@ -1013,6 +1069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_learned": _semantic_dedup_learned,
         "kmeans_cluster_stats": _kmeans_cluster_stats,
         "supplier_pagerank": _supplier_pagerank,
+        "part_triangles": _part_triangles,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bloom_contamination_stats": _bloom_contamination_stats,
+        "fuzzy_resolve_customers": _fuzzy_resolve_customers,
         "dq_report": _dq_report,
         # multimodal (binary columns over Arrow-batched mapInPandas)
         "media_byte_stats": _media_byte_stats,
@@ -3427,6 +3487,78 @@ def oracle_sql() -> dict[str, str]:
         # (Spark's own HLL++ twin stays as approx_distinct_stats_native,
         # outside the driver surface).
         "approx_distinct_stats": SK.hll_oracle_sql(),
+        # Count-Min sketch + Bloom filter: all-integer (xxhash64 +
+        # Kirsch-Mitzenmacher double hashing), replayed bit for bit
+        "cms_heavy_hitters": SK.cms_oracle_sql(top_n=50),
+        "bloom_contamination_stats": SK.bloom_oracle_sql(),
+        # Triangle counting: the oracle enumerates each triangle once as
+        # (a<b<c) edge triples — orientation-free exactness reference for
+        # the engine's degree-oriented wedge closure
+        "part_triangles": """
+            WITH li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ), tri AS MATERIALIZED (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+            )
+            SELECT CAST(node AS BIGINT) AS part_key,
+                   count(*) AS n_triangles
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
+        """,
+        # Fuzzy entity resolution: same deterministic corruption, the
+        # same pigeonhole segment blocking (integer-division boundaries),
+        # DuckDB's levenshtein (the identical unit-cost DP), same
+        # (distance, key) argmin
+        "fuzzy_resolve_customers": """
+            WITH dirty AS MATERIALIZED (
+              SELECT c_custkey AS d_key,
+                     CASE WHEN length(c_name) >= 10 + c_custkey % 8
+                          THEN substr(c_name, 1, 10 + c_custkey % 8 - 1)
+                               || '#'
+                               || substr(c_name, 10 + c_custkey % 8 + 1)
+                          ELSE c_name END AS d_name
+              FROM customer WHERE c_custkey % 5 = 0
+            ), dseg AS MATERIALIZED (
+              SELECT d_key, d_name, i AS seg_idx,
+                     CAST(length(d_name) AS VARCHAR) || '|' ||
+                     substr(d_name,
+                            1 + (length(d_name) * i) // 3,
+                            (length(d_name) * (i + 1)) // 3
+                            - (length(d_name) * i) // 3) AS block
+              FROM dirty, (SELECT unnest(range(3)) AS i)
+            ), cseg AS MATERIALIZED (
+              SELECT c_custkey AS c_key, c_name, i AS seg_idx,
+                     CAST(length(c_name) AS VARCHAR) || '|' ||
+                     substr(c_name,
+                            1 + (length(c_name) * i) // 3,
+                            (length(c_name) * (i + 1)) // 3
+                            - (length(c_name) * i) // 3) AS block
+              FROM customer, (SELECT unnest(range(3)) AS i)
+            ), cands AS MATERIALIZED (
+              SELECT DISTINCT d.d_key, d.d_name, c.c_key, c.c_name
+              FROM dseg d JOIN cseg c USING (seg_idx, block)
+            ), verified AS MATERIALIZED (
+              SELECT d_key, c_key,
+                     levenshtein(d_name, c_name) AS distance
+              FROM cands WHERE levenshtein(d_name, c_name) <= 2
+            )
+            SELECT dirty_id, resolved_id, distance, n_candidates FROM (
+              SELECT d_key AS dirty_id, c_key AS resolved_id,
+                     CAST(distance AS BIGINT) AS distance,
+                     count(*) OVER (PARTITION BY d_key) AS n_candidates,
+                     row_number() OVER (PARTITION BY d_key
+                                        ORDER BY distance, c_key) AS rn
+              FROM verified
+            ) WHERE rn = 1
+        """,
         # Zero rows-only checks remain.
         # (The whole ANN family — LSH / IVF / PQ / IVF-PQ / kNN-IVF —
         # plus kmeans, minhash/simhash, and the streaming greedy corpus

@@ -157,6 +157,10 @@ def main() -> None:
         "winnow_overlap",
         "neardup_canonical_minhash",
         "approx_distinct_stats",
+        "part_triangles",
+        "cms_heavy_hitters",
+        "bloom_contamination_stats",
+        "fuzzy_resolve_customers",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -181,6 +181,312 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- Bloom filter
+# semi-join pruning — the runtime-filter pattern: instead of shuffling a
+# 100 TB probe side into an anti/semi join against a banned-key list,
+# build a fixed-size bit array over the banned keys once, broadcast it,
+# and pre-filter map-side; only bloom-POSITIVE rows continue to the
+# exact verify. Bits are 32-bit words (bit 31 max — no sign-bit
+# divergence between Spark's signed BIGINT and DuckDB), positions from
+# the same Kirsch-Mitzenmacher double hashing as the CMS.
+BLOOM_M = 1 << 10  # 1024 bits — sized to show real false positives at sf0.1
+BLOOM_K = 3
+_NORM = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+
+
+def bloom_contamination_stats(
+    spark: SparkSession, sf_dir: str, banned_mod: int = 17
+) -> DataFrame:
+    """Per-source contamination-prune accounting through a Bloom
+    pre-filter: documents whose normalized text fingerprint hits the
+    banned-set bloom are 'flagged' (would continue to exact verification
+    at scale); the exact semi-join gives ground truth, and
+    n_false_pos = flagged − exact measures the filter. Banned set =
+    docs with doc_id % banned_mod == 0 (deterministic stand-in for a
+    benchmark-contamination list).
+
+    Scale shape: the bloom build aggregates to m/32 = 32 words
+    (map-side combinable bit_or), broadcasts; the probe is map-only over
+    the corpus. All-integer → DuckDB replays the filter bit for bit."""
+    from ..plans.star import load
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.expr(f"xxhash64({_NORM}) & 4294967295").alias("h1"),
+        F.expr(f"shiftrightunsigned(xxhash64({_NORM}), 32)").alias("h2"),
+        F.expr(f"xxhash64({_NORM})").alias("fph"),
+    )
+    banned = fp.filter(F.col("doc_id") % banned_mod == 0)
+
+    def positions(df):
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"(h1 + {j} * h2) & {BLOOM_M - 1}").alias("p")
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        ).select(
+            *df.columns,
+            F.expr("pos >> 5").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos & 31)").alias("mask"),
+        )
+
+    bloom = (
+        positions(banned.select("h1", "h2"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probed = (
+        positions(fp)
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.coalesce(F.expr("bits & mask"), F.lit(0)) != 0, 1
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "source", "fph")
+        .agg(F.min("hit").alias("flagged"))
+    )
+    exact = banned.select(F.col("fph").alias("bfp")).distinct()
+    scored = probed.join(
+        F.broadcast(exact), probed.fph == exact.bfp, "left"
+    ).select(
+        "source",
+        "flagged",
+        F.when(F.col("bfp").isNotNull(), 1).otherwise(0).alias("banned"),
+    )
+    # NULL-text docs never probe (no fingerprint) but still count
+    null_docs = (
+        docs.filter(F.col("text").isNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_null"))
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("flagged").alias("n_flagged"),
+        F.sum("banned").alias("n_banned"),
+        F.sum(F.expr("flagged - banned")).alias("n_false_pos"),
+    )
+    return (
+        per_src.join(null_docs, "source", "left")
+        .select(
+            "source",
+            (F.col("n_probed") + F.coalesce("n_null", F.lit(0))).alias("n_docs"),
+            "n_flagged",
+            "n_banned",
+            "n_false_pos",
+        )
+    )
+
+
+def bloom_oracle_sql(banned_mod: int = 17) -> str:
+    """DuckDB replay of ``bloom_contamination_stats``: xxhash64 of the
+    normalized text via xxh64_sql (distinct norms only), identical
+    double-hashed positions, 32-bit-word bit_or build, same probe and
+    per-source rollup."""
+    norm_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "norms", passthrough=["tok"]
+    )
+    return f"""
+WITH nd AS MATERIALIZED (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+norms AS MATERIALIZED (SELECT DISTINCT tok FROM nd),
+th AS MATERIALIZED ({norm_hash}),
+fp AS MATERIALIZED (
+  SELECT d.doc_id, d.source, {X.signed('h.th')} AS fph,
+         h.th % 4294967296 AS h1, h.th // 4294967296 AS h2
+  FROM nd d JOIN th h USING (tok)
+),
+ppos AS MATERIALIZED (
+  SELECT doc_id, source, fph,
+         CAST(((h1 + j * h2) % {BLOOM_M}) // 32 AS BIGINT) AS word,
+         (CAST(1 AS BIGINT)
+          << CAST(((h1 + j * h2) % {BLOOM_M}) % 32 AS INT)) AS mask
+  FROM fp, (SELECT unnest(range({BLOOM_K})) AS j)
+),
+bloom AS MATERIALIZED (
+  SELECT word, bit_or(mask) AS bits FROM ppos
+  WHERE doc_id % {banned_mod} = 0 GROUP BY word
+),
+probe AS MATERIALIZED (
+  SELECT doc_id, source, fph,
+         min(CASE WHEN coalesce(b.bits & p.mask, 0) <> 0
+                  THEN 1 ELSE 0 END) AS flagged
+  FROM ppos p LEFT JOIN bloom b USING (word)
+  GROUP BY doc_id, source, fph
+),
+banned_fps AS MATERIALIZED (
+  SELECT DISTINCT fph FROM fp WHERE doc_id % {banned_mod} = 0
+),
+scored AS MATERIALIZED (
+  SELECT p.source, p.flagged,
+         CASE WHEN b.fph IS NOT NULL THEN 1 ELSE 0 END AS banned
+  FROM probe p LEFT JOIN banned_fps b ON b.fph = p.fph
+),
+nulls AS MATERIALIZED (
+  SELECT source, count(*) AS n_null FROM documents
+  WHERE text IS NULL GROUP BY source
+)
+SELECT s.source,
+       CAST(count(*) + coalesce(any_value(n.n_null), 0) AS BIGINT) AS n_docs,
+       CAST(sum(s.flagged) AS BIGINT) AS n_flagged,
+       CAST(sum(s.banned) AS BIGINT) AS n_banned,
+       CAST(sum(s.flagged - s.banned) AS BIGINT) AS n_false_pos
+FROM scored s LEFT JOIN nulls n USING (source)
+GROUP BY s.source
+"""
+
+
+# ---------------------------------------------------------------- Count-Min
+# sketch: the mergeable fixed-size frequency estimator (Cormode &
+# Muthukrishnan). d rows x w counters; per occurrence, row j increments
+# counter idx_j(token); a point estimate is min_j counter[j][idx_j] and
+# NEVER undercounts. Row hashes come from ONE xxhash64 per token via
+# Kirsch-Mitzenmacher double hashing (idx_j = (h_lo32 + j*h_hi32) mod w
+# — the published two-hash construction), so the DuckDB oracle replays
+# the whole sketch from the existing string-hash machinery.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_idx_exprs_spark(d: int = CMS_D, w: int = CMS_W):
+    """j -> Spark Column computing idx_j from columns h1/h2 (the low and
+    high 32 bits of the signed xxhash64). Pure integer: h1 + j*h2 is at
+    most 2^34, no overflow anywhere."""
+    return {j: F.expr(f"(h1 + {j} * h2) & {w - 1}") for j in range(d)}
+
+
+def cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """Heavy-hitter tokens over the documents corpus with Count-Min
+    estimates next to exact counts.
+
+    Two aggregations over one token explode:
+
+    - the SKETCH: per (row j, counter idx) occurrence counts — at most
+      d*w = 4096 rows whatever the corpus size, full map-side combine
+      (this is the piece that scales to 100 TB: fixed memory, mergeable
+      across partitions/days, no token shuffle);
+    - the EXACT top-n (count DESC, token) — the validation side, which a
+      production pipeline would drop once the sketch is trusted.
+
+    The probe explodes each candidate token into its d counter positions
+    and takes min(counter) — the CMS point estimate, guaranteed
+    >= exact. Output: token, exact_n, cms_est, overcount (all BIGINT;
+    totally ordered by exact_n DESC, token)."""
+    from ..functions.text import tokens
+    from ..plans.star import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    hashed = toks.select(
+        "tok",
+        F.expr("xxhash64(tok) & 4294967295").alias("h1"),
+        F.expr("shiftrightunsigned(xxhash64(tok), 32)").alias("h2"),
+    )
+    idx = _cms_idx_exprs_spark()
+    # one occurrence -> d (j, idx) increments, then the bounded aggregate
+    positions = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.idx")
+    sketch = positions.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("counter"))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # TakeOrderedAndProject, not a global row_number window: the top-n
+    # cut runs as per-partition heaps + one driver merge, bounded by n
+    cands = exact.orderBy(F.col("exact_n").desc(), "tok").limit(top_n)
+    probe = (
+        cands.withColumn("h1", F.expr("xxhash64(tok) & 4294967295"))
+        .withColumn("h2", F.expr("shiftrightunsigned(xxhash64(tok), 32)"))
+        .select(
+            "tok",
+            "exact_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("tok", "exact_n", "p.j", "p.idx")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "idx"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def cms_oracle_sql(top_n: int = 50) -> str:
+    """DuckDB replay of ``cms_heavy_hitters``: same tokenization as the
+    other text oracles, xxhash64 per DISTINCT token via xxh64_sql, the
+    same double-hashed counter positions, bounded sketch, same probe."""
+    tok_hash = X.render_select(
+        X.str_hash_cols("tok", "th"), ["th"], "dtoks", passthrough=["tok"]
+    )
+    toks_expr = (
+        "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+    )
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT unnest({toks_expr}) AS tok FROM documents WHERE text IS NOT NULL
+),
+dtoks AS MATERIALIZED (SELECT DISTINCT tok FROM occ),
+th AS MATERIALIZED ({tok_hash}),
+hh AS MATERIALIZED (
+  SELECT tok, th % 4294967296 AS h1, th // 4294967296 AS h2 FROM th
+),
+pos AS MATERIALIZED (
+  SELECT o.tok, j, CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM occ o JOIN hh h USING (tok), (SELECT unnest(range({CMS_D})) AS j)
+),
+sketch AS MATERIALIZED (
+  SELECT j, idx, count(*) AS counter FROM pos GROUP BY j, idx
+),
+exact AS MATERIALIZED (
+  SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {top_n}
+),
+probe AS MATERIALIZED (
+  SELECT e.tok, e.exact_n, j,
+         CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM exact e JOIN hh h USING (tok), (SELECT unnest(range({CMS_D})) AS j)
+)
+SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.counter) AS BIGINT) AS cms_est,
+       CAST(min(s.counter) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s USING (j, idx)
+GROUP BY p.tok, p.exact_n
+"""
+
+
 def hll_oracle_sql() -> str:
     """DuckDB replay of ``approx_distinct_stats``: same xxhash64 (via
     xxh64_sql.hash_long_cols over the two's-complement user_id bits),

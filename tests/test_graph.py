@@ -54,3 +54,71 @@ def test_degree_stats(spark):
     e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
     d = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(e).collect()}
     assert d == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_triangle_counts_known_graphs(spark):
+    from reddit_etl_pipeline_spark.operators.graph import triangle_counts
+
+    # K4: every node is in C(3,2)=3 triangles; 4 triangles total
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # triangle + pendant + disconnected edge: only the triangle counts
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (8, 9)]
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+    # duplicates / reversed direction / self-loops normalize away
+    noisy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 1)]
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(noisy, "src long, dst long")
+        ).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_hub_skew_matches_bruteforce(spark):
+    """Star hub + random chords: degree orientation must still count
+    exactly what the O(n^3) reference counts."""
+    import itertools
+    import random
+
+    from reddit_etl_pipeline_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(7)
+    n = 40
+    edges = [(0, i) for i in range(1, n)]  # hub 0
+    edges += [
+        (a, b)
+        for a, b in itertools.combinations(range(1, n), 2)
+        if rnd.random() < 0.1
+    ]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want

@@ -141,3 +141,33 @@ def test_write_zordered_clusters_both_dims(spark):
     back = spark.read.parquet(path)
     assert back.count() == 4096
     assert back.agg(F.sum("payload")).first()[0] == sum(range(4096))
+
+
+def test_cms_never_undercounts_and_bounds(spark, sf_dir):
+    from reddit_etl_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_n  # the CMS one-sided guarantee
+        assert r.overcount == r.cms_est - r.exact_n
+    # sketch state is bounded by construction
+    assert CMS_D * CMS_W == 4096
+
+
+def test_bloom_flags_superset_of_banned(spark, sf_dir):
+    from reddit_etl_pipeline_spark.operators.sketches import (
+        bloom_contamination_stats,
+    )
+
+    rows = bloom_contamination_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # no false negatives ever; false positives accounted exactly
+        assert r.n_flagged >= r.n_banned
+        assert r.n_false_pos == r.n_flagged - r.n_banned
+        assert r.n_docs >= r.n_flagged
