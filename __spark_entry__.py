@@ -3514,7 +3514,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         # Fuzzy entity resolution: same deterministic corruption, the
-        # same pigeonhole segment blocking (integer-division boundaries),
+        # same wildcard-position variant blocking (two masked positions
+        # per key — exact candidate generation for Hamming <= 2),
         # DuckDB's levenshtein (the identical unit-cost DP), same
         # (distance, key) argmin
         "fuzzy_resolve_customers": """
@@ -3526,25 +3527,39 @@ def oracle_sql() -> dict[str, str]:
                                || substr(c_name, 10 + c_custkey % 8 + 1)
                           ELSE c_name END AS d_name
               FROM customer WHERE c_custkey % 5 = 0
-            ), dseg AS MATERIALIZED (
-              SELECT d_key, d_name, i AS seg_idx,
+            ), dvar AS MATERIALIZED (
+              SELECT d_key, d_name,
                      CAST(length(d_name) AS VARCHAR) || '|' ||
-                     substr(d_name,
-                            1 + (length(d_name) * i) // 3,
-                            (length(d_name) * (i + 1)) // 3
-                            - (length(d_name) * i) // 3) AS block
-              FROM dirty, (SELECT unnest(range(3)) AS i)
-            ), cseg AS MATERIALIZED (
-              SELECT c_custkey AS c_key, c_name, i AS seg_idx,
+                     CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR) || '|' ||
+                     concat(substr(d_name, 1, i - 1), '*',
+                            substr(d_name, i + 1, greatest(j - i - 1, 0)),
+                            '*', substr(d_name, j + 1)) AS block
+              FROM dirty,
+                   LATERAL (SELECT unnest(range(1, length(d_name) + 1)) AS i) ti,
+                   LATERAL (SELECT unnest(range(1, length(d_name) + 1)) AS j) tj
+              WHERE i < j
+              UNION ALL
+              SELECT d_key, d_name,
+                     CAST(length(d_name) AS VARCHAR) || '|0|0|ALL' AS block
+              FROM dirty WHERE length(d_name) < 2
+            ), cvar AS MATERIALIZED (
+              SELECT c_custkey AS c_key, c_name,
                      CAST(length(c_name) AS VARCHAR) || '|' ||
-                     substr(c_name,
-                            1 + (length(c_name) * i) // 3,
-                            (length(c_name) * (i + 1)) // 3
-                            - (length(c_name) * i) // 3) AS block
-              FROM customer, (SELECT unnest(range(3)) AS i)
+                     CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR) || '|' ||
+                     concat(substr(c_name, 1, i - 1), '*',
+                            substr(c_name, i + 1, greatest(j - i - 1, 0)),
+                            '*', substr(c_name, j + 1)) AS block
+              FROM customer,
+                   LATERAL (SELECT unnest(range(1, length(c_name) + 1)) AS i) ti,
+                   LATERAL (SELECT unnest(range(1, length(c_name) + 1)) AS j) tj
+              WHERE i < j
+              UNION ALL
+              SELECT c_custkey AS c_key, c_name,
+                     CAST(length(c_name) AS VARCHAR) || '|0|0|ALL' AS block
+              FROM customer WHERE length(c_name) < 2
             ), cands AS MATERIALIZED (
               SELECT DISTINCT d.d_key, d.d_name, c.c_key, c.c_name
-              FROM dseg d JOIN cseg c USING (seg_idx, block)
+              FROM dvar d JOIN cvar c USING (block)
             ), verified AS MATERIALIZED (
               SELECT d_key, c_key,
                      levenshtein(d_name, c_name) AS distance

@@ -124,7 +124,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as an edge DataFrame (direction and duplicates are
@@ -188,6 +191,14 @@ def triangle_counts(
     # a wedge (a; b, c) closes iff {b, c} is an edge; und already holds
     # exactly the undirected (lo < hi) edge set the wedge's b < c needs
     closing = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    # the wedge stream is the big side (sum of oriented out-deg^2 — often
+    # 50-100x the edge count on dense graphs); when the edge set itself
+    # is broadcastable, probing it map-side avoids shuffling every wedge
+    # (part co-purchase graph at sf0.1, 1.2M edges / 1.9M triangles:
+    # 10.8s shuffled -> 8.8s broadcast). und.count() is cheap here —
+    # und is already checkpoint-materialized.
+    if und.count() <= broadcast_edges:
+        closing = F.broadcast(closing)
     tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     return (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))

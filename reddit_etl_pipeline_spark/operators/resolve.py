@@ -1,31 +1,83 @@
 """Entity resolution / fuzzy join: match dirty records to a clean
-reference by edit distance, with pigeonhole blocking so the join never
-goes all-pairs.
+reference by edit distance, with wildcard-position blocking so the join
+never goes all-pairs — and never hot-blocks on shared prefixes.
 
 The reference has no ER surface; this is part of the beyond-reference
 large-scale family (a training-data pipeline dedups entities — authors,
 sources, URLs — not just documents). Spark-first shape:
 
-- **Blocking** by the pigeonhole principle (the same guarantee the
-  SimHash blocks use): split each name into ``max_dist + 1`` contiguous
-  segments — any match within ``max_dist`` substitutions leaves at least
-  one segment untouched, so candidates are exactly the pairs agreeing on
-  (segment index, segment value). That's an equi-join on a bounded key,
-  not a cartesian product; segment length shrinks as names grow, keeping
-  blocks small. (Substitution-only is the right model for fixed-width
-  identifiers; general indels would need q-gram blocking on top.)
+- **Blocking** by masked variants (the FastSS / PassJoin deletion-
+  neighborhood idea, adapted to substitutions): every record emits one
+  key per size-``max_dist`` set of positions, with those positions
+  replaced by ``*``. Two equal-length strings differ in at most
+  ``max_dist`` aligned positions **iff** they share a masked variant, so
+  the equi-join on variant keys is EXACT candidate generation — complete
+  AND sound for the aligned-substitution (Hamming) model. Crucially the
+  keys carry the *unmasked remainder* of the string, so a low-entropy
+  shared prefix ("Customer#…", "http://…") cannot collapse the relation
+  into one block: a block holds only strings identical outside the
+  masked positions (≤ alphabet^max_dist members). The first cut of this
+  operator used pigeonhole segment blocking instead and its constant
+  prefix segment put ALL 15 k names in one block — a 45 M-pair
+  single-partition verify at sf0.1; skew-robustness is why the variant
+  scheme replaced it.
 - **Verification** with JVM-side ``levenshtein`` (wholestage codegen; a
   plain DP both engines implement identically, so the oracle replays it
-  with DuckDB's ``levenshtein``).
+  with DuckDB's ``levenshtein``). Blocking already guarantees
+  Hamming ≤ max_dist; levenshtein (≤ Hamming) supplies the reported
+  distance.
 - **Resolution**: per dirty record, one map-side-combinable
   ``min(struct(distance, clean_id))`` — best match, total order, no
   window over the candidate set.
+
+Matching model: aligned substitutions over identifier-like strings
+(cross-length matches are out of scope — a length change is a different
+entity for fixed-format keys). Keys per record are C(len, max_dist):
+fine for identifiers (len 18, d=2 → 153), quadratic for long strings —
+``max_len`` guards against feeding documents through this path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: C(len, 2) keys per record grows quadratically; identifiers only.
+MAX_NAME_LEN = 128
+MAX_DISTINCT_LENGTHS = 1024
+
+
+def _mask_sql(name: str) -> str:
+    """Masked-variant SQL shared by both join sides (columns ``i`` <=
+    ``j`` from the broadcast pair table; ``i = j`` masks one position):
+    positions i and j replaced by '*', everything else verbatim."""
+    return (
+        f"concat(substr({name}, 1, i - 1), '*', "
+        f"substr({name}, i + 1, greatest(j - i - 1, 0)), '*', "
+        f"substr({name}, j + 1))"
+    )
+
+
+def _position_pairs(spark, lengths: list[int], max_dist: int) -> DataFrame:
+    """Broadcast (nlen, i, j) table: per observed string length, every
+    size-``max_dist`` position subset (i = j when max_dist = 1); lengths
+    shorter than max_dist get the (0, 0) sentinel (full mask — any
+    equal-length string matches)."""
+    rows = []
+    for n in lengths:
+        if n < max_dist:
+            rows.append((n, 0, 0))
+        elif max_dist == 1:
+            rows += [(n, i, i) for i in range(1, n + 1)]
+        else:
+            rows += [
+                (n, i, j)
+                for i in range(1, n + 1)
+                for j in range(i + 1, n + 1)
+            ]
+    return F.broadcast(
+        spark.createDataFrame(rows, "nlen INT, i INT, j INT")
+    )
 
 
 def fuzzy_resolve(
@@ -37,53 +89,66 @@ def fuzzy_resolve(
     max_dist: int = 2,
 ) -> DataFrame:
     """Resolve each dirty record to its best clean match within
-    ``max_dist`` substitutions. Returns (dirty_id, resolved_id, distance,
-    n_candidates); dirty records with no candidate are absent (left-join
-    downstream if you need misses).
+    ``max_dist`` aligned substitutions. Returns (dirty_id, resolved_id,
+    distance, n_candidates); dirty records with no candidate are absent
+    (left-join downstream if you need misses). ``max_dist`` ∈ {1, 2}
+    (the variant count is C(len, d); higher d belongs to a q-gram
+    pipeline, not this one)."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    spark = dirty.sparkSession
 
-    Both inputs must carry ``name_col``. Matching model: equal-length
-    substitution distance for blocking completeness (the pigeonhole
-    guarantee needs aligned segments); verification uses full
-    levenshtein, so unequal-length candidates that happen to share a
-    segment still verify correctly."""
-    n_seg = max_dist + 1
+    # observed lengths drive the broadcast pair table — bounded collect
+    # with loud caps (identifier-like keys, not documents)
+    lens = [
+        r["n"]
+        for r in (
+            dirty.select(F.length(name_col).alias("n"))
+            .unionAll(clean.select(F.length(name_col).alias("n")))
+            .filter(F.col("n").isNotNull())
+            .distinct()
+            .limit(MAX_DISTINCT_LENGTHS + 1)
+            .collect()
+        )
+    ]
+    if len(lens) > MAX_DISTINCT_LENGTHS:
+        raise ValueError(
+            f"fuzzy_resolve: more than {MAX_DISTINCT_LENGTHS} distinct "
+            "name lengths — this input does not look like identifiers"
+        )
+    too_long = [n for n in lens if n > MAX_NAME_LEN]
+    if too_long:
+        raise ValueError(
+            f"fuzzy_resolve: name length {max(too_long)} exceeds "
+            f"MAX_NAME_LEN={MAX_NAME_LEN} (C(len,{max_dist}) keys per "
+            "record); use q-gram/minhash blocking for long strings"
+        )
+    pairs = _position_pairs(spark, lens, max_dist)
 
     def blocked(df, id_col, side):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seg_idx"),
-                    # integer division for the boundaries — bit-identical
-                    # in Spark (div) and DuckDB (//), no float rounding
-                    F.expr(
-                        f"substr({name_col},"
-                        f" 1 + (length({name_col}) * {i}) div {n_seg},"
-                        f" (length({name_col}) * {i + 1}) div {n_seg}"
-                        f" - (length({name_col}) * {i}) div {n_seg})"
-                    ).alias("seg_val"),
-                )
-                for i in range(n_seg)
-            ]
-        )
-        return df.select(
+        named = df.select(
             F.col(id_col).alias(f"{side}_key"),
             F.col(name_col).alias(f"{side}_name"),
-            F.explode(arr).alias("s"),
-        ).select(
+            F.length(name_col).alias("nlen"),
+        )
+        return named.join(pairs, "nlen").select(
             f"{side}_key",
             f"{side}_name",
-            "s.seg_idx",
-            # block on length too: the pigeonhole argument is per-length,
-            # and it keeps a short segment from colliding across widths
             F.concat_ws(
-                "|", F.length(f"{side}_name").cast("string"), F.col("s.seg_val")
+                "|",
+                F.col("nlen").cast("string"),
+                F.col("i").cast("string"),
+                F.col("j").cast("string"),
+                F.when(F.col("i") == 0, F.lit("ALL")).otherwise(
+                    F.expr(_mask_sql(f"{side}_name"))
+                ),
             ).alias("block"),
         )
 
     d = blocked(dirty, dirty_id, "d")
     c = blocked(clean, clean_id, "c")
     cands = (
-        d.join(c, ["seg_idx", "block"])
+        d.join(c, "block")
         .select("d_key", "d_name", "c_key", "c_name")
         .distinct()
     )

@@ -478,3 +478,47 @@ def test_cdc_chunk_stats_no_chunk_text_in_exchanges(spark, sf_dir):
     assert exchanges, p  # the rollup does shuffle (hash, len) rows
     for b in exchanges:
         assert "chunk#" not in b, b
+
+
+def test_cms_sketch_bounded_and_topk_take_ordered(spark, sf_dir):
+    """The CMS probe must broadcast the 4096-row sketch (never shuffle
+    the candidate side against it), and the exact top-n cut must be
+    TakeOrderedAndProject, not a global-window sort."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["cms_heavy_hitters"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_bloom_probe_broadcasts_filter_and_banned_set(spark, sf_dir):
+    """Both the bloom word table and the exact banned-fingerprint set are
+    broadcast build sides — the corpus side never shuffles for either
+    join (the whole point of the runtime-filter pattern)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["bloom_contamination_stats"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_resolve_blocking_is_equi_join(spark, sf_dir):
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["fuzzy_resolve_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangles_all_hash_joins_no_bnl(spark, sf_dir):
+    """Wedge build and closure are equi hash joins on node keys; the
+    checkpointed edge set must appear (no recompute of the normalize/
+    orient lineage per branch)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["part_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Scan ExistingRDD" in p  # the localCheckpointed edges

@@ -22,16 +22,20 @@ def _clean(spark, names):
 
 
 def test_blocking_complete_for_substitutions(spark):
-    """Every pair within max_dist SUBSTITUTIONS must survive blocking:
-    compare fuzzy_resolve to a brute-force levenshtein join on a corpus
-    built to stress segment boundaries."""
+    """Candidate generation is EXACT for the aligned-substitution model:
+    compare fuzzy_resolve to a brute-force Hamming join (verify distance
+    = levenshtein, like the operator) on a corpus with shared prefixes —
+    the shape that hot-blocked the segment scheme this replaced."""
     names = [
         "abcdefghijkl",
-        "abcdefghijkX",  # dist 1, last char (segment 3)
-        "Xbcdefghijkl",  # dist 1, first char (segment 1)
-        "abcdeXghijkX",  # dist 2, segments 2 and 3
-        "XbcdeXghijkl",  # dist 2, segments 1 and 2
+        "abcdefghijkX",  # dist 1, last char
+        "Xbcdefghijkl",  # dist 1, first char
+        "abcdeXghijkX",  # dist 2, middle + last
+        "XbcdeXghijkl",  # dist 2, first + middle
         "zzzzzzzzzzzz",  # unrelated
+        "shared_pref_1",  # constant-prefix family (the old hot block)
+        "shared_pref_2",
+        "shared_pref_3",
     ]
     clean = _clean(spark, names)
     dirty = clean.select(
@@ -42,17 +46,46 @@ def test_blocking_complete_for_substitutions(spark):
         r.dirty_id: (r.resolved_id, r.distance, r.n_candidates)
         for r in out.collect()
     }
-    # brute force reference
     rows = [(i, n) for i, n in enumerate(names)]
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b)) if len(a) == len(b) else 99
+
     for did, dname in rows:
         cands = sorted(
             (lev(dname, cname), cid)
             for cid, cname in rows
-            if lev(dname, cname) <= 2
+            if hamming(dname, cname) <= 2
         )
         assert got[did][0] == cands[0][1], (did, got[did], cands)
         assert got[did][1] == cands[0][0]
         assert got[did][2] == len(cands)
+
+
+def test_short_and_unequal_lengths(spark):
+    """Sentinel path: names shorter than max_dist match any equal-length
+    name; unequal lengths never become candidates (substitution model)."""
+    clean = _clean(spark, ["a", "b", "ab", "abcd"])
+    dirty = clean.select(F.col("clean_id").alias("dirty_id"), "name")
+    out = {
+        r.dirty_id: (r.resolved_id, r.distance, r.n_candidates)
+        for r in fuzzy_resolve(dirty, clean, max_dist=2).collect()
+    }
+    assert out[0] == (0, 0, 2)  # "a": itself + "b" (ALL block, len 1)
+    assert out[1] == (1, 0, 2)
+    assert out[2] == (2, 0, 1)  # "ab": only itself (len-2 full mask)
+    assert out[3] == (3, 0, 1)
+
+
+def test_max_dist_1_variant_keys(spark):
+    clean = _clean(spark, ["abcde", "abcdX", "abXdX"])
+    dirty = clean.select(F.col("clean_id").alias("dirty_id"), "name")
+    out = {
+        r.dirty_id: (r.resolved_id, r.n_candidates)
+        for r in fuzzy_resolve(dirty, clean, max_dist=1).collect()
+    }
+    # 0-1 within dist 1; 1-2 within dist 1; 0-2 is dist 2 -> excluded
+    assert out[0] == (0, 2) and out[1] == (1, 3) and out[2] == (2, 2)
 
 
 def lev(a, b):
