@@ -837,6 +837,14 @@ def _stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_distinct_users(spark, sf_dir)
 
 
+def _stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous HLL distinct-user sketch: streaming register-max
+    aggregate (state = m registers per group, not the key space) +
+    batch-side estimator — register merge across micro-batches equals
+    the sketch of the union, so the batch HLL oracle replays it."""
+    return ST.streamed_approx_distinct(spark, sf_dir)
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds + watermarks;
     equals the batch range join (same oracle shape)."""
@@ -1083,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": _stream_hourly,
         "stream_sessionize": _stream_sessionize,
         "stream_distinct_users": _stream_distinct,
+        "stream_approx_distinct": _stream_approx_distinct,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -3490,6 +3499,9 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min sketch + Bloom filter: all-integer (xxhash64 +
         # Kirsch-Mitzenmacher double hashing), replayed bit for bit
         "cms_heavy_hitters": SK.cms_oracle_sql(top_n=50),
+        # streaming register merge == batch registers of the union, so
+        # the stream sketch shares the batch HLL replay (users part)
+        "stream_approx_distinct": SK.hll_users_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # Triangle counting: the oracle enumerates each triangle once as
         # (a<b<c) edge triples — orientation-free exactness reference for

@@ -161,6 +161,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "bloom_contamination_stats",
         "fuzzy_resolve_customers",
+        "stream_approx_distinct",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

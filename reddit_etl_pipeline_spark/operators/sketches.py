@@ -75,11 +75,12 @@ def _lc_table() -> list[int]:
     return [round(M * math.log(M / v)) for v in range(1, M + 1)]
 
 
-def _hll_agg(rows: DataFrame, group: str, hash_col) -> DataFrame:
-    """Per-``group`` HLL distinct estimate of ``hash_col`` (an xxhash64
-    signed-long column expression). Two hash aggregates, both with full
-    map-side combine: (group, register)->max(rho), then group->estimate."""
-    regs = (
+def hll_registers(rows: DataFrame, group: str, hash_col) -> DataFrame:
+    """Per-(group, register) max(rho) — the HLL sketch STATE. This
+    relation is the mergeable object: max is idempotent and
+    commutative, so register tables from partitions, days, or streaming
+    micro-batches union+max into the sketch of the union of inputs."""
+    return (
         rows.select(
             F.col(group),
             hash_col.alias("uh"),
@@ -98,6 +99,12 @@ def _hll_agg(rows: DataFrame, group: str, hash_col) -> DataFrame:
         .groupBy(group, "reg")
         .agg(F.max("rho").alias("rho_max"))
     )
+
+
+def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
+    """Estimator over a register table (from ``hll_registers`` or a
+    merge of several): integer harmonic sum, exact-rational alpha,
+    shared linear-counting table — the replayable half."""
     sketch = regs.groupBy(group).agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(
@@ -105,7 +112,7 @@ def _hll_agg(rows: DataFrame, group: str, hash_col) -> DataFrame:
         ).alias("z_present"),
     )
     lc = F.broadcast(
-        rows.sparkSession.createDataFrame(
+        regs.sparkSession.createDataFrame(
             [(v + 1, e) for v, e in enumerate(_lc_table())], "v INT, lc_est BIGINT"
         )
     )
@@ -174,7 +181,9 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.star import load
 
     ev = load(spark, sf_dir, "events")
-    users = _hll_agg(ev, "event_type", F.xxhash64("user_id"))
+    users = hll_estimate(
+        hll_registers(ev, "event_type", F.xxhash64("user_id")), "event_type"
+    )
     p50 = _p50_agg(ev, "event_type", "value")
     return users.join(p50, "event_type").select(
         "event_type", "approx_users", "approx_p50"
@@ -487,12 +496,12 @@ GROUP BY p.tok, p.exact_n
 """
 
 
-def hll_oracle_sql() -> str:
-    """DuckDB replay of ``approx_distinct_stats``: same xxhash64 (via
-    xxh64_sql.hash_long_cols over the two's-complement user_id bits),
-    same register/rho split (bin() is minimal-width in DuckDB too), the
-    harmonic sum in HUGEINT, the same shared linear-counting table, and
-    the same histogram-quantile walk."""
+def _hll_users_ctes() -> str:
+    """CTE chain from ``hashes`` through ``users(event_type,
+    approx_users)`` — the register build + estimator replay shared by
+    the batch oracle and the streaming twin's oracle (the stream merges
+    per-micro-batch registers by max, which equals building them over
+    the union — so one replay serves both)."""
     # signed BIGINT -> UBIGINT bit pattern (user ids are non-negative in
     # the data, but replay the general reinterpret anyway)
     u64 = (
@@ -508,8 +517,7 @@ def hll_oracle_sql() -> str:
     lc_rows = ", ".join(
         f"({v + 1}, {e})" for v, e in enumerate(_lc_table())
     )
-    return f"""
-WITH hashes AS MATERIALIZED ({hash_sql}),
+    return f"""hashes AS MATERIALIZED ({hash_sql}),
 regs AS MATERIALIZED (
   SELECT event_type,
          uh % {M} AS reg,
@@ -541,7 +549,26 @@ users AS MATERIALIZED (
          CAST(CASE WHEN e_raw <= {_LC_CUTOFF} AND v_zero > 0
                    THEN lc.lc_est ELSE e_raw END AS BIGINT) AS approx_users
   FROM est LEFT JOIN lc ON lc.v = est.v_zero
-),
+)"""
+
+
+def hll_users_oracle_sql() -> str:
+    """Users-only replay — the oracle of the STREAMING sketch build
+    (register merge across micro-batches == registers of the union)."""
+    return f"""
+WITH {_hll_users_ctes()}
+SELECT event_type, approx_users FROM users
+"""
+
+
+def hll_oracle_sql() -> str:
+    """DuckDB replay of ``approx_distinct_stats``: same xxhash64 (via
+    xxh64_sql.hash_long_cols over the two's-complement user_id bits),
+    same register/rho split (bin() is minimal-width in DuckDB too), the
+    harmonic sum in HUGEINT, the same shared linear-counting table, and
+    the same histogram-quantile walk."""
+    return f"""
+WITH {_hll_users_ctes()},
 bins AS MATERIALIZED (
   SELECT event_type, CAST(floor(value * {P50_SCALE}) AS BIGINT) AS bin,
          count(*) AS n

@@ -269,6 +269,43 @@ def streamed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(firsts, spark, output_mode="append")
 
 
+def streamed_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous HLL distinct-user sketch: the register table
+    (event_type, reg) -> max(rho) is maintained as a streaming aggregate
+    — max is idempotent and commutative, so per-micro-batch partial
+    registers merge into exactly the registers of the union of all
+    batches; the final estimator runs batch-side over the finished
+    table. THIS is why sketches exist at 100 TB: the streaming state is
+    m registers per group forever (vs dropDuplicates' keyed state in
+    ``streamed_distinct_users``, which grows with the key space), and
+    the same merge works across days/partitions/backfills.
+
+    No watermark or sentinel needed: register maxes are monotone, so
+    complete-mode emission after the bounded drain is the fixpoint. The
+    sketch (5 groups x <=1024 registers) is dashboard-sized — the one
+    case the memory sink is FOR. Oracle: identical estimate from the
+    batch replay (sketches.hll_users_oracle_sql), because register
+    merge across batches == registers of the union."""
+    from ..operators import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = (
+        ev.select("event_type", F.xxhash64("user_id").alias("uh"))
+        .withColumn("reg", F.expr(f"uh & {SK.M - 1}"))
+        .withColumn("w", F.expr(f"shiftrightunsigned(uh, {SK.B})"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(SK.RMAX)).otherwise(
+                F.lit(SK.RMAX) - F.length(F.bin("w"))
+            ),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    reg_table = run_stream_to_batch(regs, spark, output_mode="complete")
+    return SK.hll_estimate(reg_table, "event_type")
+
+
 def streamed_purchase_click_join(
     spark: SparkSession, sf_dir: str, window_seconds: int = 3600,
     how: str = "inner",

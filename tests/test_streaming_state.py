@@ -370,3 +370,20 @@ def test_bounded_stream_stages_two_batches_with_riding_sentinel(spark, sf_dir):
             if p.endswith(".parquet")
         )
     ).field("ts").type
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir):
+    """Register merge across micro-batches must equal the batch sketch
+    of the full table — the mergeability property that makes the HLL the
+    bounded-state alternative to dropDuplicates' keyed state."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+
+    got = {
+        r.event_type: r.approx_users
+        for r in ST.streamed_approx_distinct(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.approx_users
+        for r in SK.approx_distinct_stats(spark, sf_dir).collect()
+    }
+    assert got == want
