@@ -58,6 +58,11 @@ def _mask_sql(name: str) -> str:
     )
 
 
+#: broadcast pair-table bound: per-length C(len,2) is fine, but many
+#: DISTINCT lengths × C(128,2)=8128 could pile up a 100 MB+ broadcast
+MAX_PAIR_ROWS = 1_000_000
+
+
 def _position_pairs(spark, lengths: list[int], max_dist: int) -> DataFrame:
     """Broadcast (nlen, i, j) table: per observed string length, every
     size-``max_dist`` position subset (i = j when max_dist = 1); lengths
@@ -75,6 +80,12 @@ def _position_pairs(spark, lengths: list[int], max_dist: int) -> DataFrame:
                 for i in range(1, n + 1)
                 for j in range(i + 1, n + 1)
             ]
+        if len(rows) > MAX_PAIR_ROWS:
+            raise ValueError(
+                f"fuzzy_resolve: position-pair table exceeds "
+                f"{MAX_PAIR_ROWS} rows ({len(lengths)} distinct lengths "
+                f"up to {max(lengths)}) — not an identifier-shaped input"
+            )
     return F.broadcast(
         spark.createDataFrame(rows, "nlen INT, i INT, j INT")
     )
