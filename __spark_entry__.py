@@ -445,7 +445,7 @@ def _bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fuzzy_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: deterministically-corrupted customer names
-    resolved back against the clean relation via pigeonhole-blocked
+    resolved back against the clean relation via wildcard-variant-blocked
     levenshtein (operators/resolve.py) — best match per dirty record."""
     from reddit_etl_pipeline_spark.operators import resolve as RS
 
@@ -1979,11 +1979,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_filter({_TOKENS},
                          x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
                          AS DOUBLE) / len({_TOKENS}), 6) END AS en_stopword_ratio,
-                   round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-                       + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                                / greatest(length(text), 1))
-                       + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                / greatest(length(text), 1), 1.0)), 6) AS quality
+                   {NO.QUALITY_EXPR_SQL} AS quality
             FROM documents
         """,
         "lang_source_rollup": f"""
@@ -2062,13 +2058,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
             ), {NO_CC_STAR}, memb AS MATERIALIZED (
               SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id,
-                     coalesce(
-                       round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-                           + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                                    / greatest(length(text), 1))
-                           + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                    / greatest(length(text), 1), 1.0)), 6),
-                       -1.0) AS quality
+                     {NO.QUALITY_SQL} AS quality
               FROM documents d
               LEFT JOIN rep c ON c.doc_id = d.doc_id
             ), best AS (
@@ -2684,11 +2674,7 @@ def oracle_sql() -> dict[str, str]:
                        WHEN h_en >= 2 THEN 'en'
                        ELSE 'und'
                      END AS lang_pred,
-                     round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-                         + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                                  / greatest(length(text), 1))
-                         + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                  / greatest(length(text), 1), 1.0)), 6) AS quality
+                     {NO.QUALITY_EXPR_SQL} AS quality
               FROM (
                 SELECT doc_id, text,
                        len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
@@ -2836,11 +2822,11 @@ def oracle_sql() -> dict[str, str]:
         # without reading a byte (checksums are position-weighted, so
         # row-order/BGR/padding/filter decoder bugs break the hash)
         "media_decode_stats": """
-            WITH wav AS (
+            WITH wav AS MATERIALIZED (
               SELECT doc_id, 64 + doc_id % 64 AS n,
                      8000 + (doc_id % 4) * 4000 AS rate
               FROM documents WHERE doc_id % 3 = 1
-            ), wav_stats AS (
+            ), wav_stats AS MATERIALIZED (
               SELECT doc_id AS media_id, 'wav' AS format,
                      CAST(n AS BIGINT) AS n_units,
                      CAST(rate AS BIGINT) AS rate_or_width,
@@ -2851,7 +2837,7 @@ def oracle_sql() -> dict[str, str]:
                                     for i in generate_series(0, n-1)]) AS BIGINT)
                        AS checksum
               FROM wav
-            ), img AS (
+            ), img AS MATERIALIZED (
               SELECT doc_id,
                      CASE WHEN doc_id % 3 = 2 THEN 'png' ELSE 'bmp' END AS fmt,
                      CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 6
@@ -2859,7 +2845,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 3 = 2 THEN 3 + doc_id % 5
                           ELSE 3 + doc_id % 4 END AS h
               FROM documents WHERE doc_id % 3 <> 1
-            ), img_stats AS (
+            ), img_stats AS MATERIALIZED (
               SELECT doc_id AS media_id, fmt AS format,
                      CAST(w * h AS BIGINT) AS n_units,
                      CAST(w AS BIGINT) AS rate_or_width,

@@ -187,14 +187,19 @@ WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
 """
 
 
-# dq_report's quality_score replayed in SQL — shared by the canonical
-# oracles (the entry file's exact-path oracle carries the same text)
-QUALITY_SQL = """coalesce(
-  round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+# functions/text.quality_score replayed in SQL — THE single copy, shared
+# by every oracle that scores documents (dq_report, lang-id rollup, both
+# canonical oracles). If the Spark-side formula changes, change it here
+# and nowhere else.
+QUALITY_EXPR_SQL = """round(0.4 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
       + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1))
       + 0.1 * (1 - least(5.0 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1), 1.0)), 6),
+               / greatest(length(text), 1), 1.0)), 6)"""
+
+# NULL-text variant: unscored docs take -1 so they never win a cluster
+QUALITY_SQL = f"""coalesce(
+  {QUALITY_EXPR_SQL},
   -1.0)"""
 
 

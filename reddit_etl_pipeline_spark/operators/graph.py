@@ -148,6 +148,11 @@ def triangle_counts(
     Output is exact: each triangle {a,b,c} appears as exactly one
     oriented wedge + closing edge, and contributes 1 to each member."""
     # normalize: undirected distinct edges as (lo, hi), no self-loops
+    # localCheckpoint FIRST: und feeds the degree build (twice, via the
+    # unionAll branches), the orientation join, and the closing join —
+    # every consumer must read the materialized edges, not re-run the
+    # caller's normalize lineage (the minhash/jaccard house pattern;
+    # blocks free on GC)
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -155,6 +160,7 @@ def triangle_counts(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("lo").alias("node"))
@@ -165,11 +171,6 @@ def triangle_counts(
     # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))
     dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
-    # localCheckpoint: und feeds degree + orientation + the closing join,
-    # and oriented feeds BOTH wedge sides — pin one execution of the
-    # normalize/orient lineage instead of three (the minhash/jaccard
-    # house pattern; blocks free on GC)
-    und = und.localCheckpoint(eager=True)
     oriented = (
         und.join(dl, "lo")
         .join(dh, "hi")

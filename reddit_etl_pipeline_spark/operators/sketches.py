@@ -392,8 +392,10 @@ def cms_heavy_hitters(
 
     The probe explodes each candidate token into its d counter positions
     and takes min(counter) — the CMS point estimate, guaranteed
-    >= exact. Output: token, exact_n, cms_est, overcount (all BIGINT;
-    totally ordered by exact_n DESC, token)."""
+    >= exact. Output: token, exact_n, cms_est, overcount (all BIGINT).
+    Top-n MEMBERSHIP is totally ordered ((exact_n DESC, token) before
+    the limit); row order of the returned frame is not guaranteed —
+    the driver's compare sorts, and display consumers should orderBy."""
     from ..functions.text import tokens
     from ..plans.star import load
 

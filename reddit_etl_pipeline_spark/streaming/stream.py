@@ -124,24 +124,6 @@ def windowed_event_counts(
     )
 
 
-def _event_sentinel(batch: DataFrame, sentinel_ts) -> DataFrame:
-    """One watermark-advancing sentinel row in the events schema
-    (event_id/user_id = -1; filtered out of every aggregate). The ts
-    column is cast to the batch's EXACT ts type (int64 nanos, NTZ, or
-    TIMESTAMP) so staged sentinel files carry the same parquet logical
-    type as the staged data files — a mixed NTZ/LTZ source directory
-    would fail the stream's fixed schema."""
-    ts_type = batch.schema["ts"].dataType
-    return batch.sparkSession.range(1).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(sentinel_ts).cast(ts_type).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("__sentinel__").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-
-
 def _event_sentinel_table(src_path: str, sentinel_ts):
     """The watermark sentinel as a one-row pyarrow Table carrying the
     SOURCE FILE's exact arrow schema (so the staged file keeps the same
@@ -164,19 +146,27 @@ def _event_sentinel_table(src_path: str, sentinel_ts):
     # sentinel row carries none of it and merged writers cast by schema
     schema = schema.remove_metadata()
     vals = []
+    fields = []
     for f in schema:
         if f.name == "ts":
             v = sentinel_ts
-            if (
-                isinstance(f.type, pa.TimestampType)
-                and f.type.tz is not None
-                and hasattr(v, "tzinfo")
-                and v.tzinfo is None
-            ):
-                import datetime
+            ftype = f.type
+            if isinstance(ftype, pa.TimestampType) and not isinstance(v, int):
+                # a datetime sentinel means the engine reads ts as a real
+                # TIMESTAMP (micros semantics). An INT96 source file
+                # surfaces as timestamp[ns] in arrow — writing that back
+                # makes an INT64 TIMESTAMP(NANOS) file, which the
+                # stream's `timestamp` schema rejects under nanosAsLong.
+                # Micros is the type the engine is actually using; pin it
+                # (integer nanos sentinels keep ns — that path WANTS
+                # TIMESTAMP(NANOS) so nanosAsLong reads bigint).
+                ftype = pa.timestamp("us", tz=ftype.tz)
+                if ftype.tz is not None and v.tzinfo is None:
+                    import datetime
 
-                v = v.replace(tzinfo=datetime.timezone.utc)
-            vals.append(pa.array([v], type=f.type))
+                    v = v.replace(tzinfo=datetime.timezone.utc)
+            f = pa.field("ts", ftype, f.nullable)
+            vals.append(pa.array([v], type=ftype))
         elif f.name in ("event_id", "user_id"):
             vals.append(pa.array([-1], type=f.type))
         elif f.name == "event_type":
@@ -185,7 +175,8 @@ def _event_sentinel_table(src_path: str, sentinel_ts):
             vals.append(pa.array([0.0], type=f.type))
         else:
             vals.append(pa.array([None], type=f.type))
-    return pa.Table.from_arrays(vals, schema=schema)
+        fields.append(f)
+    return pa.Table.from_arrays(vals, schema=pa.schema(fields))
 
 
 def _bounded_events_stream(
@@ -345,18 +336,29 @@ def streamed_purchase_click_join(
 
         sentinel_ts = max_ts + datetime.timedelta(seconds=window_seconds + 7200)
 
+    # one-row pyarrow sentinel shared by both sides — no Spark write jobs
+    # (the _bounded_events_stream optimization; this family staged FOUR
+    # coalesce(1) sentinel writes per run before round 6). Built from the
+    # SOURCE file's arrow schema, so its parquet ts logical type is
+    # read-compatible with the Spark-written filtered data files under
+    # the stream's fixed schema (nanos and micros sources both).
+    sentinel = _event_sentinel_table(f"{sf_dir}/events.parquet", sentinel_ts)
+
     def side_dir(event_type: str) -> str:
         # TWO sentinel batches per side (same reasoning as
         # _bounded_events_stream): outer-join unmatched-row emission
         # happens during state eviction in a batch processed UNDER the
         # already-advanced watermark — the second sentinel provides that
         # batch, since processAllAvailable does not wait for
-        # watermark-triggered no-data micro-batches.
+        # watermark-triggered no-data micro-batches. The data batch keeps
+        # its own file here (unlike the riding sentinel in
+        # _bounded_events_stream) because stream-stream join state must
+        # demonstrably cross the batch boundary in both modes.
         return stage_bounded_stream(
             [
                 batch.filter(F.col("event_type") == event_type),
-                _event_sentinel(batch, sentinel_ts),
-                _event_sentinel(batch, sentinel_ts),
+                sentinel,
+                sentinel,
             ],
             prefix=f"ssj_{event_type}_",
         )

@@ -1,6 +1,7 @@
-"""Entity resolution (operators/resolve.py): pigeonhole blocking must be
-COMPLETE for the advertised distance (no candidate lost to blocking),
-verification exact, resolution deterministic."""
+"""Entity resolution (operators/resolve.py): wildcard-position variant
+blocking must be EXACT for the advertised substitution distance (no
+candidate lost, none invented), verification exact, resolution
+deterministic."""
 
 import os
 import sys
@@ -134,7 +135,7 @@ def test_resolution_finds_planted_duplicates(spark):
 
 
 def test_no_cartesian_in_plan(spark):
-    """Blocking must plan as an equi-join on (seg_idx, block) — never a
+    """Blocking must plan as an equi-join on the variant block key — never a
     BroadcastNestedLoopJoin / CartesianProduct over the two relations."""
     clean = _clean(spark, [f"Customer#{i:09d}" for i in range(50)])
     dirty = clean.select(F.col("clean_id").alias("dirty_id"), "name")

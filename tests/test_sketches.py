@@ -74,8 +74,10 @@ def test_hll_register_state_bounded():
     assert len(table) == SK.M
     assert table[SK.M - 1] == 0  # V=m -> ln(1)=0
     assert table[0] == round(SK.M * __import__("math").log(SK.M))
-    # estimator numerator fits DECIMAL(38,0)/HUGEINT with headroom
-    assert SK._EST_NUM < 10**34
+    # estimator numerator must fit the DECIMAL(33,0) cast hll_estimate
+    # actually uses (a looser pin let a future B bump overflow to NULL
+    # at runtime instead of failing here)
+    assert SK._EST_NUM < 10**33
 
 
 def test_write_sorted_clusters_values(spark, events):
