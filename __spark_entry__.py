@@ -38,6 +38,7 @@ from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import sketches as SK
+from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
@@ -525,6 +526,19 @@ def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_topk(Q.load(spark, sf_dir, "documents"), k=3)
 
 
+def _bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 retrieval: every 50th document as a query,
+    top-10 corpus hits each (operators/retrieval.bm25_topk) — the
+    decontamination / quality-by-example retrieval shape."""
+    docs = Q.load(spark, sf_dir, "documents")
+    qdocs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    # pruning off: the synthetic corpus' 31-word vocabulary makes every
+    # term a stop term; the full formula is what the gate should check
+    return RV.bm25_topk(docs, qdocs, k=10, prune_stop_terms=False)
+
+
 def _bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 bigram collocations by PMI (min bigram count 5)."""
     return TX.bigram_pmi_topk(
@@ -845,6 +859,14 @@ def _stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_approx_distinct(spark, sf_dir)
 
 
+def _stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Count-Min heavy-user sketch: streaming counter-sum
+    aggregate (state = d*w counters, never the key space) + batch-side
+    exact-top-n probe — counter sums across micro-batches equal the
+    sketch of the union, so the batch CMS oracle replays it."""
+    return ST.streamed_cms_heavy_users(spark, sf_dir, top_n=20)
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds + watermarks;
     equals the batch range join (same oracle shape)."""
@@ -1049,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _sequence_pack,
         "stratified_sample": _stratified_sample,
         "tfidf_keywords": _tfidf_keywords,
+        "bm25_doc_search": _bm25_doc_search,
         "line_dedup_stats": _line_dedup_stats,
         "cdc_chunk_stats": _cdc_chunk_stats,
         "winnow_overlap": _winnow_overlap,
@@ -1092,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "stream_distinct_users": _stream_distinct,
         "stream_approx_distinct": _stream_approx_distinct,
+        "stream_cms_heavy_users": _stream_cms_heavy_users,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -2061,7 +2085,7 @@ def oracle_sql() -> dict[str, str]:
                      {NO.QUALITY_SQL} AS quality
               FROM documents d
               LEFT JOIN rep c ON c.doc_id = d.doc_id
-            ), best AS (
+            ), best AS MATERIALIZED (
               SELECT rep_id, doc_id AS canonical_id FROM (
                 SELECT rep_id, doc_id,
                        row_number() OVER (PARTITION BY rep_id
@@ -2611,6 +2635,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, keyword, score, rank FROM ranked WHERE rank <= 3
         """,
+        "bm25_doc_search": RV.bm25_oracle_sql(
+            query_mod=50, k=10, tokens_expr=_TOKENS, prune_stop_terms=False
+        ),
         "pii_scrub_stats": f"""
             WITH d AS (
               SELECT doc_id,
@@ -3488,6 +3515,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming register merge == batch registers of the union, so
         # the stream sketch shares the batch HLL replay (users part)
         "stream_approx_distinct": SK.hll_users_oracle_sql(),
+        "stream_cms_heavy_users": SK.cms_users_oracle_sql(top_n=20),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # Triangle counting: the oracle enumerates each triangle once as
         # (a<b<c) edge triples — orientation-free exactness reference for

@@ -162,11 +162,16 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one row per node — checkpoint so the 2|E|-row union + shuffle
+    # aggregate runs ONCE (dl and dh below are two independent join
+    # branches; Spark does no cross-branch subtree reuse, so without
+    # this the degree build executes twice per run)
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionAll(und.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))

@@ -454,6 +454,101 @@ def cms_heavy_hitters(
     )
 
 
+def cms_probe_users(
+    spark: SparkSession, sf_dir: str, sketch: DataFrame, top_n: int = 20
+) -> DataFrame:
+    """Probe a (j, idx, counter) Count-Min sketch over event user_ids with
+    the exact top-``top_n`` users — the validation side shared by the
+    batch and STREAMING sketch builds (counter sums are linear, so
+    per-micro-batch partial counts sum to exactly the sketch of the
+    union; same merge argument as the HLL register max, additive instead
+    of idempotent). Output (user_id, exact_n, cms_est, overcount), all
+    BIGINT, top-n membership totally ordered on (exact_n DESC, user_id)."""
+    from ..plans.star import load
+
+    events = load(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(top_n)
+    )
+    idx = _cms_idx_exprs_spark()
+    probe = (
+        exact.withColumn("h1", F.expr("xxhash64(user_id) & 4294967295"))
+        .withColumn("h2", F.expr("shiftrightunsigned(xxhash64(user_id), 32)"))
+        .select(
+            "user_id",
+            "exact_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("user_id", "exact_n", "p.j", "p.idx")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "idx"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def cms_users_oracle_sql(top_n: int = 20) -> str:
+    """DuckDB replay of the STREAMING CMS user sketch: the stream's
+    running (j, idx) counts equal the batch sketch of the union, so one
+    batch replay serves — xxhash64 of the user_id's two's-complement
+    bits via xxh64_sql.hash_long_cols (each DISTINCT user hashed once),
+    the same double-hashed positions, the same exact-top-n probe."""
+    u64 = (
+        "CAST(CASE WHEN user_id >= 0 THEN CAST(user_id AS HUGEINT) "
+        f"ELSE CAST(user_id AS HUGEINT) + CAST({1 << 64} AS HUGEINT) END AS UBIGINT)"
+    )
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", u64, X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT user_id FROM events)",
+        passthrough=["user_id"],
+    )
+    return f"""
+WITH uhash AS MATERIALIZED ({hash_sql}),
+hh AS MATERIALIZED (
+  SELECT user_id, uh % 4294967296 AS h1, uh // 4294967296 AS h2 FROM uhash
+),
+pos AS MATERIALIZED (
+  SELECT e.user_id, j, CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM events e JOIN hh h USING (user_id), (SELECT unnest(range({CMS_D})) AS j)
+),
+sketch AS MATERIALIZED (
+  SELECT j, idx, count(*) AS counter FROM pos GROUP BY j, idx
+),
+exact AS MATERIALIZED (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT {top_n}
+),
+probe AS MATERIALIZED (
+  SELECT e.user_id, e.exact_n, j,
+         CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM exact e JOIN hh h USING (user_id), (SELECT unnest(range({CMS_D})) AS j)
+)
+SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.counter) AS BIGINT) AS cms_est,
+       CAST(min(s.counter) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s USING (j, idx)
+GROUP BY p.user_id, p.exact_n
+"""
+
+
 def cms_oracle_sql(top_n: int = 50) -> str:
     """DuckDB replay of ``cms_heavy_hitters``: same tokenization as the
     other text oracles, xxhash64 per DISTINCT token via xxh64_sql, the

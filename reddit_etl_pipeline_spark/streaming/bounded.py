@@ -86,11 +86,25 @@ def stage_bounded_stream(
         dst = f"{stream_dir}/{i}.parquet"
         if isinstance(item, (list, tuple)) or isinstance(item, pa.Table):
             subs = item if isinstance(item, (list, tuple)) else [item]
+            # A pyarrow-Table constituent is an engine-built control row
+            # (e.g. the watermark sentinel) whose schema was pinned to the
+            # types the ENGINE reads (ts micros when the stream schema is
+            # TIMESTAMP, ns kept when nanosAsLong reads bigint). Raw
+            # source files merged into the same item may carry a different
+            # physical ts type — an INT96 source surfaces as timestamp[ns]
+            # in arrow, and writing that back produces a TIMESTAMP(NANOS)
+            # file the stream schema rejects — so a Table constituent's
+            # schema is authoritative for the whole merged file and every
+            # other constituent casts to it (micros-precision values cast
+            # ns->us losslessly; pyarrow's safe cast raises otherwise).
+            authority = next(
+                (s.schema for s in subs if isinstance(s, pa.Table)), None
+            )
             writer = None
             for sub in subs:
                 for t in _iter_arrow_tables(sub):
                     if writer is None:
-                        writer = pq.ParquetWriter(dst, t.schema)
+                        writer = pq.ParquetWriter(dst, authority or t.schema)
                     writer.write_table(t.cast(writer.schema))
             if writer is None:
                 continue  # all constituents empty

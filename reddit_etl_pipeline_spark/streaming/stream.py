@@ -126,10 +126,14 @@ def windowed_event_counts(
 
 def _event_sentinel_table(src_path: str, sentinel_ts):
     """The watermark sentinel as a one-row pyarrow Table carrying the
-    SOURCE FILE's exact arrow schema (so the staged file keeps the same
-    parquet logical ts type — nanos, NTZ micros, or UTC micros). Built
-    without a Spark job: sentinel staging used to cost one
-    coalesce(1).write per sentinel, ~40% of the bounded-stream setup."""
+    source file's arrow schema with ts pinned to the type the ENGINE
+    reads: integer-nanos sentinels keep timestamp[ns] (nanosAsLong wants
+    TIMESTAMP(NANOS) -> bigint), datetime sentinels pin timestamp[us]
+    (the stream schema says TIMESTAMP, and an INT96 source's ns arrow
+    type would round-trip to a TIMESTAMP(NANOS) file the schema
+    rejects — see the inline comment). Built without a Spark job:
+    sentinel staging used to cost one coalesce(1).write per sentinel,
+    ~40% of the bounded-stream setup."""
     import os
 
     import pyarrow as pa
@@ -295,6 +299,51 @@ def streamed_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reg_table = run_stream_to_batch(regs, spark, output_mode="complete")
     return SK.hll_estimate(reg_table, "event_type")
+
+
+def streamed_cms_heavy_users(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """Continuous Count-Min heavy-user sketch: the (hash row j, counter
+    idx) occurrence counts are maintained as a streaming aggregate —
+    counter sums are LINEAR (per-micro-batch partials add to exactly the
+    sketch of the union), the additive counterpart of the HLL twin's
+    idempotent register max above. Streaming state is d*w counters
+    forever (<= 4096 rows) whatever the key cardinality — the sketch
+    answer to ``streamed_distinct_users``' growing keyed state, for
+    frequency instead of distinctness.
+
+    No watermark or sentinel needed: counts only grow, so complete-mode
+    emission after the bounded drain is the fixpoint, and the sketch is
+    dashboard-sized (the one case the memory sink is FOR). The probe —
+    exact top-n users next to their CMS point estimates — runs batch-side
+    over the finished counter table (sketches.cms_probe_users; CMS
+    guarantees cms_est >= exact_n). Oracle: identical frame from the
+    batch replay (sketches.cms_users_oracle_sql), because counter sums
+    across batches == counters of the union."""
+    from ..operators import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir)
+    hashed = ev.select(
+        F.expr("xxhash64(user_id) & 4294967295").alias("h1"),
+        F.expr("shiftrightunsigned(xxhash64(user_id), 32)").alias("h2"),
+    )
+    idx = SK._cms_idx_exprs_spark()
+    positions = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                    for j in range(SK.CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.idx")
+    counters = positions.groupBy("j", "idx").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    sketch = run_stream_to_batch(counters, spark, output_mode="complete")
+    return SK.cms_probe_users(spark, sf_dir, sketch, top_n=top_n)
 
 
 def streamed_purchase_click_join(

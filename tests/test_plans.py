@@ -522,3 +522,14 @@ def test_triangles_all_hash_joins_no_bnl(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Scan ExistingRDD" in p  # the localCheckpointed edges
+
+
+def test_bm25_broadcasts_query_terms_no_bnl(spark, sf_dir):
+    """The posting-table join must probe a BROADCAST query-term side (the
+    corpus side never shuffles for it) and stay all equi hash joins."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["bm25_doc_search"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -161,6 +161,50 @@ def test_cms_never_undercounts_and_bounds(spark, sf_dir):
     assert CMS_D * CMS_W == 4096
 
 
+def test_streamed_cms_equals_batch_sketch(spark, sf_dir):
+    """The streaming counter aggregate must equal a one-batch sketch of
+    the same events (counter sums are linear), and the CMS one-sided
+    guarantee must hold on the probe."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+    from reddit_etl_pipeline_spark.plans.star import load
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got = {
+        r.user_id: (r.exact_n, r.cms_est, r.overcount)
+        for r in ST.streamed_cms_heavy_users(spark, sf_dir, top_n=10).collect()
+    }
+    assert len(got) == 10
+    assert all(est >= n and over == est - n for n, est, over in got.values())
+
+    # batch twin: identical hash/position exprs over one batch read
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.expr("xxhash64(user_id) & 4294967295").alias("h1"),
+        F.expr("shiftrightunsigned(xxhash64(user_id), 32)").alias("h2"),
+    )
+    idx = SK._cms_idx_exprs_spark()
+    positions = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                    for j in range(SK.CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.idx")
+    sketch = positions.groupBy("j", "idx").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    want = {
+        r.user_id: (r.exact_n, r.cms_est, r.overcount)
+        for r in SK.cms_probe_users(spark, sf_dir, sketch, top_n=10).collect()
+    }
+    assert got == want
+
+
 def test_bloom_flags_superset_of_banned(spark, sf_dir):
     from reddit_etl_pipeline_spark.operators.sketches import (
         bloom_contamination_stats,

@@ -130,6 +130,37 @@ def test_stream_join_on_real_timestamp_column(spark, tmp_path):
     assert got == {(2, 1): 1.5, (5, 4): 0.5}
 
 
+def test_bounded_stream_on_real_timestamp_column(spark, tmp_path):
+    """_bounded_events_stream's non-nanosecond branch: a Spark-written
+    events source (INT96 ts by default) is merged with the riding
+    sentinel through pyarrow — the staged file must keep the micros ts
+    type the stream schema expects, for the DATA batch and not just the
+    sentinel-only batch (an INT96 source surfaces as timestamp[ns] in
+    arrow; writing that back made a TIMESTAMP(NANOS) file the stream
+    read rejected under nanosAsLong)."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (1, t(1, 10), 7, "click", 1.5, None),
+        (2, t(1, 30), 7, "click", 9.0, None),
+        (3, t(2, 5), 7, "purchase", 2.0, None),
+        (4, t(2, 40), 8, "click", 0.5, None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        (r.window_start.hour, r.event_type): r.n_events
+        for r in ST.streamed_hourly_counts(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, "click"): 2, (2, "purchase"): 1, (2, "click"): 1}
+
+
 def test_merge_latest_out_of_order_batches(spark, tmp_path):
     """The foreachBatch merge must converge regardless of micro-batch
     arrival order: the winning row (latest ts) arrives FIRST, then an
