@@ -39,6 +39,7 @@ from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import sketches as SK
 from reddit_etl_pipeline_spark.operators import retrieval as RV
+from reddit_etl_pipeline_spark.operators import graph as GR
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
@@ -402,20 +403,17 @@ def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-node triangle counts over the part co-purchase graph
-    (parts co-occurring in an order are adjacent) via degree-oriented
-    wedge closure (operators/graph.triangle_counts) — the distributed
-    triangle algorithm whose orientation bounds wedge fan-out on skew."""
-    from reddit_etl_pipeline_spark.operators.graph import triangle_counts
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase graph (parts co-occurring in an order are
+    adjacent) — shared by the triangle / k-core / clustering-coefficient
+    queries and their oracles' li/e0 CTEs."""
     li = (
         Q.load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -426,8 +424,43 @@ def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return triangle_counts(edges).select(
+
+
+def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the part co-purchase graph
+    via degree-oriented wedge closure (operators/graph.triangle_counts)
+    — the distributed triangle algorithm whose orientation bounds wedge
+    fan-out on skew."""
+    from reddit_etl_pipeline_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir)).select(
         F.col("node").alias("part_key"), "n_triangles"
+    )
+
+
+def _part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=80) of the part co-purchase graph: iterative distributed
+    peel to fixpoint (operators/graph.kcore_members) — the dense-region
+    filter. k=80 peels ~7% of nodes over 6 rounds on this graph (k below
+    the degree median is a no-op, k>=90 empties it); the oracle unrolls
+    12 rounds and the engine raises past the same bound."""
+    from reddit_etl_pipeline_spark.operators.graph import kcore_members
+
+    return kcore_members(_copurchase_edges(spark, sf_dir), k=80).select(
+        F.col("node").alias("part_key"), "core_deg"
+    )
+
+
+def _part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the co-purchase graph
+    (operators/graph.clustering_coefficients): 2·tri/(deg·(deg−1)),
+    one correctly-rounded divide, 6 dp both sides."""
+    from reddit_etl_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(_copurchase_edges(spark, sf_dir)).select(
+        F.col("node").alias("part_key"), "degree", "n_triangles", "coeff"
     )
 
 
@@ -1101,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_stats": _kmeans_cluster_stats,
         "supplier_pagerank": _supplier_pagerank,
         "part_triangles": _part_triangles,
+        "part_kcore": _part_kcore,
+        "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "bloom_contamination_stats": _bloom_contamination_stats,
         "fuzzy_resolve_customers": _fuzzy_resolve_customers,
@@ -3538,6 +3573,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_triangles
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
+        """,
+        # k-core: unrolled peel rounds (graph.kcore_oracle_sql) over the
+        # same co-purchase e0; engine raises past the identical bound, so
+        # non-convergence can never silently diverge
+        "part_kcore": GR.kcore_oracle_sql(
+            edges_ctes="""li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e0 AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )""",
+            k=80,
+            rounds=12,
+            node_alias="part_key",
+        ),
+        "part_clustering_coeff": """
+            WITH li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ), deg AS MATERIALIZED (
+              SELECT node, count(*) AS degree FROM (
+                SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY node
+            ), tri AS MATERIALIZED (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+            ), tcnt AS MATERIALIZED (
+              SELECT node, count(*) AS n_triangles
+              FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+              GROUP BY node
+            )
+            SELECT CAST(d.node AS BIGINT) AS part_key,
+                   CAST(d.degree AS BIGINT) AS degree,
+                   CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE round(CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                                   / (d.degree * (d.degree - 1)), 6)
+                   END AS coeff
+            FROM deg d LEFT JOIN tcnt t USING (node)
         """,
         # Fuzzy entity resolution: same deterministic corruption, the
         # same wildcard-position variant blocking (two masked positions

@@ -162,6 +162,10 @@ def main() -> None:
         "bloom_contamination_stats",
         "fuzzy_resolve_customers",
         "stream_approx_distinct",
+        "bm25_doc_search",
+        "stream_cms_heavy_users",
+        "part_kcore",
+        "part_clustering_coeff",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats"]
+__all__ = [
+    "pagerank",
+    "degree_stats",
+    "triangle_counts",
+    "kcore_members",
+    "clustering_coefficients",
+    "kcore_oracle_sql",
+]
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -211,3 +218,157 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: iteratively peel nodes
+    of degree < k until fixpoint; return (node, core_deg) — each
+    surviving node with its degree WITHIN the core. The classic corpus /
+    interaction-graph densest-region filter (e.g. keep only products
+    co-purchased inside a dense cluster).
+
+    Distributed shape: each round is one map-side-combined degree
+    aggregate + two left-semi hash joins over the current edge set —
+    O(E) per round, driver-coordinated like pagerank above. All deg < k
+    nodes drop SIMULTANEOUSLY each round, so rounds = peel depth (6 on
+    the co-purchase graph at both test SFs), not node count; the edge
+    set only shrinks. ``localCheckpoint`` per round cuts the lineage
+    chain (blocks free on GC — the triangle_counts discipline).
+
+    Convergence is checked by edge count (filtering only removes rows,
+    so an unchanged count IS the fixpoint). ``max_rounds`` exhaustion
+    raises — it must match the oracle's unroll depth
+    (``kcore_oracle_sql``), which replays the same rounds; rounds past
+    the fixpoint are no-ops on both sides, so any convergence within
+    the bound hash-matches.
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("lo").alias("node"))
+            .unionAll(cur.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "lo"), "lo", "leftsemi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise ValueError(
+            f"kcore_members: no fixpoint within max_rounds={max_rounds} "
+            f"(edge count still shrinking). Raise max_rounds AND the "
+            f"oracle's unroll depth together."
+        )
+    return (
+        cur.select(F.col("lo").alias("node"))
+        .unionAll(cur.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected simple
+    graph: coeff = 2·triangles / (deg·(deg−1)), 0 for degree-1 nodes.
+    Returns (node, degree, n_triangles, coeff).
+
+    Exactness: deg·(deg−1) and 2·tri are exact BIGINTs (< 2^53 for any
+    real degree), the coefficient is ONE correctly-rounded IEEE divide
+    rounded to 6 dp — no multi-term float sum, so any engine reproduces
+    it bit-for-bit (the tfidf convention, not the integer-grid one).
+    Plan: degree aggregate + triangle_counts' oriented wedge closure +
+    one left join on node — no new shuffle shapes beyond those.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(und, src="lo", dst="hi")
+    return (
+        deg.join(tri, "node", "left")
+        .na.fill({"n_triangles": 0})
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (2 * F.col("n_triangles")).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                )
+            )
+            .alias("coeff"),
+        )
+    )
+
+
+def kcore_oracle_sql(
+    edges_ctes: str, k: int, rounds: int = 12, node_alias: str = "node"
+) -> str:
+    """DuckDB replay of ``kcore_members``: ``edges_ctes`` must define a
+    CTE ``e0(lo, hi)`` (normalized undirected distinct edges); each
+    unrolled round recomputes degrees and keeps only edges whose both
+    endpoints pass — rounds past the fixpoint are no-ops, so this
+    matches the engine for any graph that converges within ``rounds``
+    (the engine RAISES past its identical bound, so divergence is loud,
+    never silent). Every level is MATERIALIZED: e{r} is referenced by
+    both d{r+1} and e{r+1} (the CLAUDE.md inlining rule)."""
+    parts = [edges_ctes]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p}) GROUP BY node
+),
+k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT lo, hi FROM e{p}
+  WHERE lo IN (SELECT node FROM k{r}) AND hi IN (SELECT node FROM k{r})
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(node AS BIGINT) AS {node_alias}, count(*) AS core_deg FROM (
+  SELECT lo AS node FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
+GROUP BY node
+"""

@@ -8,7 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 from reddit_etl_pipeline_spark.operators.graph import (  # noqa: E402
+    clustering_coefficients,
     degree_stats,
+    kcore_members,
     pagerank,
 )
 
@@ -122,3 +124,88 @@ def test_triangle_counts_hub_skew_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kcore_triangle_with_pendant(spark):
+    """Triangle + pendant, k=2: the pendant (degree 1) peels, the
+    triangle survives with core_deg 2 each."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r.node: r.core_deg
+        for r in kcore_members(_edges(spark, edges), k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel_matches_python(spark):
+    """A chain hanging off a K4 needs one peel round per chain node —
+    exercises multi-round convergence; compared against a pure-python
+    peel of the same graph."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = k4 + chain
+
+    # python reference peel
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < 2]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+
+    got = {
+        r.node: r.core_deg
+        for r in kcore_members(_edges(spark, edges), k=2).collect()
+    }
+    assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_core_and_duplicate_edges(spark):
+    """k above the max degree empties the core; duplicate/reversed edges
+    normalize away first."""
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3)]
+    assert kcore_members(_edges(spark, edges), k=3).count() == 0
+    got = {
+        r.node: r.core_deg
+        for r in kcore_members(_edges(spark, edges), k=1).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_kcore_raises_past_round_bound(spark):
+    """A path peels only its two ends per round, so a 10-node path with
+    max_rounds=2 must raise loudly instead of silently stopping early
+    (the oracle unrolls the same bound)."""
+    path = [(i, i + 1) for i in range(1, 10)]
+    with pytest.raises(ValueError, match="fixpoint"):
+        kcore_members(_edges(spark, path), k=2, max_rounds=2)
+
+
+def test_clustering_coefficients_known_values(spark):
+    """Triangle nodes: coeff 1.0. Star center: 0 (no closed wedge).
+    Triangle + pendant on node 3: deg 3, one triangle ->
+    2/(3*2) = 0.333333."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.coeff)
+        for r in clustering_coefficients(_edges(spark, edges)).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(2 / 6, 6)),
+        4: (1, 0, 0.0),
+    }
+    star = [(0, i) for i in range(1, 6)]
+    got = {
+        r.node: r.coeff
+        for r in clustering_coefficients(_edges(spark, star)).collect()
+    }
+    assert got == {i: 0.0 for i in range(6)}
