@@ -477,6 +477,13 @@ def _bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.bloom_contamination_stats(spark, sf_dir)
 
 
+def _stream_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Bloom build: banned-set micro-batches OR into the bloom
+    of the union (idempotent bit_or — the third sketch-merge law after
+    HLL max and CMS sum); probe + accounting batch-side, shared oracle."""
+    return ST.streamed_bloom_contamination(spark, sf_dir)
+
+
 def _fuzzy_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: deterministically-corrupted customer names
     resolved back against the clean relation via wildcard-variant-blocked
@@ -1138,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "bloom_contamination_stats": _bloom_contamination_stats,
+        "stream_bloom_contamination": _stream_bloom_contamination,
         "fuzzy_resolve_customers": _fuzzy_resolve_customers,
         "dq_report": _dq_report,
         # multimodal (binary columns over Arrow-batched mapInPandas)
@@ -3552,6 +3560,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_approx_distinct": SK.hll_users_oracle_sql(),
         "stream_cms_heavy_users": SK.cms_users_oracle_sql(top_n=20),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
+        # the streaming twin's bloom == bloom of the union, so the SAME
+        # batch replay is its oracle (the HLL/CMS twin convention)
+        "stream_bloom_contamination": SK.bloom_oracle_sql(),
         # Triangle counting: the oracle enumerates each triangle once as
         # (a<b<c) edge triples — orientation-free exactness reference for
         # the engine's degree-oriented wedge closure

@@ -166,6 +166,7 @@ def main() -> None:
         "stream_cms_heavy_users",
         "part_kcore",
         "part_clustering_coeff",
+        "stream_bloom_contamination",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

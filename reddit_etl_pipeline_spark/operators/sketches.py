@@ -203,56 +203,65 @@ BLOOM_K = 3
 _NORM = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
 
 
-def bloom_contamination_stats(
-    spark: SparkSession, sf_dir: str, banned_mod: int = 17
-) -> DataFrame:
-    """Per-source contamination-prune accounting through a Bloom
-    pre-filter: documents whose normalized text fingerprint hits the
-    banned-set bloom are 'flagged' (would continue to exact verification
-    at scale); the exact semi-join gives ground truth, and
-    n_false_pos = flagged − exact measures the filter. Banned set =
-    docs with doc_id % banned_mod == 0 (deterministic stand-in for a
-    benchmark-contamination list).
-
-    Scale shape: the bloom build aggregates to m/32 = 32 words
-    (map-side combinable bit_or), broadcasts; the probe is map-only over
-    the corpus. All-integer → DuckDB replays the filter bit for bit."""
-    from ..plans.star import load
-
-    docs = load(spark, sf_dir, "documents")
-    fp = docs.filter(F.col("text").isNotNull()).select(
+def bloom_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h1, h2, fph) for non-NULL-text documents — the
+    normalized-text xxhash64 split shared by the bloom build, the probe,
+    and the streaming twin."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.expr(f"xxhash64({_NORM}) & 4294967295").alias("h1"),
         F.expr(f"shiftrightunsigned(xxhash64({_NORM}), 32)").alias("h2"),
         F.expr(f"xxhash64({_NORM})").alias("fph"),
     )
-    banned = fp.filter(F.col("doc_id") % banned_mod == 0)
 
-    def positions(df):
-        return df.select(
-            *df.columns,
-            F.explode(
-                F.array(
-                    *[
-                        F.expr(f"(h1 + {j} * h2) & {BLOOM_M - 1}").alias("p")
-                        for j in range(BLOOM_K)
-                    ]
-                )
-            ).alias("pos"),
-        ).select(
-            *df.columns,
-            F.expr("pos >> 5").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), pos & 31)").alias("mask"),
-        )
 
-    bloom = (
-        positions(banned.select("h1", "h2"))
+def bloom_positions(df: DataFrame) -> DataFrame:
+    """Explode each (h1, h2) row into its BLOOM_K (word, mask) bit
+    positions (32-bit words, bit 31 max — the BIGINT sign bit is never
+    touched)."""
+    return df.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"(h1 + {j} * h2) & {BLOOM_M - 1}").alias("p")
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        *df.columns,
+        F.expr("pos >> 5").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), pos & 31)").alias("mask"),
+    )
+
+
+def bloom_build(fp: DataFrame) -> DataFrame:
+    """(word, bits) bloom table from a fingerprint frame — map-side
+    combinable bit_or down to m/32 = 32 words."""
+    return (
+        bloom_positions(fp.select("h1", "h2"))
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
+
+
+def bloom_probe_stats(
+    spark: SparkSession, sf_dir: str, bloom: DataFrame, banned_mod: int = 17
+) -> DataFrame:
+    """Probe the corpus against a (word, bits) bloom table and roll up
+    per-source accounting (n_docs, n_flagged, n_banned, n_false_pos) —
+    the validation side shared by the batch and STREAMING bloom builds
+    (bit_or is idempotent and commutative, so per-micro-batch partial
+    blooms OR into exactly the bloom of the union)."""
+    from ..plans.star import load
+
+    docs = load(spark, sf_dir, "documents")
+    fp = bloom_fingerprints(docs)
+    banned = fp.filter(F.col("doc_id") % banned_mod == 0)
     probed = (
-        positions(fp)
+        bloom_positions(fp)
         .join(F.broadcast(bloom), "word", "left")
         .withColumn(
             "hit",
@@ -293,6 +302,30 @@ def bloom_contamination_stats(
             "n_false_pos",
         )
     )
+
+
+def bloom_contamination_stats(
+    spark: SparkSession, sf_dir: str, banned_mod: int = 17
+) -> DataFrame:
+    """Per-source contamination-prune accounting through a Bloom
+    pre-filter: documents whose normalized text fingerprint hits the
+    banned-set bloom are 'flagged' (would continue to exact verification
+    at scale); the exact semi-join gives ground truth, and
+    n_false_pos = flagged − exact measures the filter. Banned set =
+    docs with doc_id % banned_mod == 0 (deterministic stand-in for a
+    benchmark-contamination list).
+
+    Scale shape: the bloom build aggregates to m/32 = 32 words
+    (map-side combinable bit_or), broadcasts; the probe is map-only over
+    the corpus. All-integer → DuckDB replays the filter bit for bit.
+    The streaming twin (stream.streamed_bloom_contamination) builds the
+    SAME bloom as a continuous bit_or aggregate and shares this probe
+    and oracle."""
+    from ..plans.star import load
+
+    fp = bloom_fingerprints(load(spark, sf_dir, "documents"))
+    bloom = bloom_build(fp.filter(F.col("doc_id") % banned_mod == 0))
+    return bloom_probe_stats(spark, sf_dir, bloom, banned_mod=banned_mod)
 
 
 def bloom_oracle_sql(banned_mod: int = 17) -> str:

@@ -346,6 +346,50 @@ def streamed_cms_heavy_users(
     return SK.cms_probe_users(spark, sf_dir, sketch, top_n=top_n)
 
 
+def streamed_bloom_contamination(
+    spark: SparkSession, sf_dir: str, banned_mod: int = 17, n_slices: int = 4
+) -> DataFrame:
+    """Continuous Bloom-filter build: the banned set streams in (e.g. a
+    benchmark-contamination list growing over releases) and its
+    (word, bits) bloom table is maintained as a streaming bit_or
+    aggregate — OR is IDEMPOTENT and commutative, so per-micro-batch
+    partial blooms merge into exactly the bloom of the union. This
+    completes the sketch-twin trio: HLL (max), CMS (sum), Bloom (or) —
+    one merge law each, all with state bounded by the sketch geometry
+    (32 words here) instead of the key space, all sharing their batch
+    oracle because merge-across-batches == sketch-of-the-union.
+
+    The banned docs are sliced by doc_id % n_slices into micro-batches
+    (any slicing works — OR is order-independent); the probe + per-source
+    accounting runs batch-side against the finished table
+    (sketches.bloom_probe_stats). Oracle: bloom_oracle_sql, identical to
+    the batch twin's."""
+    from ..operators import sketches as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banned = docs.filter(F.col("doc_id") % banned_mod == 0).select(
+        "doc_id", "source", "text"
+    )
+    slices = [
+        banned.filter(F.col("doc_id") % n_slices == i)
+        for i in range(n_slices)
+    ]
+    d = stage_bounded_stream(slices, prefix="bloom_stream_")
+    stream = (
+        spark.readStream.schema(banned.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    words = (
+        SK.bloom_positions(SK.bloom_fingerprints(stream).select("h1", "h2"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    bloom = run_stream_to_batch(words, spark, output_mode="complete")
+    return SK.bloom_probe_stats(spark, sf_dir, bloom, banned_mod=banned_mod)
+
+
 def streamed_purchase_click_join(
     spark: SparkSession, sf_dir: str, window_seconds: int = 3600,
     how: str = "inner",

@@ -205,6 +205,27 @@ def test_streamed_cms_equals_batch_sketch(spark, sf_dir):
     assert got == want
 
 
+def test_streamed_bloom_equals_batch(spark, sf_dir):
+    """Per-micro-batch partial blooms OR into exactly the bloom of the
+    union, so the streaming twin's full accounting frame must equal the
+    batch one."""
+    from reddit_etl_pipeline_spark.operators.sketches import (
+        bloom_contamination_stats,
+    )
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    key = lambda r: r.source  # noqa: E731
+    got = {
+        key(r): (r.n_docs, r.n_flagged, r.n_banned, r.n_false_pos)
+        for r in ST.streamed_bloom_contamination(spark, sf_dir).collect()
+    }
+    want = {
+        key(r): (r.n_docs, r.n_flagged, r.n_banned, r.n_false_pos)
+        for r in bloom_contamination_stats(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
 def test_bloom_flags_superset_of_banned(spark, sf_dir):
     from reddit_etl_pipeline_spark.operators.sketches import (
         bloom_contamination_stats,
