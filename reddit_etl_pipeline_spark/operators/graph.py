@@ -135,6 +135,8 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     broadcast_edges: int = 2_000_000,
+    assume_normalized: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as an edge DataFrame (direction and duplicates are
@@ -153,33 +155,48 @@ def triangle_counts(
     steps are shuffle hash joins on node keys; nothing is collected.
 
     Output is exact: each triangle {a,b,c} appears as exactly one
-    oriented wedge + closing edge, and contributes 1 to each member."""
-    # normalize: undirected distinct edges as (lo, hi), no self-loops
-    # localCheckpoint FIRST: und feeds the degree build (twice, via the
-    # unionAll branches), the orientation join, and the closing join —
-    # every consumer must read the materialized edges, not re-run the
-    # caller's normalize lineage (the minhash/jaccard house pattern;
-    # blocks free on GC)
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    oriented wedge + closing edge, and contributes 1 to each member.
+
+    ``assume_normalized``: the input already IS the materialized
+    (lo, hi) distinct no-self-loop edge set (a caller like
+    clustering_coefficients that normalized + checkpointed it once) —
+    skip re-normalizing and re-materializing the identical relation.
+    ``degrees``: a precomputed, materialized (node, deg) frame over that
+    same edge set — skip the internal degree build."""
+    if assume_normalized:
+        und = edges.select(
+            F.col(src).alias("lo"), F.col(dst).alias("hi")
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # one row per node — checkpoint so the 2|E|-row union + shuffle
-    # aggregate runs ONCE (dl and dh below are two independent join
-    # branches; Spark does no cross-branch subtree reuse, so without
-    # this the degree build executes twice per run)
-    deg = (
-        und.select(F.col("lo").alias("node"))
-        .unionAll(und.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    else:
+        # normalize: undirected distinct edges as (lo, hi), no
+        # self-loops. localCheckpoint FIRST: und feeds the degree build,
+        # the orientation join, and the closing join — every consumer
+        # must read the materialized edges, not re-run the caller's
+        # normalize lineage (the minhash/jaccard house pattern; blocks
+        # free on GC)
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    if degrees is not None:
+        deg = degrees.select("node", F.col(degrees.columns[1]).alias("deg"))
+    else:
+        # one row per node — checkpoint so the 2|E|-row union + shuffle
+        # aggregate runs ONCE (dl and dh below are two independent join
+        # branches; Spark does no cross-branch subtree reuse, so without
+        # this the degree build executes twice per run)
+        deg = (
+            und.select(F.col("lo").alias("node"))
+            .unionAll(und.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
     # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))
     dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
@@ -242,11 +259,13 @@ def kcore_members(
     chain (blocks free on GC — the triangle_counts discipline).
 
     Convergence is checked by edge count (filtering only removes rows,
-    so an unchanged count IS the fixpoint). ``max_rounds`` exhaustion
-    raises — it must match the oracle's unroll depth
-    (``kcore_oracle_sql``), which replays the same rounds; rounds past
-    the fixpoint are no-ops on both sides, so any convergence within
-    the bound hash-matches.
+    so an unchanged count IS the fixpoint). Up to ``max_rounds``
+    SHRINKING rounds are allowed — matching the oracle's unroll depth
+    (``kcore_oracle_sql``) exactly, including a peel that converges in
+    round ``max_rounds`` itself (one extra no-op round only CONFIRMS
+    the fixpoint; if that confirming round still shrinks, the graph is
+    deeper than the bound and this raises — the oracle would be wrong
+    there too, so divergence is loud, never silent).
     """
     cur = (
         edges.select(
@@ -258,7 +277,7 @@ def kcore_members(
         .localCheckpoint(eager=True)
     )
     n_edges = cur.count()
-    for _ in range(max_rounds):
+    for r in range(max_rounds + 1):
         deg = (
             cur.select(F.col("lo").alias("node"))
             .unionAll(cur.select(F.col("hi").alias("node")))
@@ -275,13 +294,15 @@ def kcore_members(
         cur = nxt
         if n_next == n_edges:
             break
+        if r == max_rounds:
+            # the round past the bound still shrank: peel depth exceeds
+            # what the oracle unrolls
+            raise ValueError(
+                f"kcore_members: no fixpoint within max_rounds="
+                f"{max_rounds} (edge count still shrinking). Raise "
+                f"max_rounds AND the oracle's unroll depth together."
+            )
         n_edges = n_next
-    else:
-        raise ValueError(
-            f"kcore_members: no fixpoint within max_rounds={max_rounds} "
-            f"(edge count still shrinking). Raise max_rounds AND the "
-            f"oracle's unroll depth together."
-        )
     return (
         cur.select(F.col("lo").alias("node"))
         .unionAll(cur.select(F.col("hi").alias("node")))
@@ -301,8 +322,9 @@ def clustering_coefficients(
     real degree), the coefficient is ONE correctly-rounded IEEE divide
     rounded to 6 dp — no multi-term float sum, so any engine reproduces
     it bit-for-bit (the tfidf convention, not the integer-grid one).
-    Plan: degree aggregate + triangle_counts' oriented wedge closure +
-    one left join on node — no new shuffle shapes beyond those.
+    Plan: ONE normalize+materialize and ONE degree aggregate, both
+    shared with triangle_counts via its assume_normalized / degrees
+    fast path, + the oriented wedge closure + one left join on node.
     """
     und = (
         edges.select(
@@ -318,8 +340,11 @@ def clustering_coefficients(
         .unionAll(und.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
-    tri = triangle_counts(und, src="lo", dst="hi")
+    tri = triangle_counts(
+        und, src="lo", dst="hi", assume_normalized=True, degrees=deg
+    )
     return (
         deg.join(tri, "node", "left")
         .na.fill({"n_triangles": 0})

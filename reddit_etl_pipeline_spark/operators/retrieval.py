@@ -119,10 +119,15 @@ def bm25_topk(
             [],
             f"{query_id_col} long, {id_col} long, score_micro long, rank long",
         )
-    tf = _terms(docs, id_col, text_col)
-    # dl from the tf table (one corpus pass feeds tf, df and dl); docs
-    # with zero tokens simply have no posting rows — they still count in
-    # n_docs and contribute 0 to total, exactly like the oracle.
+    # ONE tokenize+aggregate corpus pass, materialized: tf feeds the dl
+    # aggregate, the dfreq/idf aggregate, the weights join AND the
+    # driver-side totals action — four independent consumers, and Spark
+    # does no cross-branch subtree reuse (the triangle_counts deg
+    # lesson), so uncheckpointed the dominant scan would run ~4x.
+    tf = _terms(docs, id_col, text_col).localCheckpoint(eager=True)
+    # dl from the tf table; docs with zero tokens simply have no posting
+    # rows — they still count in n_docs and contribute 0 to total,
+    # exactly like the oracle.
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     totals = dl.agg(
         F.sum("dl").alias("total"), F.max("dl").alias("max_dl")
@@ -141,6 +146,16 @@ def bm25_topk(
             "documents upstream (operators/packing.py chunker)."
         )
     avgdl_micro = (total * MICRO) // n_docs
+    if avgdl_micro == 0:
+        # n_docs > total*1e6 (a corpus of almost entirely empty docs):
+        # Spark's `div 0` would yield NULL and SILENTLY drop every term
+        # weight while the oracle's `// 0` errors — fail loudly instead
+        # (the DL_MAX convention).
+        raise ValueError(
+            f"bm25_topk: average document length below 1e-6 tokens "
+            f"({total} tokens over {n_docs} docs) — the integer-exact "
+            "dl/avgdl ratio degenerates. Filter empty documents first."
+        )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     if prune_stop_terms:
         # stop-term pruning: 2*df > n drops terms idf already scores ~0;

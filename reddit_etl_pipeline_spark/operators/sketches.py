@@ -537,18 +537,54 @@ def cms_probe_users(
     )
 
 
+def _u64_sql(col: str) -> str:
+    """Signed BIGINT -> UBIGINT bit-pattern reinterpret (two's
+    complement) — the single source for every integer-keyed xxhash64
+    replay (HLL users, CMS users)."""
+    return (
+        f"CAST(CASE WHEN {col} >= 0 THEN CAST({col} AS HUGEINT) "
+        f"ELSE CAST({col} AS HUGEINT) + CAST({1 << 64} AS HUGEINT) "
+        "END AS UBIGINT)"
+    )
+
+
+def _cms_tail_sql(key: str, rel: str, top_n: int) -> str:
+    """The CMS CTE chain shared by the token and user oracles, from the
+    position explode through the probe — parameterized by the sketched
+    key column and the occurrence relation; expects a CTE ``hh(key, h1,
+    h2)`` in scope. One copy so a hash/width change can never
+    desynchronize the two replays."""
+    return f"""pos AS MATERIALIZED (
+  SELECT o.{key}, j, CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM {rel} o JOIN hh h USING ({key}), (SELECT unnest(range({CMS_D})) AS j)
+),
+sketch AS MATERIALIZED (
+  SELECT j, idx, count(*) AS counter FROM pos GROUP BY j, idx
+),
+exact AS MATERIALIZED (
+  SELECT {key}, count(*) AS exact_n FROM {rel} GROUP BY {key}
+  ORDER BY exact_n DESC, {key} LIMIT {top_n}
+),
+probe AS MATERIALIZED (
+  SELECT o.{key}, o.exact_n, j,
+         CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
+  FROM exact o JOIN hh h USING ({key}), (SELECT unnest(range({CMS_D})) AS j)
+)
+SELECT p.{key}, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.counter) AS BIGINT) AS cms_est,
+       CAST(min(s.counter) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s USING (j, idx)
+GROUP BY p.{key}, p.exact_n"""
+
+
 def cms_users_oracle_sql(top_n: int = 20) -> str:
     """DuckDB replay of the STREAMING CMS user sketch: the stream's
     running (j, idx) counts equal the batch sketch of the union, so one
     batch replay serves — xxhash64 of the user_id's two's-complement
     bits via xxh64_sql.hash_long_cols (each DISTINCT user hashed once),
-    the same double-hashed positions, the same exact-top-n probe."""
-    u64 = (
-        "CAST(CASE WHEN user_id >= 0 THEN CAST(user_id AS HUGEINT) "
-        f"ELSE CAST(user_id AS HUGEINT) + CAST({1 << 64} AS HUGEINT) END AS UBIGINT)"
-    )
+    then the shared ``_cms_tail_sql`` chain."""
     hash_sql = X.render_select(
-        X.hash_long_cols("uh", u64, X._lit(X.SEED)),
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
         ["uh"],
         "(SELECT DISTINCT user_id FROM events)",
         passthrough=["user_id"],
@@ -558,34 +594,14 @@ WITH uhash AS MATERIALIZED ({hash_sql}),
 hh AS MATERIALIZED (
   SELECT user_id, uh % 4294967296 AS h1, uh // 4294967296 AS h2 FROM uhash
 ),
-pos AS MATERIALIZED (
-  SELECT e.user_id, j, CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
-  FROM events e JOIN hh h USING (user_id), (SELECT unnest(range({CMS_D})) AS j)
-),
-sketch AS MATERIALIZED (
-  SELECT j, idx, count(*) AS counter FROM pos GROUP BY j, idx
-),
-exact AS MATERIALIZED (
-  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
-  ORDER BY exact_n DESC, user_id LIMIT {top_n}
-),
-probe AS MATERIALIZED (
-  SELECT e.user_id, e.exact_n, j,
-         CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
-  FROM exact e JOIN hh h USING (user_id), (SELECT unnest(range({CMS_D})) AS j)
-)
-SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
-       CAST(min(s.counter) AS BIGINT) AS cms_est,
-       CAST(min(s.counter) - p.exact_n AS BIGINT) AS overcount
-FROM probe p JOIN sketch s USING (j, idx)
-GROUP BY p.user_id, p.exact_n
+{_cms_tail_sql("user_id", "events", top_n)}
 """
 
 
 def cms_oracle_sql(top_n: int = 50) -> str:
     """DuckDB replay of ``cms_heavy_hitters``: same tokenization as the
-    other text oracles, xxhash64 per DISTINCT token via xxh64_sql, the
-    same double-hashed counter positions, bounded sketch, same probe."""
+    other text oracles, xxhash64 per DISTINCT token via xxh64_sql, then
+    the shared ``_cms_tail_sql`` chain."""
     tok_hash = X.render_select(
         X.str_hash_cols("tok", "th"), ["th"], "dtoks", passthrough=["tok"]
     )
@@ -602,27 +618,7 @@ th AS MATERIALIZED ({tok_hash}),
 hh AS MATERIALIZED (
   SELECT tok, th % 4294967296 AS h1, th // 4294967296 AS h2 FROM th
 ),
-pos AS MATERIALIZED (
-  SELECT o.tok, j, CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
-  FROM occ o JOIN hh h USING (tok), (SELECT unnest(range({CMS_D})) AS j)
-),
-sketch AS MATERIALIZED (
-  SELECT j, idx, count(*) AS counter FROM pos GROUP BY j, idx
-),
-exact AS MATERIALIZED (
-  SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok
-  ORDER BY exact_n DESC, tok LIMIT {top_n}
-),
-probe AS MATERIALIZED (
-  SELECT e.tok, e.exact_n, j,
-         CAST((h.h1 + j * h.h2) % {CMS_W} AS BIGINT) AS idx
-  FROM exact e JOIN hh h USING (tok), (SELECT unnest(range({CMS_D})) AS j)
-)
-SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
-       CAST(min(s.counter) AS BIGINT) AS cms_est,
-       CAST(min(s.counter) - p.exact_n AS BIGINT) AS overcount
-FROM probe p JOIN sketch s USING (j, idx)
-GROUP BY p.tok, p.exact_n
+{_cms_tail_sql("tok", "occ", top_n)}
 """
 
 
@@ -634,12 +630,8 @@ def _hll_users_ctes() -> str:
     the union — so one replay serves both)."""
     # signed BIGINT -> UBIGINT bit pattern (user ids are non-negative in
     # the data, but replay the general reinterpret anyway)
-    u64 = (
-        "CAST(CASE WHEN user_id >= 0 THEN CAST(user_id AS HUGEINT) "
-        f"ELSE CAST(user_id AS HUGEINT) + CAST({1 << 64} AS HUGEINT) END AS UBIGINT)"
-    )
     hash_sql = X.render_select(
-        X.hash_long_cols("uh", u64, X._lit(X.SEED)),
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
         ["uh"],
         "(SELECT DISTINCT event_type, user_id FROM events)",
         passthrough=["event_type"],

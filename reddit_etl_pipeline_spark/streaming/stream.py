@@ -365,9 +365,9 @@ def streamed_bloom_contamination(
     (sketches.bloom_probe_stats). Oracle: bloom_oracle_sql, identical to
     the batch twin's."""
     from ..operators import sketches as SK
+    from ..plans.star import load
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load(spark, sf_dir, "documents")
     banned = docs.filter(F.col("doc_id") % banned_mod == 0).select(
         "doc_id", "source", "text"
     )
@@ -381,11 +381,7 @@ def streamed_bloom_contamination(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    words = (
-        SK.bloom_positions(SK.bloom_fingerprints(stream).select("h1", "h2"))
-        .groupBy("word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
-    )
+    words = SK.bloom_build(SK.bloom_fingerprints(stream))
     bloom = run_stream_to_batch(words, spark, output_mode="complete")
     return SK.bloom_probe_stats(spark, sf_dir, bloom, banned_mod=banned_mod)
 

@@ -179,6 +179,17 @@ def test_kcore_empty_core_and_duplicate_edges(spark):
     assert got == {1: 1, 2: 2, 3: 1}
 
 
+def test_kcore_converges_exactly_at_bound(spark):
+    """Peel depth == max_rounds must SUCCEED (the extra round only
+    confirms the fixpoint): a 6-node path with k=2 peels in exactly 3
+    rounds to an empty core."""
+    path = [(i, i + 1) for i in range(1, 6)]
+    assert kcore_members(_edges(spark, path), k=2, max_rounds=3).count() == 0
+    with pytest.raises(ValueError, match="fixpoint"):
+        # depth 3 > bound 2: the confirming round still shrinks
+        kcore_members(_edges(spark, path), k=2, max_rounds=2)
+
+
 def test_kcore_raises_past_round_bound(spark):
     """A path peels only its two ends per round, so a 10-node path with
     max_rounds=2 must raise loudly instead of silently stopping early
