@@ -500,9 +500,11 @@ def _fuzzy_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (distinct edges
-    from orders ⋈ lineitem). Rows-only check (iterative float algorithm);
-    mass conservation / symmetry / partitioning-invariance properties are
-    pinned in tests/test_graph.py."""
+    from orders ⋈ lineitem). ORACLE-CHECKED: the integerized ranks are
+    replayed by an unrolled materialized-CTE chain in DuckDB (see the
+    oracle_sql entry); mass conservation / symmetry /
+    partitioning-invariance properties are pinned in
+    tests/test_graph.py."""
     from reddit_etl_pipeline_spark.operators.graph import pagerank
 
     orders = Q.load(spark, sf_dir, "orders")
@@ -958,8 +960,10 @@ def _stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous NEAR-dup corpus build: candidate docs
     stream in id-ordered micro-batches against a growing
     accepted-signature MinHash index (banding probe + signature verify,
-    greedy first-arrival within batch). Rows-only — minhash semantics
-    aren't SQL-expressible; sequential-greedy equivalence pinned in
+    greedy first-arrival within batch). ORACLE-CHECKED: greedy
+    first-arrival acceptance equals the lexicographically-first maximal
+    independent set, replayed by neardup_oracles.lfmis_walk_sql;
+    sequential-greedy equivalence also pinned in
     tests/test_stream_dedup.py."""
     return ST.streamed_incremental_neardup(spark, sf_dir)
 
@@ -971,9 +975,10 @@ def _stream_incremental_embedding_neardup(
     hyperplane-LSH twin of the MinHash variant: candidate vectors
     stream in id-ordered micro-batches against a growing accepted
     vector index (pre-bucketed LSH probe + exact-cosine verify, greedy
-    first-arrival within batch). Rows-only — the greedy acceptance is
-    inherently sequential; equivalence with one serial greedy pass over
-    the batch operator's pair graph pinned in
+    first-arrival within batch). ORACLE-CHECKED via the same LFMIS
+    recursive walk as the MinHash twin (greedy acceptance == lex-first
+    maximal independent set); equivalence with one serial greedy pass
+    over the batch operator's pair graph pinned in
     tests/test_stream_dedup.py."""
     return ST.streamed_incremental_embedding_neardup(spark, sf_dir)
 

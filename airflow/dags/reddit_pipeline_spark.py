@@ -16,11 +16,15 @@ the reason to run the DAG instead of the one-program
 ``daily --stage all``.
 
 Paths come from environment variables so the file deploys unedited:
-REDDIT_SPARK_LAKE / REDDIT_SPARK_WAREHOUSE / REDDIT_SPARK_CONF
-(configuration.conf is optional — without it the CLI uses the offline
-fake source unless --subreddit credentials are configured). The package
-must be importable from the worker shell: install it, or export
-PYTHONPATH=<repo root> in the Airflow worker environment.
+REDDIT_SPARK_LAKE / REDDIT_SPARK_WAREHOUSE / REDDIT_SPARK_CONF.
+The source is chosen EXPLICITLY: set REDDIT_SPARK_CONF to the
+configuration.conf path for the live API, or set
+REDDIT_SPARK_FAKE_SOURCE=<n> to opt into the offline deterministic
+fake source (CI / demo deploys). If NEITHER is set the DAG raises at
+parse time — a production deploy missing the conf var must fail loudly,
+not silently ingest synthetic posts into the real lake with green task
+status. The package must be importable from the worker shell: install
+it, or export PYTHONPATH=<repo root> in the Airflow worker environment.
 """
 
 from __future__ import annotations
@@ -28,14 +32,26 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta
 
-from airflow import DAG
-from airflow.operators.bash import BashOperator
-
+# Source selection runs BEFORE the airflow imports so the fail-loud
+# contract is unit-testable without an airflow install.
 LAKE = os.environ.get("REDDIT_SPARK_LAKE", "/data/reddit/lake")
 WAREHOUSE = os.environ.get("REDDIT_SPARK_WAREHOUSE", "/data/reddit/warehouse")
 CONF = os.environ.get("REDDIT_SPARK_CONF", "")
+FAKE = os.environ.get("REDDIT_SPARK_FAKE_SOURCE", "")
 
-_CONF_FLAG = f" --conf {CONF}" if CONF else " --fake-source 200"
+if CONF:
+    _CONF_FLAG = f" --conf {CONF}"
+elif FAKE:
+    _CONF_FLAG = f" --fake-source {int(FAKE)}"
+else:
+    raise ValueError(
+        "reddit_pipeline_spark DAG: set REDDIT_SPARK_CONF (live API conf "
+        "path) or REDDIT_SPARK_FAKE_SOURCE=<n posts> (explicit offline "
+        "opt-in); refusing to default to the synthetic source."
+    )
+
+from airflow import DAG  # noqa: E402
+from airflow.operators.bash import BashOperator  # noqa: E402
 _BASE = (
     "python -m reddit_etl_pipeline_spark daily"
     f" --lake {LAKE} --warehouse {WAREHOUSE}{_CONF_FLAG}"

@@ -433,7 +433,13 @@ def cms_heavy_hitters(
     from ..plans.star import load
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    # lowercase BEFORE tokenizing — the oracle splits trim(lower(text)),
+    # and the rest of the text family (retrieval._terms, bloom _NORM)
+    # lowercases on both sides; without this the engine and the replay
+    # hash different tokens on any mixed-case corpus (round-7 ADVICE).
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
     hashed = toks.select(
         "tok",
         F.expr("xxhash64(tok) & 4294967295").alias("h1"),

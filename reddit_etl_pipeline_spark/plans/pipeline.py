@@ -34,6 +34,19 @@ from ..sources.reddit_api import fetch_posts_df
 from . import models as M
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Probe a path through the Hadoop FileSystem resolved FOR that path
+    (file:/, s3a:/, hdfs:/ alike). A driver-local ``os.path.exists`` is
+    always False for object-store/HDFS URIs, which would turn a staged
+    load into a silent successful no-op and let the DAG rebuild models
+    over a stale warehouse (round-7 ADVICE; same failure mode
+    streaming/stream._read_index_or_none documents)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def run_daily_batch(
     spark: SparkSession,
     fetcher: Callable[[], Iterable[object]],
@@ -153,12 +166,10 @@ def stage_load_lake(
 ) -> dict:
     """Task 2 (reference upload_to_s3.py): day CSV -> lake partition
     (rerun-safe dynamic overwrite of that date only)."""
-    import os
-
     from ..sources.csv_tolerant import read_posts_csv
 
     path = f"{staging_path.rstrip('/')}/{batch_date}"
-    if not os.path.exists(path):
+    if not _fs_exists(spark, path):
         return {"batch_rows": 0, "skipped": "no day file (empty extract)"}
     staged = read_posts_csv(spark, path)
     write_table(
@@ -176,10 +187,8 @@ def stage_load_warehouse(
     """Task 3 (reference s3_to_redshift.py): upsert the day's lake
     partition into the warehouse, then the reference's post-load
     integrity audits."""
-    import os
-
-    part = os.path.join(lake_path, f"batch_date={batch_date}")
-    if not os.path.exists(part):
+    part = f"{lake_path.rstrip('/')}/batch_date={batch_date}"
+    if not _fs_exists(spark, part):
         return {"warehouse_rows": None, "skipped": "no lake partition"}
     batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
     _upsert_warehouse(spark, batch, warehouse_path)

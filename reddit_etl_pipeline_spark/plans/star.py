@@ -397,10 +397,13 @@ def exact_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked exact companion to ``approx_distinct_stats``: the
     same per-type distinct-user and median-value shape, computed exactly
     (COUNT DISTINCT + interpolated percentile) so DuckDB can hash-match
-    it. The sketch query stays rows-only — HLL++/quantile-sketch values
-    are engine-specific — and its accuracy is bounded against THIS
-    query's numbers in tests/test_sketches.py. At 100 TB you run the
-    sketch; at validation scale you run both and compare."""
+    it. Since round 6 the sketch entry is ALSO oracle-checked (the
+    hand-rolled replayable HLL in operators/sketches.py); only the
+    native HLL++ variant (``approx_distinct_stats_native``, not a
+    queries() entry) keeps engine-specific values, and its accuracy is
+    bounded against THIS query's numbers in tests/test_sketches.py. At
+    100 TB you run the sketch; at validation scale you run both and
+    compare."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),

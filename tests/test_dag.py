@@ -45,12 +45,13 @@ def test_dag_file_compiles_and_mirrors_reference_chain():
         assert f'"{stage}"' in src or f"--stage {stage}" in src or stage in src
 
 
-def test_dag_imports_when_airflow_available():
+def test_dag_imports_when_airflow_available(monkeypatch):
     # importorskip alone is not enough: a bare namespace package named
     # ``airflow`` (no real install) imports fine but has no DAG symbol
     pytest.importorskip("airflow")
     import importlib.util
 
+    monkeypatch.setenv("REDDIT_SPARK_FAKE_SOURCE", "200")
     spec = importlib.util.spec_from_file_location("reddit_dag", DAG_PATH)
     mod = importlib.util.module_from_spec(spec)
     try:
@@ -58,6 +59,37 @@ def test_dag_imports_when_airflow_available():
     except ImportError as e:
         pytest.skip(f"airflow present but not importable: {e}")
     assert len(mod.dag.tasks) == 4
+
+
+def _exec_dag_prefix(env: dict):
+    """Execute the DAG module up to (excluding) the airflow imports —
+    the source-selection block runs before them by design so this
+    contract is testable without an airflow install."""
+    src = open(DAG_PATH).read()
+    cut = src.index("from airflow import DAG")
+    g = {"__name__": "reddit_dag_prefix"}
+    import unittest.mock as _m
+
+    with _m.patch.dict(os.environ, env, clear=False):
+        for var in ("REDDIT_SPARK_CONF", "REDDIT_SPARK_FAKE_SOURCE"):
+            if var not in env:
+                os.environ.pop(var, None)
+        exec(compile(src[:cut], DAG_PATH, "exec"), g)
+    return g
+
+
+def test_dag_refuses_silent_fake_source():
+    """No conf and no explicit fake-source opt-in -> parse-time failure,
+    never a green daily run ingesting synthetic posts (round-7 ADVICE)."""
+    with pytest.raises(ValueError, match="refusing to default"):
+        _exec_dag_prefix({})
+    # explicit opt-ins still work
+    assert "--fake-source 200" in _exec_dag_prefix(
+        {"REDDIT_SPARK_FAKE_SOURCE": "200"}
+    )["_CONF_FLAG"]
+    assert "--conf /x/y.conf" in _exec_dag_prefix(
+        {"REDDIT_SPARK_CONF": "/x/y.conf"}
+    )["_CONF_FLAG"]
 
 
 def test_staged_chain_matches_one_program_daily(spark, tmp_path, capsys):

@@ -238,3 +238,37 @@ def test_bloom_flags_superset_of_banned(spark, sf_dir):
         assert r.n_flagged >= r.n_banned
         assert r.n_false_pos == r.n_flagged - r.n_banned
         assert r.n_docs >= r.n_flagged
+
+
+def test_cms_mixed_case_matches_oracle(spark, tmp_path):
+    """Engine tokenization must lowercase BEFORE hashing (the oracle
+    splits trim(lower(text))); pinned on a mixed-case corpus because the
+    synthetic documents table is all-lowercase and would never catch a
+    divergence here (round-7 ADVICE)."""
+    import duckdb
+
+    rows = [
+        (1, "The QUICK brown FOX the quick", "en", "web", 10),
+        (2, "Quick BROWN fox JUMPS over", "en", "web", 10),
+        (3, "THE the The lazy DOG dog", "en", "books", 10),
+        (4, "", "en", "web", 0),
+        (5, None, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "mixedcase")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = sorted(
+        tuple(r) for r in SK.cms_heavy_hitters(spark, d, top_n=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(con.execute(SK.cms_oracle_sql(top_n=10)).fetchall())
+    con.close()
+    assert got == want and got
+    # every surviving token is lowercase on the engine side
+    assert all(tok == tok.lower() for tok, *_ in got)
