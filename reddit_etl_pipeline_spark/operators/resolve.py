@@ -29,6 +29,12 @@ sources, URLs — not just documents). Spark-first shape:
 - **Resolution**: per dirty record, one map-side-combinable
   ``min(struct(distance, clean_id))`` — best match, total order, no
   window over the candidate set.
+- **Duplicate collapse** (round 7): both sides dedup to DISTINCT names
+  BEFORE variant generation (clean side carries count + min-id so the
+  fan-back is exact), because identical strings meet in every shared
+  block and candidate volume grows ×m² with duplicate multiplicity m —
+  measured ~33× slower on a 10× dup-heavy replica before the collapse.
+  Results fan back to records with one equi-join on the name.
 
 Matching model: aligned substitutions over identifier-like strings
 (cross-length matches are out of scope — a length change is a different
@@ -136,15 +142,32 @@ def fuzzy_resolve(
         )
     pairs = _position_pairs(spark, lens, max_dist)
 
-    def blocked(df, id_col, side):
+    # Collapse BOTH sides to DISTINCT names before variant generation
+    # (round-7 fix): identical strings share every variant key and meet
+    # in every block, so candidate volume grows ×m² when a name appears
+    # m times (measured ~100 s at a 10× dup-heavy replica vs 3 s at 1×).
+    # Resolving distinct-vs-distinct keeps candidates proportional to
+    # distinct names; the carriers make the fan-back exact:
+    #   - min_c_key: within one clean NAME the distance is constant, so
+    #     min(struct(distance, c_key)) over clean IDs ==
+    #     min(struct(distance, min_c_key)) over clean names;
+    #   - c_cnt: n_candidates (verified clean IDs) == Σ c_cnt over
+    #     verified clean names.
+    dnames = dirty.select(F.col(name_col).alias("d_name")).distinct()
+    cnames = clean.groupBy(F.col(name_col).alias("c_name")).agg(
+        F.min(clean_id).alias("min_c_key"),
+        F.count(F.lit(1)).alias("c_cnt"),
+    )
+
+    def blocked(df, side, carry=()):
         named = df.select(
-            F.col(id_col).alias(f"{side}_key"),
-            F.col(name_col).alias(f"{side}_name"),
-            F.length(name_col).alias("nlen"),
+            f"{side}_name",
+            F.length(f"{side}_name").alias("nlen"),
+            *carry,
         )
         return named.join(pairs, "nlen").select(
-            f"{side}_key",
             f"{side}_name",
+            *carry,
             F.concat_ws(
                 "|",
                 F.col("nlen").cast("string"),
@@ -156,27 +179,35 @@ def fuzzy_resolve(
             ).alias("block"),
         )
 
-    d = blocked(dirty, dirty_id, "d")
-    c = blocked(clean, clean_id, "c")
+    d = blocked(dnames, "d")
+    c = blocked(cnames, "c", carry=("min_c_key", "c_cnt"))
+    # distinct on the name pair dedups multi-block meetings; min_c_key
+    # and c_cnt are functionally dependent on c_name
     cands = (
         d.join(c, "block")
-        .select("d_key", "d_name", "c_key", "c_name")
+        .select("d_name", "c_name", "min_c_key", "c_cnt")
         .distinct()
     )
     verified = cands.select(
-        "d_key",
-        "c_key",
+        "d_name",
+        "min_c_key",
+        "c_cnt",
         F.levenshtein("d_name", "c_name").alias("distance"),
     ).filter(F.col("distance") <= max_dist)
+    resolved_names = verified.groupBy("d_name").agg(
+        F.min(F.struct("distance", "min_c_key")).alias("best"),
+        F.sum("c_cnt").alias("n_candidates"),
+    )
+    # fan results back to every dirty record with ONE equi-join on name
     return (
-        verified.groupBy("d_key")
-        .agg(
-            F.min(F.struct("distance", "c_key")).alias("best"),
-            F.count(F.lit(1)).alias("n_candidates"),
+        dirty.select(
+            F.col(dirty_id).alias("dirty_id"),
+            F.col(name_col).alias("d_name"),
         )
+        .join(resolved_names, "d_name")
         .select(
-            F.col("d_key").alias("dirty_id"),
-            F.col("best.c_key").alias("resolved_id"),
+            "dirty_id",
+            F.col("best.min_c_key").alias("resolved_id"),
             # levenshtein is IntegerType; BIGINT at the query boundary
             F.col("best.distance").cast("long").alias("distance"),
             "n_candidates",

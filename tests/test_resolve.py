@@ -142,3 +142,45 @@ def test_no_cartesian_in_plan(spark):
     plan = fuzzy_resolve(dirty, clean)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_multiplicity_parity(spark):
+    """Round-7 collapse fix: resolving a dup-heavy relation (every name
+    appearing m times under distinct ids) must give each dirty record
+    exactly the result its name gets at m=1, with n_candidates counting
+    clean IDs (not distinct clean names) and ties resolved to the
+    MINIMUM clean id overall."""
+    base = ["abcdefghijkl", "abcdefghijkX", "zzzzzzzzzzzz"]
+    m = 7
+    # clean: each name under m distinct ids; id layout interleaved so
+    # min-id-per-name is non-trivial
+    clean_rows = [
+        (k * 100 + i, n) for i, n in enumerate(base) for k in range(m)
+    ]
+    clean = spark.createDataFrame(clean_rows, "clean_id long, name string")
+    dirty_rows = [
+        (k * 1000 + i, n) for i, n in enumerate(base) for k in range(m)
+    ]
+    dirty = spark.createDataFrame(dirty_rows, "dirty_id long, name string")
+
+    got = {
+        r.dirty_id: (r.resolved_id, r.distance, r.n_candidates)
+        for r in fuzzy_resolve(dirty, clean, max_dist=2).collect()
+    }
+    assert len(got) == len(dirty_rows)
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b)) if len(a) == len(b) else 99
+
+    for did, dname in dirty_rows:
+        cands = sorted(
+            (hamming(dname, cname), cid)
+            for cid, cname in clean_rows
+            if hamming(dname, cname) <= 2
+        )
+        assert got[did] == (cands[0][1], cands[0][0], len(cands)), (
+            did,
+            dname,
+            got[did],
+            cands[:3],
+        )
