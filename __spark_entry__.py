@@ -438,6 +438,21 @@ def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION edge-sampled global triangle estimate over the part
+    co-purchase graph (operators/graph.triangle_estimate) — the declared
+    scale path beside exact ``part_triangles``: keep each edge iff
+    xxhash64(lo, hi) & 3 < 1 (p = 1/4, deterministic), exact closure on
+    the sampled graph, integer 64× scale-up. ORACLE-CHECKED bit-exactly
+    (the xxh64_sql chain replays the sampling predicate); accuracy vs
+    the exact count pinned in tests/test_graph.py."""
+    from reddit_etl_pipeline_spark.operators.graph import triangle_estimate
+
+    return triangle_estimate(
+        _copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+    )
+
+
 def _part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core (k=80) of the part co-purchase graph: iterative distributed
     peel to fixpoint (operators/graph.kcore_members) — the dense-region
@@ -1146,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_stats": _kmeans_cluster_stats,
         "supplier_pagerank": _supplier_pagerank,
         "part_triangles": _part_triangles,
+        "part_triangles_approx": _part_triangles_approx,
         "part_kcore": _part_kcore,
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3590,6 +3606,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
         """,
+        # DOULION estimate: xxh64_sql replays the deterministic sampling
+        # predicate; triple-enumeration on the SAMPLED graph stays small
+        "part_triangles_approx": GR.triangle_estimate_oracle_sql(
+            edges_ctes="""li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )""",
+            sample_num=1,
+            sample_den=4,
+        ),
         # k-core: unrolled peel rounds (graph.kcore_oracle_sql) over the
         # same co-purchase e0; engine raises past the identical bound, so
         # non-convergence can never silently diverge

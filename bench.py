@@ -158,6 +158,7 @@ def main() -> None:
         "neardup_canonical_minhash",
         "approx_distinct_stats",
         "part_triangles",
+        "part_triangles_approx",
         "cms_heavy_hitters",
         "bloom_contamination_stats",
         "fuzzy_resolve_customers",

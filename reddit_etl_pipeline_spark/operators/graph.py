@@ -32,9 +32,11 @@ __all__ = [
     "pagerank",
     "degree_stats",
     "triangle_counts",
+    "triangle_estimate",
     "kcore_members",
     "clustering_coefficients",
     "kcore_oracle_sql",
+    "triangle_estimate_oracle_sql",
 ]
 
 
@@ -183,6 +185,23 @@ def triangle_counts(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    tris = _oriented_triangles(und, degrees=degrees, broadcast_edges=broadcast_edges)
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _oriented_triangles(
+    und: DataFrame,
+    degrees: DataFrame | None = None,
+    broadcast_edges: int = 2_000_000,
+) -> DataFrame:
+    """One (a, b, c) row per triangle of a MATERIALIZED (lo, hi) edge set
+    (lo < hi, distinct, no self-loops, already checkpointed) — the
+    degree-oriented wedge-closure core shared by ``triangle_counts`` and
+    ``triangle_estimate``."""
     if degrees is not None:
         deg = degrees.select("node", F.col(degrees.columns[1]).alias("deg"))
     else:
@@ -229,11 +248,67 @@ def triangle_counts(
     # und is already checkpoint-materialized.
     if und.count() <= broadcast_edges:
         closing = F.broadcast(closing)
-    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    return (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
+def triangle_estimate(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    sample_num: int = 1,
+    sample_den: int = 4,
+    broadcast_edges: int = 2_000_000,
+) -> DataFrame:
+    """DOULION-style (Tsourakakis et al., KDD'09) edge-sampled GLOBAL
+    triangle estimate — the declared scale path past exact
+    ``triangle_counts``: keep each undirected edge independently with
+    probability p = sample_num/sample_den, count triangles exactly on
+    the sampled graph (same degree-oriented closure), scale by 1/p³.
+    Wedge volume drops ×p² and the closing set ×p, so at p=1/4 the
+    dominant join shrinks ~16× — the lever that makes 100×-scale graphs
+    tractable where exact counting shuffles every wedge.
+
+    DETERMINISTIC and oracle-replayable like every sketch in the repo:
+    the sampling predicate is ``xxhash64(lo, hi) & (den-1) < num``
+    (low bits of Spark's seed-42 chained long hash; ``den`` must be a
+    power of two so the DuckDB replay's ``uh % den`` sees the same
+    bits), and the estimate is pure integer:
+    ``est = sampled_tris * den³ div num³``.
+
+    Returns ONE row: (n_edges, n_sampled_edges, sampled_triangles,
+    est_triangles) — all BIGINT. The estimator is unbiased with
+    Var ≈ T(1/p³ − 1) + wedge-covariance terms; accuracy floors pinned
+    in tests/test_graph.py against the exact count."""
+    if sample_den & (sample_den - 1) or not (0 < sample_num <= sample_den):
+        raise ValueError(
+            f"sample_den must be a power of two and 0 < num <= den, got "
+            f"{sample_num}/{sample_den}"
+        )
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    sampled = und.filter(
+        F.expr(f"(xxhash64(lo, hi) & {sample_den - 1}) < {sample_num}")
+    ).localCheckpoint(eager=True)
+    tris = _oriented_triangles(sampled, broadcast_edges=broadcast_edges)
+    scale = sample_den**3
+    inv = sample_num**3
+    return tris.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(sampled.count()).cast("long").alias("n_sampled_edges"),
+        F.count(F.lit(1)).alias("sampled_triangles"),
+        # integer scale-up: exact in BIGINT while sampled*den^3 < 2^63
+        F.expr(
+            f"CAST(count(1) * CAST({scale} AS DECIMAL(38,0)) "
+            f"div {inv} AS BIGINT)"
+        ).alias("est_triangles"),
     )
 
 
@@ -363,6 +438,50 @@ def clustering_coefficients(
             .alias("coeff"),
         )
     )
+
+
+def triangle_estimate_oracle_sql(
+    edges_ctes: str, sample_num: int = 1, sample_den: int = 4
+) -> str:
+    """DuckDB replay of ``triangle_estimate``: ``edges_ctes`` must define
+    a CTE ``e(lo, hi)`` (normalized undirected distinct edges, both
+    endpoints non-negative BIGINTs — the UBIGINT cast below reinterprets
+    the hash input exactly like Spark's two's-complement long only for
+    non-negative keys). The sampled edge set keeps rows whose chained
+    xxhash64(lo, hi) has low bits < num (``uh % den`` == Spark's
+    ``& (den-1)`` for power-of-two den), triangles are enumerated by the
+    orientation-free triple join (exact on the sampled graph), and the
+    scale-up is integer: tris * den³ // num³ in HUGEINT."""
+    from .. import xxh64_sql as X
+
+    edge_hash = X.render_select(
+        X.chain_cols(
+            "ehash", ["CAST(lo AS UBIGINT)", "CAST(hi AS UBIGINT)"]
+        ),
+        ["ehash"],
+        "e",
+        passthrough=["lo", "hi"],
+    )
+    scale, inv = sample_den**3, sample_num**3
+    return f"""
+WITH {edges_ctes},
+eh AS MATERIALIZED ({edge_hash}),
+se AS MATERIALIZED (
+  SELECT lo, hi FROM eh WHERE ehash % {sample_den} < {sample_num}
+),
+tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM se e1
+  JOIN se e2 ON e2.lo = e1.hi
+  JOIN se e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT
+  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT count(*) FROM se) AS BIGINT) AS n_sampled_edges,
+  CAST((SELECT count(*) FROM tri) AS BIGINT) AS sampled_triangles,
+  CAST(CAST((SELECT count(*) FROM tri) AS HUGEINT) * {scale} // {inv}
+       AS BIGINT) AS est_triangles
+"""
 
 
 def kcore_oracle_sql(

@@ -220,3 +220,71 @@ def test_clustering_coefficients_known_values(spark):
         for r in clustering_coefficients(_edges(spark, star)).collect()
     }
     assert got == {i: 0.0 for i in range(6)}
+
+
+def test_triangle_estimate_p1_equals_exact(spark):
+    """num == den keeps every edge, so the 'estimate' must equal the
+    exact global triangle count on any graph (here: two triangles
+    sharing an edge + a pendant, duplicate + reversed edges thrown in)."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+        triangle_estimate,
+    )
+
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (2, 4), (3, 4),                  # triangle B shares edge (2,3)
+        (4, 5),                          # pendant
+        (2, 1), (3, 2), (1, 2),          # dup/reversed noise
+    ]
+    e = _edges(spark, pairs)
+    row = triangle_estimate(e, sample_num=1, sample_den=1).collect()[0]
+    exact = (
+        triangle_counts(_edges(spark, pairs))
+        .agg((F.sum("n_triangles") / 3).cast("long"))
+        .collect()[0][0]
+    )
+    assert row.sampled_triangles == row.est_triangles == exact == 2
+    assert row.n_edges == row.n_sampled_edges == 6
+
+
+def test_triangle_estimate_accuracy_on_corpus(spark, sf_dir):
+    """DOULION at p=1/4 on the sf co-purchase graph: deterministic
+    sampling -> the estimate is reproducible, so pin a tight relative
+    error vs the exact count (measured 1.1% at sf0.01; allow 10% for
+    other sf dirs) plus the structural invariants."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from reddit_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+        triangle_estimate,
+    )
+
+    row = triangle_estimate(
+        E._copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+    ).collect()[0]
+    exact = (
+        triangle_counts(E._copurchase_edges(spark, sf_dir))
+        .agg((F.sum("n_triangles") / 3).cast("long"))
+        .collect()[0][0]
+    )
+    assert row.est_triangles == row.sampled_triangles * 64
+    # sampled edge fraction concentrates around 1/4
+    frac = row.n_sampled_edges / row.n_edges
+    assert 0.2 < frac < 0.3, frac
+    assert abs(row.est_triangles - exact) <= 0.10 * exact, (
+        row.est_triangles,
+        exact,
+    )
+
+
+def test_triangle_estimate_rejects_bad_params(spark):
+    from reddit_etl_pipeline_spark.operators.graph import triangle_estimate
+
+    e = _edges(spark, [(1, 2)])
+    for num, den in ((1, 3), (0, 4), (5, 4)):
+        with pytest.raises(ValueError):
+            triangle_estimate(e, sample_num=num, sample_den=den)
