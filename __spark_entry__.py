@@ -1007,6 +1007,16 @@ def _stream_cdc_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_cdc_chunk_store(spark, sf_dir)
 
 
+def _stream_bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous BM25 posting-index build
+    (streaming.stream.streamed_bm25_doc_search): documents append their
+    (doc_id, tok, tf) posting partials per micro-batch; disjoint doc
+    ranges make the accumulated store equal the one-batch tf table, so
+    scoring with the shared retrieval.bm25_score_tf replays the batch
+    oracle exactly (the sketch-twin merge-law pattern, SUM flavor)."""
+    return ST.streamed_bm25_doc_search(spark, sf_dir)
+
+
 def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous warehouse merge (last-write-wins upsert);
     converges to the batch latest_event_per_user_type result."""
@@ -1187,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_neardup": _stream_incremental_neardup,
         "stream_incremental_embedding_neardup": _stream_incremental_embedding_neardup,
         "stream_cdc_chunk_store": _stream_cdc_chunk_store,
+        "stream_bm25_doc_search": _stream_bm25_doc_search,
         "stream_session_window": _stream_session_window,
         "stream_sliding_counts": _stream_sliding,
         "stream_static_enrich": _stream_static_enrich,
@@ -2700,6 +2711,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, keyword, score, rank FROM ranked WHERE rank <= 3
         """,
         "bm25_doc_search": RV.bm25_oracle_sql(
+            query_mod=50, k=10, tokens_expr=_TOKENS, prune_stop_terms=False
+        ),
+        # the streaming posting-index twin shares the batch oracle: tf
+        # partials over disjoint doc ranges union into the one-batch tf
+        "stream_bm25_doc_search": RV.bm25_oracle_sql(
             query_mod=50, k=10, tokens_expr=_TOKENS, prune_stop_terms=False
         ),
         "pii_scrub_stats": f"""

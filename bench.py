@@ -168,6 +168,7 @@ def main() -> None:
         "part_kcore",
         "part_clustering_coeff",
         "stream_bloom_contamination",
+        "stream_bm25_doc_search",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -111,8 +111,6 @@ def bm25_topk(
     term ubiquitous — e.g. tiny synthetic tables) can disable pruning and
     still rank meaningfully.
     """
-    from pyspark.sql import Window
-
     n_docs = docs.count()
     if n_docs == 0:
         return docs.sparkSession.createDataFrame(
@@ -125,6 +123,40 @@ def bm25_topk(
     # does no cross-branch subtree reuse (the triangle_counts deg
     # lesson), so uncheckpointed the dominant scan would run ~4x.
     tf = _terms(docs, id_col, text_col).localCheckpoint(eager=True)
+    return bm25_score_tf(
+        tf,
+        n_docs,
+        query_docs,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        prune_stop_terms=prune_stop_terms,
+    )
+
+
+def bm25_score_tf(
+    tf: DataFrame,
+    n_docs: int,
+    query_docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    prune_stop_terms: bool = True,
+) -> DataFrame:
+    """Score queries against a PREPARED posting table ``tf`` — the
+    (id, tok, tf) frame ``_terms`` produces, already materialized — with
+    ``n_docs`` the full corpus cardinality INCLUDING zero-token docs
+    (they have no posting rows but count in idf's n and avgdl's
+    denominator). Split out of ``bm25_topk`` so the streaming
+    posting-index build (streaming/stream.streamed_bm25_doc_search) can
+    run the IDENTICAL scorer over its accumulated store: per-batch tf
+    partials over disjoint doc ranges union into exactly the batch tf
+    table, so the twin shares ``bm25_oracle_sql`` by construction."""
+    from pyspark.sql import Window
+
+    spark = tf.sparkSession
     # dl from the tf table; docs with zero tokens simply have no posting
     # rows — they still count in n_docs and contribute 0 to total,
     # exactly like the oracle.
@@ -134,7 +166,7 @@ def bm25_topk(
     ).first()
     total = totals["total"] or 0
     if total == 0:
-        return docs.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [],
             f"{query_id_col} long, {id_col} long, score_micro long, rank long",
         )

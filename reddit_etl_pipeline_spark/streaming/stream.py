@@ -1545,6 +1545,59 @@ def cdc_batch_against_store(
     return (int(tot["n"]), int(ns["n"] or 0), int(tot["c"]), int(ns["c"] or 0))
 
 
+def streamed_bm25_doc_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    query_mod: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Continuous BM25 posting-index build — the retrieval family's
+    streaming twin: documents stream in id-range micro-batches and each
+    batch APPENDS its (doc_id, tok, tf) posting partials plus its doc-id
+    membership rows to a growing parquet index (foreachBatch; zero
+    streaming state — the store IS the index, the house pattern of the
+    incremental dedup/CDC builds). Merge laws are the sketch-trio kind:
+    batches cover DISJOINT doc ranges, so posting partials union into
+    exactly the one-batch tf table, df(tok) = Σ per-batch dfs = count
+    over the union, and (n_docs, Σdl) add. Scoring then runs the
+    IDENTICAL batch scorer (retrieval.bm25_score_tf) over the finished
+    store, so the twin shares ``bm25_oracle_sql`` by construction —
+    stream == batch pinned in tests/test_retrieval.py.
+
+    At 100 TB this is the shape of a production index refresh: per-batch
+    map-side tokenize + bounded aggregate, append-only parquet postings
+    partitionable by term, queries broadcast at score time."""
+    from ..operators import retrieval as RV
+    from ..plans.star import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = scratch_dir("bm25_index_")
+    tf_path = f"{base}/postings"
+    ids_path = f"{base}/doc_ids"
+
+    def merge(b: DataFrame, batch_id: int) -> None:
+        RV._terms(b, "doc_id", "text").write.mode("append").parquet(tf_path)
+        b.select("doc_id").write.mode("append").parquet(ids_path)
+
+    if not _drain_id_sliced_stream(
+        spark, docs, "doc_id", n_slices, "bm25_index_", merge
+    ):
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score_micro long, rank long"
+        )
+    tf = spark.read.parquet(tf_path).localCheckpoint(eager=True)
+    n_docs = spark.read.parquet(ids_path).count()
+    qdocs = docs.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    # pruning off for the synthetic corpus (31-word vocabulary — every
+    # term is a stop term), same setting as the batch entry
+    return RV.bm25_score_tf(
+        tf, n_docs, qdocs, k=k, prune_stop_terms=False
+    )
+
+
 def streamed_cdc_chunk_store(
     spark: SparkSession, sf_dir: str, n_slices: int = 3
 ) -> DataFrame:

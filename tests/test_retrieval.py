@@ -150,3 +150,30 @@ def test_overflow_headroom_pins():
     # per-(query,doc) score sum: 1e5 distinct query terms each at the
     # max per-term weight (idf_max * (k1+1)) stays far under 2^63
     assert 10**5 * (idf_max * RV.NUM_SCALE // RV.DEN_TF) < 2**63
+
+
+def test_streamed_index_equals_batch(spark, sf_dir):
+    """The streaming posting-index build must produce EXACTLY the batch
+    bm25_doc_search frame: per-batch tf partials over disjoint doc
+    ranges union into the one-batch tf table, and the scorer is shared
+    (retrieval.bm25_score_tf) — so any divergence is a merge-law bug."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.plans.star import load
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got = sorted(
+        tuple(r)
+        for r in ST.streamed_bm25_doc_search(spark, sf_dir).collect()
+    )
+    docs = load(spark, sf_dir, "documents")
+    qdocs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    want = sorted(
+        tuple(r)
+        for r in RV.bm25_topk(
+            docs, qdocs, k=10, prune_stop_terms=False
+        ).collect()
+    )
+    assert got == want and got
