@@ -438,6 +438,20 @@ def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph
+    (operators/graph.label_propagation, 4 synchronous rounds,
+    closed-neighborhood majority with min-label tie-break) — the
+    overlapping-density community labels for topic-balanced sampling
+    that k-core's dense-region cut can't provide. ORACLE-CHECKED via the
+    unrolled-round replay (graph.lpa_oracle_sql)."""
+    from reddit_etl_pipeline_spark.operators.graph import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4).select(
+        F.col("node").alias("part_key"), "community"
+    )
+
+
 def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION edge-sampled global triangle estimate over the part
     co-purchase graph (operators/graph.triangle_estimate) — the declared
@@ -1172,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_pagerank": _supplier_pagerank,
         "part_triangles": _part_triangles,
         "part_triangles_approx": _part_triangles_approx,
+        "part_communities": _part_communities,
         "part_kcore": _part_kcore,
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3622,6 +3637,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
         """,
+        # LPA communities: unrolled synchronous rounds, same
+        # (cnt DESC, label ASC) argmax total order as the engine
+        "part_communities": GR.lpa_oracle_sql(
+            edges_ctes="""li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )""",
+            rounds=4,
+            node_alias="part_key",
+        ),
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(

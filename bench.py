@@ -167,6 +167,7 @@ def main() -> None:
         "stream_cms_heavy_users",
         "part_kcore",
         "part_clustering_coeff",
+        "part_communities",
         "stream_bloom_contamination",
         "stream_bm25_doc_search",
     ]

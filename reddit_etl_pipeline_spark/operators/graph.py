@@ -37,6 +37,8 @@ __all__ = [
     "clustering_coefficients",
     "kcore_oracle_sql",
     "triangle_estimate_oracle_sql",
+    "label_propagation",
+    "lpa_oracle_sql",
 ]
 
 
@@ -438,6 +440,125 @@ def clustering_coefficients(
             .alias("coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan 2007)
+    with a fully DETERMINISTIC spec so an unrolled-CTE oracle replays it
+    exactly: labels start as node ids; each round every node adopts the
+    most frequent label over its CLOSED neighborhood (neighbors + its
+    own current label — the self-vote damps the classic synchronous
+    two-coloring oscillation), ties broken by MINIMUM label; exactly
+    ``rounds`` synchronous rounds — no convergence detection, the round
+    count IS the spec (a fixed point is a no-op round, and a
+    non-converged mid-state is still bit-identical on both engines).
+
+    Returns (node, community) — community = the round-``rounds`` label.
+    The corpus use case k-core can't serve: overlapping-density
+    community labels for topic-balanced sampling.
+
+    Scale: per round one (2|E|+|V|)-row join against the |V|-row label
+    table + two map-side-combinable aggregates — O(E) per round like the
+    k-core peel; labels checkpoint each round (lineage discipline)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        .unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+        .unionAll(nodes.select("node", F.col("node").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        cnts = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), "label"
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (cnt DESC, label ASC) as one map-side-combinable min
+        labels = (
+            cnts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("lb"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.lb").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(
+    edges_ctes: str, rounds: int = 4, node_alias: str = "node"
+) -> str:
+    """DuckDB replay of ``label_propagation``: ``edges_ctes`` must define
+    a CTE ``e(lo, hi)`` (normalized undirected distinct edges). Each
+    unrolled round recounts closed-neighborhood labels and takes the
+    (cnt DESC, label ASC) argmax via row_number — the same total order
+    as the engine's min(struct(-cnt, label)). Every level MATERIALIZED
+    (c{r} and l{r} are each read by the next level; the CLAUDE.md
+    inlining rule for iteration chains)."""
+    parts = [
+        edges_ctes,
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+),
+adj AS MATERIALIZED (
+  SELECT lo AS node, hi AS nbr FROM e
+  UNION ALL SELECT hi, lo FROM e
+  UNION ALL SELECT node, node FROM nodes
+),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT a.node, l.label, count(*) AS cnt
+  FROM adj a JOIN l{r - 1} l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(node AS BIGINT) AS {node_alias},
+       CAST(label AS BIGINT) AS community
+FROM l{rounds}
+"""
 
 
 def triangle_estimate_oracle_sql(

@@ -288,3 +288,83 @@ def test_triangle_estimate_rejects_bad_params(spark):
     for num, den in ((1, 3), (0, 4), (5, 4)):
         with pytest.raises(ValueError):
             triangle_estimate(e, sample_num=num, sample_den=den)
+
+
+def test_lpa_two_cliques_split(spark):
+    """Two 4-cliques bridged by one edge: each clique converges to its
+    min member id; the bridge does not merge them in 4 rounds (the
+    closed-neighborhood majority inside a clique beats one cross vote)."""
+    from reddit_etl_pipeline_spark.operators.graph import label_propagation
+
+    cl1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = _edges(spark, cl1 + cl2 + [(4, 10)])
+    got = {r.node: r.community for r in label_propagation(e, rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_lpa_matches_python_reference(spark):
+    """Synchronous closed-neighborhood LPA with (cnt DESC, label ASC)
+    argmax, replayed in plain python on an irregular graph (two dense
+    blobs + a path tail + an isolated edge), per round."""
+    from collections import Counter
+
+    from reddit_etl_pipeline_spark.operators.graph import label_propagation
+
+    pairs = [
+        (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6),  # blob+path
+        (7, 8), (7, 9), (8, 9), (9, 10),                  # blob+pendant
+        (20, 21),                                          # isolated edge
+        (2, 1), (3, 1),                                    # dup noise
+    ]
+    rounds = 4
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e_ in und for n in e_})
+    adj = {n: {n} for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            c = Counter(lab[m] for m in adj[n])
+            new[n] = min(c, key=lambda v: (-c[v], v))
+        lab = new
+
+    got = {
+        r.node: r.community
+        for r in label_propagation(
+            _edges(spark, pairs), rounds=rounds
+        ).collect()
+    }
+    assert got == lab
+
+
+def test_lpa_oracle_replay_matches(spark):
+    """lpa_oracle_sql must replay the engine bit-for-bit on an
+    oscillation-prone shape (even cycle — the classic synchronous LPA
+    failure mode the self-vote damps)."""
+    import duckdb
+
+    from reddit_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+        lpa_oracle_sql,
+    )
+
+    pairs = [(i, (i % 8) + 1) for i in range(1, 9)]  # 8-cycle
+    got = {
+        r.node: r.community
+        for r in label_propagation(_edges(spark, pairs), rounds=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", pairs)
+    sql = lpa_oracle_sql(
+        "e AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS lo, "
+        "greatest(src,dst) AS hi FROM edges WHERE src <> dst)",
+        rounds=5,
+    )
+    want = dict(con.execute(sql).fetchall())
+    con.close()
+    assert got == want and len(got) == 8
