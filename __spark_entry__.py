@@ -938,6 +938,21 @@ def _stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_cms_heavy_users(spark, sf_dir, top_n=20)
 
 
+def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type grid-sketch quantiles (p25/p50/p75/p90) — the
+    mergeable quantile companion to the exact percentiles: bin counts
+    SUM across partitions/days, walk bounded by distinct bins."""
+    return SK.value_quantiles(spark, sf_dir)
+
+
+def _stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quantile grid: streaming (event_type, bin) counter-sum
+    aggregate (state = grid cells, never rows) + the shared batch-side
+    quantile walk — counter sums across micro-batches equal the grid of
+    the union, so the batch grid oracle replays it (the CMS SUM law)."""
+    return ST.streamed_value_quantiles(spark, sf_dir)
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds + watermarks;
     equals the batch range join (same oracle shape)."""
@@ -1205,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_users": _stream_distinct,
         "stream_approx_distinct": _stream_approx_distinct,
         "stream_cms_heavy_users": _stream_cms_heavy_users,
+        "value_quantiles": _value_quantiles,
+        "stream_value_quantiles": _stream_value_quantiles,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -3611,6 +3628,11 @@ def oracle_sql() -> dict[str, str]:
         # the stream sketch shares the batch HLL replay (users part)
         "stream_approx_distinct": SK.hll_users_oracle_sql(),
         "stream_cms_heavy_users": SK.cms_users_oracle_sql(top_n=20),
+        # mergeable quantile grid: bin counts SUM across micro-batches
+        # into the grid of the union, so batch and stream share one
+        # replay (the CMS-law member of the quantile family)
+        "value_quantiles": SK.grid_quantiles_oracle_sql(),
+        "stream_value_quantiles": SK.grid_quantiles_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

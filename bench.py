@@ -170,6 +170,8 @@ def main() -> None:
         "part_communities",
         "stream_bloom_contamination",
         "stream_bm25_doc_search",
+        "value_quantiles",
+        "stream_value_quantiles",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

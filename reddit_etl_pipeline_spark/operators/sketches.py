@@ -145,31 +145,123 @@ def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
 
 
 def _p50_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
-    """Per-``group`` histogram-quantile p50 of ``value``: fixed-grid bin
-    counts (one hash aggregate, map-side combinable), then a window
-    cumsum over the per-group bins (bounded by distinct bins, not rows)
-    picks the first bin reaching rank ceil(n/2)."""
-    bins = (
-        rows.withColumn(
+    """Per-``group`` histogram-quantile p50 of ``value`` — one-quantile
+    view of the shared grid sketch (``value_grid_bins`` +
+    ``grid_quantile_stats``; rank (total+1) div 2 == ceil(total/2))."""
+    return grid_quantile_stats(
+        value_grid_bins(rows, group, value), group, quants=(("p50", 1, 2),)
+    )
+
+
+#: quantiles the grid sketch reports: (name, numerator, denominator)
+QUANTS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+def value_grid_bins(rows: DataFrame, group: str, value: str) -> DataFrame:
+    """Per-``group`` fixed-grid histogram of ``value``: (group, bin, n)
+    with bin = floor(value·P50_SCALE). THE mergeable quantile state —
+    bin counts add (the CMS SUM law), so per-partition, per-day or
+    per-micro-batch grids merge into exactly the grid of the union;
+    state is bounded by grid resolution × value range, never row count.
+    NULL values are dropped on both engines (NULL bin ordering differs
+    between Spark and DuckDB window sorts)."""
+    return (
+        rows.filter(F.col(value).isNotNull())
+        .withColumn(
             "bin", F.expr(f"CAST(floor({value} * {P50_SCALE}) AS BIGINT)")
         )
         .groupBy(group, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def grid_quantile_stats(
+    bins: DataFrame, group: str, quants=QUANTS
+) -> DataFrame:
+    """Quantile walk over a FINISHED grid (``value_grid_bins`` output or
+    any merged union of such grids): one window cumsum bounded by
+    distinct bins, then a single aggregate takes every quantile as the
+    first bin whose cumulative count reaches rank ceil(total·q) =
+    (total·num + den − 1) div den — integer ranks, so engine and oracle
+    agree exactly; the reported value is bin/SCALE rounded to 6 dp."""
     w = Window.partitionBy(group).orderBy("bin")
-    hit = (
-        bins.withColumn(
-            "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .withColumn("total", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .filter(F.col("cum") >= F.expr("(total + 1) div 2"))
-        .groupBy(group)
-        .agg(F.min("bin").alias("p50_bin"))
+    c = bins.withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "total",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
     )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(total * {num} + {den - 1}) div {den}"),
+                F.col("bin"),
+            )
+        ).alias(f"bin_{nm}")
+        for nm, num, den in quants
+    ]
+    hit = c.groupBy(group).agg(*aggs)
     return hit.select(
         group,
-        F.round(F.col("p50_bin") / F.lit(float(P50_SCALE)), 6).alias("approx_p50"),
+        *[
+            F.round(F.col(f"bin_{nm}") / F.lit(float(P50_SCALE)), 6).alias(
+                f"approx_{nm}"
+            )
+            for nm, _, _ in quants
+        ],
     )
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type grid-sketch quantiles (p25/p50/p75/p90) over
+    events.value — the mergeable companion to the exact percentiles in
+    plans/star.py: ONE map-side-combinable grid aggregate + a walk
+    bounded by distinct bins. The streaming twin
+    (stream.streamed_value_quantiles) shares this oracle because bin
+    counts SUM across micro-batches into the grid of the union."""
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events")
+    return grid_quantile_stats(
+        value_grid_bins(ev, "event_type", "value"), "event_type"
+    )
+
+
+def grid_quantiles_oracle_sql(
+    group: str = "event_type",
+    value: str = "value",
+    table: str = "events",
+    quants=QUANTS,
+) -> str:
+    """DuckDB replay of ``value_quantiles`` / the streaming twin: same
+    grid, same integer ranks, same 6-dp rounding. The cumulative window
+    is RANGE-framed by default but bins are DISTINCT per group, so it
+    equals the engine's ROWS frame."""
+    qcols = ",\n  ".join(
+        f"round(min(CASE WHEN cum >= (total * {num} + {den - 1}) // {den} "
+        f"THEN bin END) / {P50_SCALE}.0, 6) AS approx_{nm}"
+        for nm, num, den in quants
+    )
+    return f"""
+WITH bins AS MATERIALIZED (
+  SELECT {group}, CAST(floor({value} * {P50_SCALE}) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM {table} WHERE {value} IS NOT NULL
+  GROUP BY {group}, bin
+),
+c AS MATERIALIZED (
+  SELECT {group}, bin, n,
+         sum(n) OVER (PARTITION BY {group} ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY {group}) AS total
+  FROM bins
+)
+SELECT {group},
+  {qcols}
+FROM c GROUP BY {group}
+"""
 
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

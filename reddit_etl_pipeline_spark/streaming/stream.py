@@ -346,6 +346,33 @@ def streamed_cms_heavy_users(
     return SK.cms_probe_users(spark, sf_dir, sketch, top_n=top_n)
 
 
+def streamed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-group quantile GRID sketch: the (event_type, bin)
+    counts are maintained as a streaming aggregate — bin counts are
+    LINEAR like the CMS counters (per-micro-batch partials sum to
+    exactly the grid of the union), completing quantiles-over-streams
+    beside the sketch-twin trio (HLL max / CMS sum / Bloom or).
+    Streaming state is bounded by grid resolution × value range — never
+    row count — and the finished grid walks to p25/p50/p75/p90
+    batch-side (sketches.grid_quantile_stats). Shares the batch oracle
+    (sketches.grid_quantiles_oracle_sql) because SUM-merge across
+    batches == grid of the union; stream == batch pinned in
+    tests/test_sketches.py."""
+    from ..operators import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir)
+    bins = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn(
+            "bin", F.expr(f"CAST(floor(value * {SK.P50_SCALE}) AS BIGINT)")
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = run_stream_to_batch(bins, spark, output_mode="complete")
+    return SK.grid_quantile_stats(grid, "event_type")
+
+
 def streamed_bloom_contamination(
     spark: SparkSession, sf_dir: str, banned_mod: int = 17, n_slices: int = 4
 ) -> DataFrame:

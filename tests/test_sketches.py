@@ -272,3 +272,46 @@ def test_cms_mixed_case_matches_oracle(spark, tmp_path):
     assert got == want and got
     # every surviving token is lowercase on the engine side
     assert all(tok == tok.lower() for tok, *_ in got)
+
+
+def test_grid_quantiles_within_resolution(spark, sf_dir, events):
+    """Every grid-sketch quantile must sit within one grid cell (1e-3)
+    of the ORDER STATISTIC at rank ceil(q·n) — the sketch's contract is
+    grid resolution around the discrete quantile (an interpolated
+    percentile can sit a whole data gap away, which is not the sketch's
+    error)."""
+    import math
+
+    got = {r.event_type: r for r in SK.value_quantiles(spark, sf_dir).collect()}
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    for v in vals.values():
+        v.sort()
+    for q, num, den in SK.QUANTS:
+        for et, v in vals.items():
+            rank = (len(v) * num + den - 1) // den  # ceil(n*q), 1-based
+            exact = v[rank - 1]
+            g = got[et][f"approx_{q}"]
+            # the sketch reports floor(value·S)/S of the rank-th value's
+            # bin: within one cell below, plus 6-dp rounding headroom
+            assert exact - g <= 1.0 / SK.P50_SCALE + 1e-6 and g <= exact + 1e-6, (
+                q, et, g, exact,
+            )
+            assert math.isclose(g, round(g, 6))
+
+
+def test_streamed_quantile_grid_equals_batch(spark, sf_dir):
+    """Per-micro-batch bin-count partials SUM into exactly the grid of
+    the union, so the streaming twin must equal the batch frame row for
+    row (the CMS merge-law convention)."""
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got = sorted(
+        tuple(r) for r in ST.streamed_value_quantiles(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in SK.value_quantiles(spark, sf_dir).collect()
+    )
+    assert got == want and got
