@@ -452,6 +452,24 @@ def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph from a curated
+    seed set (every 199th part): hop distance to the nearest seed
+    (operators/graph.seed_distances, 3 rounds) — the
+    distance-from-trusted-seeds sampling feature. ORACLE-CHECKED via the
+    unrolled min-plus replay (graph.bfs_oracle_sql)."""
+    from reddit_etl_pipeline_spark.operators.graph import seed_distances
+
+    seeds = (
+        Q.load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 199 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return seed_distances(
+        _copurchase_edges(spark, sf_dir), seeds, max_hops=3
+    ).select(F.col("node").alias("part_key"), "dist")
+
+
 def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION edge-sampled global triangle estimate over the part
     co-purchase graph (operators/graph.triangle_estimate) — the declared
@@ -1202,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": _part_triangles,
         "part_triangles_approx": _part_triangles_approx,
         "part_communities": _part_communities,
+        "part_seed_distances": _part_seed_distances,
         "part_kcore": _part_kcore,
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3659,6 +3678,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
         """,
+        # multi-source BFS: unrolled min-plus rounds over the
+        # co-purchase adjacency from the every-199th-part seed set
+        "part_seed_distances": GR.bfs_oracle_sql(
+            ctes="""li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ), seeds AS MATERIALIZED (
+              SELECT p_partkey AS node FROM part WHERE p_partkey % 199 = 0
+            )""",
+            max_hops=3,
+            node_alias="part_key",
+        ),
         # LPA communities: unrolled synchronous rounds, same
         # (cnt DESC, label ASC) argmax total order as the engine
         "part_communities": GR.lpa_oracle_sql(

@@ -168,6 +168,7 @@ def main() -> None:
         "part_kcore",
         "part_clustering_coeff",
         "part_communities",
+        "part_seed_distances",
         "stream_bloom_contamination",
         "stream_bm25_doc_search",
         "value_quantiles",

@@ -39,6 +39,8 @@ __all__ = [
     "triangle_estimate_oracle_sql",
     "label_propagation",
     "lpa_oracle_sql",
+    "seed_distances",
+    "bfs_oracle_sql",
 ]
 
 
@@ -513,6 +515,100 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def seed_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over the undirected graph: (node, dist) for every
+    node within ``max_hops`` of ANY seed, dist = hop count to the nearest
+    seed (seeds themselves at 0). The corpus shape: distance from a
+    curated seed set (benchmark docs, trusted sources) as a sampling /
+    quality feature.
+
+    Frontier-propagation formulation — each round joins only the NEWLY
+    discovered frontier against the adjacency (anti-join keeps distances
+    final once assigned), which for unweighted BFS equals the min-dist
+    fixpoint the oracle replays. Exactly ``max_hops`` rounds is the spec
+    (the oracle unrolls the same count; an exhausted frontier makes the
+    remaining rounds no-ops on both engines). O(frontier-degree) work
+    per round, all integer."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        .unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            adj.join(frontier.select(F.col("node").alias("nbr")), "nbr")
+            .select("node")
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(h).cast("long")
+        )
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist
+
+
+def bfs_oracle_sql(
+    ctes: str, max_hops: int = 4, node_alias: str = "node"
+) -> str:
+    """DuckDB replay of ``seed_distances``: ``ctes`` must define
+    ``e(lo, hi)`` (normalized undirected distinct edges) and
+    ``seeds(node)``. Each unrolled round takes the min over the previous
+    distances and every neighbor's distance + 1 — the textbook
+    min-plus fixpoint, which equals the engine's frontier BFS for
+    unit weights. All levels MATERIALIZED (iteration chain rule)."""
+    parts = [
+        ctes,
+        """adj AS MATERIALIZED (
+  SELECT lo AS node, hi AS nbr FROM e
+  UNION ALL SELECT hi, lo FROM e
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM seeds
+)""",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT a.node, d.dist + 1
+    FROM adj a JOIN d{r - 1} d ON d.node = a.nbr
+  ) GROUP BY node
+)"""
+        )
+    ctes_sql = ",\n".join(parts)
+    return f"""
+WITH {ctes_sql}
+SELECT CAST(node AS BIGINT) AS {node_alias}, CAST(dist AS BIGINT) AS dist
+FROM d{max_hops}
+"""
 
 
 def lpa_oracle_sql(

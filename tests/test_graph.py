@@ -368,3 +368,53 @@ def test_lpa_oracle_replay_matches(spark):
     want = dict(con.execute(sql).fetchall())
     con.close()
     assert got == want and len(got) == 8
+
+
+def test_seed_distances_path_graph(spark):
+    """Path 1-2-3-4-5-6 with seed {1}: dist = hops along the path,
+    capped at max_hops; beyond-horizon nodes absent. An isolated seed
+    appears at 0."""
+    from reddit_etl_pipeline_spark.operators.graph import seed_distances
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in seed_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_seed_distances_multi_source_min(spark):
+    """Two seeds at both ends of a path: every node gets the NEAREST
+    seed's distance (min-plus), and the oracle replays it."""
+    import duckdb
+
+    from reddit_etl_pipeline_spark.operators.graph import (
+        bfs_oracle_sql,
+        seed_distances,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 8)]  # path 1..8
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(1,), (8,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in seed_distances(e, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 8: 0, 2: 1, 7: 1, 3: 2, 6: 2, 4: 3, 5: 3}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", pairs)
+    con.execute("CREATE TABLE s(node BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(1,), (8,)])
+    sql = bfs_oracle_sql(
+        "e AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS lo, "
+        "greatest(src,dst) AS hi FROM edges WHERE src <> dst), "
+        "seeds AS MATERIALIZED (SELECT node FROM s)",
+        max_hops=4,
+    )
+    want = dict(con.execute(sql).fetchall())
+    con.close()
+    assert got == want
