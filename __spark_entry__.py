@@ -956,6 +956,15 @@ def _stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_cms_heavy_users(spark, sf_dir, top_n=20)
 
 
+def _hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: per-event-type-pair distinct-user estimates for
+    each side, their union (register max merge), and the
+    inclusion-exclusion overlap — audience overlap without shuffling
+    user ids (operators/sketches.hll_user_overlap), integer end to end
+    and hash-replayed by DuckDB."""
+    return SK.hll_user_overlap(spark, sf_dir)
+
+
 def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type grid-sketch quantiles (p25/p50/p75/p90) — the
     mergeable quantile companion to the exact percentiles: bin counts
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_heavy_users": _stream_cms_heavy_users,
         "value_quantiles": _value_quantiles,
         "stream_value_quantiles": _stream_value_quantiles,
+        "hll_user_overlap": _hll_user_overlap,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -3652,6 +3662,9 @@ def oracle_sql() -> dict[str, str]:
         # replay (the CMS-law member of the quantile family)
         "value_quantiles": SK.grid_quantiles_oracle_sql(),
         "stream_value_quantiles": SK.grid_quantiles_oracle_sql(),
+        # HLL set algebra: one register build, pair unions by register
+        # max, inclusion-exclusion in BIGINT — all replayed
+        "hll_user_overlap": SK.hll_overlap_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

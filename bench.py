@@ -173,6 +173,7 @@ def main() -> None:
         "stream_bm25_doc_search",
         "value_quantiles",
         "stream_value_quantiles",
+        "hll_user_overlap",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

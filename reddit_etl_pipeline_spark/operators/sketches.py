@@ -101,11 +101,14 @@ def hll_registers(rows: DataFrame, group: str, hash_col) -> DataFrame:
     )
 
 
-def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
+def hll_estimate(regs: DataFrame, group) -> DataFrame:
     """Estimator over a register table (from ``hll_registers`` or a
     merge of several): integer harmonic sum, exact-rational alpha,
-    shared linear-counting table — the replayable half."""
-    sketch = regs.groupBy(group).agg(
+    shared linear-counting table — the replayable half. ``group`` may
+    be one column name or a list (composite keys, e.g. the pair-union
+    sketches of ``hll_user_overlap``)."""
+    gcols = [group] if isinstance(group, str) else list(group)
+    sketch = regs.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(
             F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {RMAX} - rho_max) AS DECIMAL(17,0))")
@@ -141,7 +144,7 @@ def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
             ).otherwise(F.col("e_raw")),
         )
     )
-    return est.select(group, "approx_users")
+    return est.select(*gcols, "approx_users")
 
 
 def _p50_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
@@ -151,6 +154,154 @@ def _p50_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
     return grid_quantile_stats(
         value_grid_bins(rows, group, value), group, quants=(("p50", 1, 2),)
     )
+
+
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over the per-event-type user sketches: for every
+    type pair (a < b), the distinct-user estimates of a, of b, of their
+    UNION (register-wise max — the sketch merge law), and the
+    inclusion-exclusion intersection estimate
+    ``greatest(0, users_a + users_b − union)``.
+
+    The 100 TB story: audience-overlap questions ("how many users do
+    type a and type b share?") without ever shuffling user ids — ONE
+    register build over the events scan (m registers per type), then
+    pure sketch arithmetic; pair unions merge 2m-row register slices,
+    never data. Everything integer end to end (the replayable-HLL
+    contract), so the DuckDB oracle hash-matches the whole frame
+    including the union estimates."""
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev, "event_type", F.xxhash64("user_id")
+    ).localCheckpoint(eager=True)
+    singles = hll_estimate(regs, "event_type")
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    m_a = pairs.join(
+        regs.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "reg", "rho_max")
+    m_b = pairs.join(
+        regs.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "reg", "rho_max")
+    u_regs = (
+        m_a.unionByName(m_b)
+        .groupBy("type_a", "type_b", "reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    u_est = hll_estimate(u_regs, ["type_a", "type_b"]).withColumnRenamed(
+        "approx_users", "approx_union"
+    )
+    s_a = singles.select(
+        F.col("event_type").alias("type_a"),
+        F.col("approx_users").alias("users_a"),
+    )
+    s_b = singles.select(
+        F.col("event_type").alias("type_b"),
+        F.col("approx_users").alias("users_b"),
+    )
+    return (
+        u_est.join(s_a, "type_a")
+        .join(s_b, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "approx_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("users_a") + F.col("users_b") - F.col("approx_union"),
+            ).alias("approx_overlap"),
+        )
+    )
+
+
+def _hll_est_chain(groups: str, regs: str, prefix: str) -> str:
+    """sketch→est→users CTE chain over register table ``regs`` grouped
+    by ``groups`` (comma-joined column list); requires the shared
+    ``lc(v, lc_est)`` CTE in scope. Emits ``{prefix}users(groups...,
+    approx_users)`` — the generic replay of ``hll_estimate``."""
+    return f"""{prefix}sketch AS MATERIALIZED (
+  SELECT {groups},
+         count(*) AS n_regs,
+         sum(CAST(1 AS BIGINT) << ({RMAX} - rho_max)) AS z_present
+  FROM {regs} GROUP BY {groups}
+),
+{prefix}est AS MATERIALIZED (
+  SELECT {groups},
+         ({M} - n_regs) AS v_zero,
+         CAST({_EST_NUM} AS HUGEINT)
+           // (CAST({A_DEN} AS HUGEINT)
+               * (CAST(z_present AS HUGEINT)
+                  + CAST(({M} - n_regs) AS HUGEINT)
+                    * CAST({1 << RMAX} AS HUGEINT)))
+           AS e_raw
+  FROM {prefix}sketch
+),
+{prefix}users AS MATERIALIZED (
+  SELECT {groups},
+         CAST(CASE WHEN e_raw <= {_LC_CUTOFF} AND v_zero > 0
+                   THEN lc.lc_est ELSE e_raw END AS BIGINT) AS approx_users
+  FROM {prefix}est LEFT JOIN lc ON lc.v = {prefix}est.v_zero
+)"""
+
+
+def hll_overlap_oracle_sql() -> str:
+    """DuckDB replay of ``hll_user_overlap``: the shared hashes/regs
+    build, the generic estimator chain once over single types and once
+    over pair-union register merges, then inclusion-exclusion in plain
+    BIGINT arithmetic."""
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        passthrough=["event_type"],
+    )
+    lc_rows = ", ".join(f"({v + 1}, {e})" for v, e in enumerate(_lc_table()))
+    return f"""
+WITH hashes AS MATERIALIZED ({hash_sql}),
+regs AS MATERIALIZED (
+  SELECT event_type,
+         uh % {M} AS reg,
+         max(CASE WHEN uh // {M} = 0 THEN {RMAX}
+                  ELSE {RMAX} - length(bin(CAST(uh // {M} AS BIGINT))) END)
+           AS rho_max
+  FROM hashes GROUP BY event_type, reg
+),
+lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows})),
+{_hll_est_chain("event_type", "regs", "s_")},
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM regs) a,
+       (SELECT DISTINCT event_type FROM regs) b
+  WHERE a.event_type < b.event_type
+),
+uregs AS MATERIALIZED (
+  SELECT p.type_a, p.type_b, r.reg, max(r.rho_max) AS rho_max
+  FROM pairs p
+  JOIN regs r ON r.event_type = p.type_a OR r.event_type = p.type_b
+  GROUP BY p.type_a, p.type_b, r.reg
+),
+{_hll_est_chain("type_a, type_b", "uregs", "u_")}
+SELECT u.type_a, u.type_b,
+       sa.approx_users AS users_a,
+       sb.approx_users AS users_b,
+       u.approx_users AS approx_union,
+       greatest(CAST(0 AS BIGINT),
+                sa.approx_users + sb.approx_users - u.approx_users)
+         AS approx_overlap
+FROM u_users u
+JOIN s_users sa ON sa.event_type = u.type_a
+JOIN s_users sb ON sb.event_type = u.type_b
+"""
 
 
 #: quantiles the grid sketch reports: (name, numerator, denominator)

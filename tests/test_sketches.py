@@ -315,3 +315,28 @@ def test_streamed_quantile_grid_equals_batch(spark, sf_dir):
         tuple(r) for r in SK.value_quantiles(spark, sf_dir).collect()
     )
     assert got == want and got
+
+
+def test_hll_overlap_accuracy(spark, sf_dir, events):
+    """Inclusion-exclusion intersection estimates inherit ~3 sketch
+    errors; bound against exact pairwise overlaps with the compounded
+    tolerance, and pin union >= max(single) structural sanity."""
+    got = {
+        (r.type_a, r.type_b): r
+        for r in SK.hll_user_overlap(spark, sf_dir).collect()
+    }
+    assert len(got) == 10  # C(5,2) event-type pairs
+    users = {}
+    for r in events.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    for (a, b), row in got.items():
+        exact_u = len(users[a] | users[b])
+        exact_i = len(users[a] & users[b])
+        assert abs(row.approx_union - exact_u) <= max(5, 0.1 * exact_u)
+        # intersection error compounds across three estimates
+        tol = max(10, 0.1 * (len(users[a]) + len(users[b]) + exact_u))
+        assert abs(row.approx_overlap - exact_i) <= tol, (a, b, row, exact_i)
+        assert row.approx_union >= max(row.users_a, row.users_b) - max(
+            3, 0.05 * row.approx_union
+        )
+        assert row.approx_overlap >= 0
