@@ -40,6 +40,7 @@ from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import sketches as SK
 from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import graph as GR
+from reddit_etl_pipeline_spark.operators import basket as BK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
@@ -450,6 +451,22 @@ def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4).select(
         F.col("node").alias("part_key"), "community"
     )
+
+
+def _basket_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top-100 part
+    pairs by co-occurrence support with confidence/lift
+    (operators/basket.basket_rules) — the retail-classic pairwise
+    measures beside the corpus PMI. Integer supports; each measure is
+    one correctly-rounded 6-dp divide (the clustering-coeff
+    convention)."""
+    from reddit_etl_pipeline_spark.operators.basket import basket_rules
+
+    li = Q.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("l_partkey").alias("item"),
+    )
+    return basket_rules(li, min_support=2, top_n=100)
 
 
 def _part_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles_approx": _part_triangles_approx,
         "part_communities": _part_communities,
         "part_seed_distances": _part_seed_distances,
+        "basket_rules_parts": _basket_rules_parts,
         "part_kcore": _part_kcore,
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3691,6 +3709,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
         """,
+        # market-basket rules: integer supports, one 6-dp divide per
+        # measure, totally-ordered top-100
+        "basket_rules_parts": BK.basket_rules_oracle_sql(
+            min_support=2, top_n=100
+        ),
         # multi-source BFS: unrolled min-plus rounds over the
         # co-purchase adjacency from the every-199th-part seed set
         "part_seed_distances": GR.bfs_oracle_sql(

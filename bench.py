@@ -174,6 +174,7 @@ def main() -> None:
         "value_quantiles",
         "stream_value_quantiles",
         "hll_user_overlap",
+        "basket_rules_parts",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the
