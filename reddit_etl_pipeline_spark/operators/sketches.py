@@ -178,12 +178,16 @@ def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     singles = hll_estimate(regs, "event_type")
     types = regs.select("event_type").distinct()
+    # |types|²-bounded inequality cross (never data) — checkpoint so the
+    # tiny pair table materializes ONCE for its two register joins
+    # instead of re-running the cross per branch
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(
             types.select(F.col("event_type").alias("type_b")),
             F.col("type_a") < F.col("type_b"),
         )
+        .localCheckpoint(eager=True)
     )
     m_a = pairs.join(
         regs.withColumnRenamed("event_type", "type_a"), "type_a"

@@ -533,3 +533,44 @@ def test_bm25_broadcasts_query_terms_no_bnl(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_basket_rules_take_ordered_no_cartesian(spark, sf_dir):
+    """The top-n cut must be TakeOrderedAndProject (per-partition heaps,
+    not a global window sort); all joins equi (basket self-join on bid,
+    support joins on item keys)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["basket_rules_parts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hll_overlap_bnl_only_on_type_pairs(spark, sf_dir):
+    """hll_user_overlap's only non-equi join is the type-pair cross
+    (|types|² rows — bounded by the GROUP cardinality, never data);
+    the register and estimate joins stay equi."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["hll_user_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the type-pair inequality cross is checkpoint-materialized before
+    # its two register joins, so no BNL survives in the final plan
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangle_estimate_sampling_pushed_to_filter(spark, sf_dir):
+    """The DOULION sampling predicate must run as a plain Filter over
+    the materialized edge set (map-side; no join, no shuffle to
+    sample), and the closing join stays a hash join."""
+    from reddit_etl_pipeline_spark.operators.graph import triangle_estimate
+    import __spark_entry__ as E
+
+    df = triangle_estimate(
+        E._copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+    )
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
