@@ -645,6 +645,28 @@ def _bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RV.bm25_topk(docs, qdocs, k=10, prune_stop_terms=False)
 
 
+def _hybrid_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine
+    semantic top-20 by integer-exact reciprocal-rank fusion
+    (retrieval.rrf_fuse, 1e6 div (60+rank) micro-points) — the modern
+    two-tower + lexical search shape, with documents and embeddings
+    aligned by id. Each system keeps its own convention (BM25 may rank
+    the query doc itself; cosine excludes self) — RRF is agnostic to
+    per-system candidate sets by design."""
+    docs = Q.load(spark, sf_dir, "documents")
+    emb = Q.load(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = RV.bm25_topk(docs, qd, k=20, prune_stop_terms=False).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = S.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return RV.rrf_fuse(lex, sem, k=10)
+
+
 def _bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 bigram collocations by PMI (min bigram count 5)."""
     return TX.bigram_pmi_topk(
@@ -1215,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "tfidf_keywords": _tfidf_keywords,
         "bm25_doc_search": _bm25_doc_search,
+        "hybrid_doc_search": _hybrid_doc_search,
         "line_dedup_stats": _line_dedup_stats,
         "cdc_chunk_stats": _cdc_chunk_stats,
         "winnow_overlap": _winnow_overlap,
@@ -2796,6 +2819,38 @@ def oracle_sql() -> dict[str, str]:
         # partials over disjoint doc ranges union into the one-batch tf
         "stream_bm25_doc_search": RV.bm25_oracle_sql(
             query_mod=50, k=10, tokens_expr=_TOKENS, prune_stop_terms=False
+        ),
+        # hybrid RRF: each system's own replay wrapped as a CTE, fused
+        # with integer-div micro-points (1e6 // (60 + rank))
+        "hybrid_doc_search": RV.rrf_oracle_sql(
+            lex_sql=RV.bm25_oracle_sql(
+                k=20,
+                tokens_expr=_TOKENS,
+                prune_stop_terms=False,
+                query_where="doc_id < 5",
+            ),
+            sem_sql="""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                       / greatest(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
+                       12) AS sim
+              FROM q, c WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) r
+            WHERE rank <= 20
+            """,
+            k=10,
         ),
         "pii_scrub_stats": f"""
             WITH d AS (

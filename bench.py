@@ -175,6 +175,7 @@ def main() -> None:
         "stream_value_quantiles",
         "hll_user_overlap",
         "basket_rules_parts",
+        "hybrid_doc_search",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -242,16 +242,90 @@ def bm25_score_tf(
     )
 
 
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — the
+    standard hybrid-search combiner (Cormack et al. 2009), integer-exact:
+    each (query_id, doc_id, rank) row contributes
+    ``1_000_000 div (rrf_k + rank)`` micro-points (integer div, so both
+    engines agree bit-for-bit where a float 1/(k+r) could differ in the
+    last ulp), points SUM per candidate, final rank by
+    (rrf_micro DESC, doc_id). Candidates present in only one list simply
+    get that list's term — the rank-gap-tolerant property that makes RRF
+    robust to score-scale mismatch between BM25 and cosine."""
+    from pyspark.sql import Window
+
+    pts = F.expr(f"1000000 div ({rrf_k} + rank)").alias("pts")
+    both = lex.select("query_id", "doc_id", pts).unionByName(
+        sem.select("query_id", "doc_id", pts)
+    )
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").alias("rrf_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_micro", "rank")
+    )
+
+
+def rrf_oracle_sql(
+    lex_sql: str,
+    sem_sql: str,
+    sem_id_col: str = "neighbor_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB replay of ``rrf_fuse``: wrap the two systems' ranked-list
+    statements (each may carry its own WITH chain — DuckDB allows CTEs
+    inside a parenthesized subquery) and fuse with the same integer-div
+    micro-points and (rrf_micro DESC, doc_id) total order."""
+    return f"""
+WITH lex AS MATERIALIZED ({lex_sql}),
+sem AS MATERIALIZED ({sem_sql}),
+pts AS MATERIALIZED (
+  SELECT query_id, doc_id, 1000000 // ({rrf_k} + rank) AS pts FROM lex
+  UNION ALL
+  SELECT query_id, {sem_id_col} AS doc_id,
+         1000000 // ({rrf_k} + rank) AS pts
+  FROM sem
+),
+fused AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_micro
+  FROM pts GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       rrf_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 def bm25_oracle_sql(
     query_mod: int = 50,
     k: int = 10,
     tokens_expr: str | None = None,
     prune_stop_terms: bool = True,
+    query_where: str | None = None,
 ) -> str:
     """DuckDB replay of the entry's ``bm25_doc_search``: queries are the
-    documents with doc_id % query_mod == 0, scored against the whole
-    corpus. Scalars (n, total, avgdl_micro) come from plain subqueries —
-    exact integers, same values the Spark side computes driver-side."""
+    documents with doc_id % query_mod == 0 (or a custom ``query_where``
+    predicate), scored against the whole corpus. Scalars (n, total,
+    avgdl_micro) come from plain subqueries — exact integers, same
+    values the Spark side computes driver-side."""
+    qw = query_where or f"doc_id % {query_mod} = 0"
     toks = tokens_expr or (
         "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
         "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
@@ -291,7 +365,7 @@ weights AS MATERIALIZED (
 qterms AS MATERIALIZED (
   SELECT DISTINCT doc_id AS query_id, t.tok
   FROM documents, UNNEST({toks}) AS t(tok)
-  WHERE doc_id % {query_mod} = 0 AND t.tok <> ''
+  WHERE ({qw}) AND t.tok <> ''
 ),
 scores AS MATERIALIZED (
   SELECT q.query_id, w.doc_id,

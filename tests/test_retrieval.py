@@ -177,3 +177,32 @@ def test_streamed_index_equals_batch(spark, sf_dir):
         ).collect()
     )
     assert got == want and got
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny ranked lists vs hand arithmetic: shared candidate
+    sums both systems' points; single-list candidates keep one term;
+    ties break on doc_id."""
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r.doc_id: (r.rrf_micro, r.rank)
+        for r in RV.rrf_fuse(lex, sem, k=10).collect()
+    }
+    p = lambda r: 1000000 // (60 + r)  # noqa: E731
+    want_scores = {
+        10: p(1),
+        11: p(2) + p(1),
+        12: p(3),
+        13: p(2),
+    }
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    assert got == {
+        d: (want_scores[d], i + 1) for i, d in enumerate(order)
+    }
