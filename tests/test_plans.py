@@ -87,6 +87,10 @@ BNL_ALLOWED = {
     # exact baseline above), gated by max_queries; the IVF/LSH top-k is
     # the scale path for the same vote/argmax composition.
     "knn_label_confusion",
+    # hybrid_doc_search: its semantic leg composes cosine_topk_bruteforce
+    # (same declared exact baseline, 5 gated queries); the RRF fusion is
+    # system-agnostic — swap in cosine_topk_lsh/ivf for the scale path.
+    "hybrid_doc_search",
 }
 
 # Streaming entries execute the stream when called (run_stream_to_batch /
