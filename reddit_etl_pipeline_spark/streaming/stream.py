@@ -1578,6 +1578,7 @@ def streamed_bm25_doc_search(
     n_slices: int = 4,
     query_mod: int = 50,
     k: int = 10,
+    prune_stop_terms: bool = False,
 ) -> DataFrame:
     """Continuous BM25 posting-index build — the retrieval family's
     streaming twin: documents stream in id-range micro-batches and each
@@ -1604,6 +1605,11 @@ def streamed_bm25_doc_search(
     ids_path = f"{base}/doc_ids"
 
     def merge(b: DataFrame, batch_id: int) -> None:
+        # staged bounded batches arrive as ONE file = one partition;
+        # spread the tokenize+aggregate across the executor threads (a
+        # real streaming source delivers parallel partitions already) —
+        # 10x-docs measurement: 275 s -> ~30 s
+        b = b.repartition(16)
         RV._terms(b, "doc_id", "text").write.mode("append").parquet(tf_path)
         b.select("doc_id").write.mode("append").parquet(ids_path)
 
@@ -1618,10 +1624,13 @@ def streamed_bm25_doc_search(
     qdocs = docs.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    # pruning off for the synthetic corpus (31-word vocabulary — every
-    # term is a stop term), same setting as the batch entry
+    # default pruning off for the synthetic corpus (31-word vocabulary —
+    # every term is a stop term), same setting as the batch entry; at
+    # scale pruning is THE lever: unpruned, an all-stop-word vocabulary
+    # scores every (query, doc) pair — measured 267 s at 10x docs ×
+    # 10x queries vs ~30 s pruned (the batch 100x convention)
     return RV.bm25_score_tf(
-        tf, n_docs, qdocs, k=k, prune_stop_terms=False
+        tf, n_docs, qdocs, k=k, prune_stop_terms=prune_stop_terms
     )
 
 
