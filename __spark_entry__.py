@@ -995,6 +995,15 @@ def _stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_cms_heavy_users(spark, sf_dir, top_n=20)
 
 
+def _value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: per-type total-variation distance
+    between the even/odd event_id populations' value distributions over
+    the shared 1/1000 grid (sketches.value_drift_by_type) — the
+    pipeline-monitoring statistic, exact-integer numerator + one 6-dp
+    divide."""
+    return SK.value_drift_by_type(spark, sf_dir)
+
+
 def _hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra: per-event-type-pair distinct-user estimates for
     each side, their union (register max merge), and the
@@ -1292,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": _value_quantiles,
         "stream_value_quantiles": _stream_value_quantiles,
         "hll_user_overlap": _hll_user_overlap,
+        "value_drift_by_type": _value_drift_by_type,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -3738,6 +3748,8 @@ def oracle_sql() -> dict[str, str]:
         # HLL set algebra: one register build, pair unions by register
         # max, inclusion-exclusion in BIGINT — all replayed
         "hll_user_overlap": SK.hll_overlap_oracle_sql(),
+        # TV drift: exact BIGINT numerator sum, one 6-dp divide
+        "value_drift_by_type": SK.value_drift_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

@@ -176,6 +176,7 @@ def main() -> None:
         "hll_user_overlap",
         "basket_rules_parts",
         "hybrid_doc_search",
+        "value_drift_by_type",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

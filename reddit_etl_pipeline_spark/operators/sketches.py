@@ -385,6 +385,102 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_drift_by_type(
+    spark: SparkSession, sf_dir: str, split_mod: int = 2
+) -> DataFrame:
+    """Distribution-drift detector: per event_type, the TOTAL-VARIATION
+    distance between the value distributions of two event populations
+    (here: even vs odd event_id — a deterministic stand-in for
+    yesterday-vs-today windows), measured over the shared 1/1000 value
+    grid.
+
+    TV = ½ Σ_bins |p_a(bin) − p_b(bin)| is computed EXACTLY in integers:
+    with o = per-bin count in A (total Na) and b = per-bin count in B
+    (total Nb), Σ |o·Nb − b·Na| is a BIGINT sum of BIGINT terms — no
+    float summation anywhere — and TV = that sum / (2·Na·Nb) is ONE
+    correctly-rounded 6-dp divide (the clustering-coeff convention), so
+    the oracle hash-matches. This is the drift statistic a chi-square
+    can't give exactly (per-bin denominators defeat a common integer
+    scale); TV is also bounded [0,1] and threshold-friendly.
+
+    Scale: one grid aggregate per side (map-side combinable, state =
+    grid cells), a full-outer join bounded by distinct bins, one
+    map-side-combinable |diff| sum. Returns (event_type, n_a, n_b,
+    tv_distance)."""
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = ev.filter(F.col("event_id") % split_mod == 0)
+    b = ev.filter(F.col("event_id") % split_mod != 0)
+    ga = value_grid_bins(a, "event_type", "value").withColumnRenamed("n", "o")
+    gb = value_grid_bins(b, "event_type", "value").withColumnRenamed("n", "b")
+    na = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_b"))
+    joined = (
+        ga.join(gb, ["event_type", "bin"], "full_outer")
+        .na.fill({"o": 0, "b": 0})
+        .join(na, "event_type")
+        .join(nb, "event_type")
+    )
+    num = joined.groupBy("event_type", "n_a", "n_b").agg(
+        F.sum(F.abs(F.col("o") * F.col("n_b") - F.col("b") * F.col("n_a"))).alias(
+            "num"
+        )
+    )
+    return num.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("num") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6
+        ).alias("tv_distance"),
+    )
+
+
+def value_drift_oracle_sql(split_mod: int = 2) -> str:
+    """DuckDB replay of ``value_drift_by_type``: same grid, same exact
+    integer numerator, same single 6-dp divide."""
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ga AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value * {P50_SCALE}) AS BIGINT) AS bin,
+         count(*) AS o
+  FROM ev WHERE event_id % {split_mod} = 0 GROUP BY event_type, bin
+),
+gb AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value * {P50_SCALE}) AS BIGINT) AS bin,
+         count(*) AS b
+  FROM ev WHERE event_id % {split_mod} <> 0 GROUP BY event_type, bin
+),
+na AS MATERIALIZED (
+  SELECT event_type, count(*) AS n_a FROM ev
+  WHERE event_id % {split_mod} = 0 GROUP BY event_type
+),
+nb AS MATERIALIZED (
+  SELECT event_type, count(*) AS n_b FROM ev
+  WHERE event_id % {split_mod} <> 0 GROUP BY event_type
+),
+j AS MATERIALIZED (
+  SELECT coalesce(ga.event_type, gb.event_type) AS event_type,
+         coalesce(o, 0) AS o, coalesce(b, 0) AS b
+  FROM ga FULL OUTER JOIN gb
+    ON ga.event_type = gb.event_type AND ga.bin = gb.bin
+),
+num AS MATERIALIZED (
+  SELECT j.event_type, na.n_a, nb.n_b,
+         sum(abs(o * nb.n_b - b * na.n_a)) AS num
+  FROM j JOIN na ON na.event_type = j.event_type
+         JOIN nb ON nb.event_type = j.event_type
+  GROUP BY j.event_type, na.n_a, nb.n_b
+)
+SELECT event_type, n_a, n_b,
+       round(CAST(num AS DOUBLE) / (2.0 * n_a * n_b), 6) AS tv_distance
+FROM num
+"""
+
+
 def grid_quantiles_oracle_sql(
     group: str = "event_type",
     value: str = "value",

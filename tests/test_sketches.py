@@ -340,3 +340,38 @@ def test_hll_overlap_accuracy(spark, sf_dir, events):
             3, 0.05 * row.approx_union
         )
         assert row.approx_overlap >= 0
+
+
+def test_tv_drift_bounds_and_known_values(spark, tmp_path):
+    """TV distance properties on constructed events: identical
+    populations -> 0; disjoint value supports -> 1; a half-shifted
+    population -> exactly 0.5 (half the mass must move)."""
+    rows = []
+    # type 'same': even and odd ids draw identical values (decouple the
+    # value from id parity — i % 10 would hand evens {0,2,..} and odds
+    # {1,3,..}, i.e. DISJOINT supports)
+    for i in range(200):
+        rows.append((i, i, "same", float((i // 2) % 10), "2024-01-01 00:00:00"))
+    # type 'disjoint': evens at 0..9, odds at 100..109
+    for i in range(200):
+        base = (i // 2) % 10
+        v = float(base) if i % 2 == 0 else float(100 + base)
+        rows.append((1000 + i, i, "disjoint", v, "2024-01-01 00:00:00"))
+    # type 'half': evens all at 0.0; odds half at 0.0, half at 5.0
+    for i in range(200):
+        v = 0.0 if i % 2 == 0 else (0.0 if (i // 2) % 2 == 0 else 5.0)
+        rows.append((2000 + i, i, "half", v, "2024-01-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "drift")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = {
+        r.event_type: r.tv_distance
+        for r in SK.value_drift_by_type(spark, d).collect()
+    }
+    assert got["same"] == 0.0
+    assert got["disjoint"] == 1.0
+    assert got["half"] == 0.5
