@@ -945,6 +945,56 @@ def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality scoreboard: recall@5 and top-1 MRR of every
+    approximate index (LSH / IVF / PQ / IVF-PQ) against the exact
+    cosine baseline, in ONE frame — the evaluation a production vector
+    pipeline runs before trusting an index. Integer-exact: hits and
+    reciprocal ranks (1e6 div rank) are BIGINT sums, recall is one 6-dp
+    divide, MRR uses integer div by the query count — so the whole
+    scoreboard hash-matches the DuckDB replay of all five systems."""
+    exact = _cosine_topk(spark, sf_dir).localCheckpoint(eager=True)
+    frames = {
+        "ivf": _cosine_topk_ivf,
+        "ivfpq": _cosine_topk_ivfpq,
+        "lsh": _cosine_topk_lsh,
+        "pq": _cosine_topk_pq,
+    }
+    approx = None
+    for m in sorted(frames):
+        f = frames[m](spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "neighbor_id", "rank"
+        )
+        approx = f if approx is None else approx.unionByName(f)
+    approx = approx.localCheckpoint(eager=True)
+    n_q = exact.select("query_id").distinct().count()
+    ex_pairs = exact.select("query_id", "neighbor_id")
+    hits = (
+        approx.join(ex_pairs, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    top1 = exact.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+    rr = (
+        approx.join(top1, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.sum(F.expr("1000000 div rank")).alias("rrsum"))
+    )
+    mlist = approx.select("method").distinct()
+    return (
+        mlist.join(hits, "method", "left")
+        .join(rr, "method", "left")
+        .na.fill({"hits": 0, "rrsum": 0})
+        .select(
+            "method",
+            F.lit(n_q).cast("long").alias("n_queries"),
+            "hits",
+            F.round(F.col("hits") / F.lit(n_q * 5.0), 6).alias("recall_at_5"),
+            F.expr(f"rrsum div {n_q}").alias("mrr_micro"),
+        )
+    )
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dup (the oracle-checkable baseline)."""
     return S.embedding_neardup_exact(
@@ -1302,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_quantiles": _stream_value_quantiles,
         "hll_user_overlap": _hll_user_overlap,
         "value_drift_by_type": _value_drift_by_type,
+        "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
         "stream_upsert_latest": _stream_upsert,
@@ -3726,6 +3777,72 @@ def oracle_sql() -> dict[str, str]:
         # lookup sums, the same global (approx DESC, id) candidate cut.
         "cosine_topk_pq": AO.pq_topk_oracle(k=5),
         "cosine_topk_ivfpq": AO.ivfpq_topk_oracle(k=5),
+        # ANN scoreboard: every system's existing replay wrapped as a
+        # CTE; hits / 1e6-div reciprocal ranks are integer sums
+        "ann_recall_eval": f"""
+WITH exact AS MATERIALIZED ({{exact}}),
+a_ivf AS MATERIALIZED ({{ivf}}),
+a_ivfpq AS MATERIALIZED ({{ivfpq}}),
+a_lsh AS MATERIALIZED ({{lsh}}),
+a_pq AS MATERIALIZED ({{pq}}),
+approx AS MATERIALIZED (
+  SELECT 'ivf' AS method, query_id, neighbor_id, rank FROM a_ivf
+  UNION ALL SELECT 'ivfpq', query_id, neighbor_id, rank FROM a_ivfpq
+  UNION ALL SELECT 'lsh', query_id, neighbor_id, rank FROM a_lsh
+  UNION ALL SELECT 'pq', query_id, neighbor_id, rank FROM a_pq
+),
+nq AS MATERIALIZED (SELECT count(DISTINCT query_id) AS n FROM exact),
+hits AS MATERIALIZED (
+  SELECT method, count(*) AS hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY method
+),
+top1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM exact WHERE rank = 1
+),
+rr AS MATERIALIZED (
+  SELECT method, sum(1000000 // a.rank) AS rrsum
+  FROM approx a JOIN top1 t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY method
+),
+mlist AS MATERIALIZED (SELECT DISTINCT method FROM approx)
+SELECT m.method,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(h.hits, 0) / (nq.n * 5.0), 6) AS recall_at_5,
+       CAST(coalesce(r.rrsum, 0) // nq.n AS BIGINT) AS mrr_micro
+FROM mlist m
+LEFT JOIN hits h ON h.method = m.method
+LEFT JOIN rr r ON r.method = m.method, nq
+""".format(
+            exact="""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                       / greatest(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
+                       12) AS sim
+              FROM q, c WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) r
+            WHERE rank <= 5
+            """,
+            ivf=AO.ivf_topk_oracle(k=5),
+            ivfpq=AO.ivfpq_topk_oracle(k=5),
+            lsh=AO.lsh_topk_oracle(k=5),
+            pq=AO.pq_topk_oracle(k=5),
+        ),
         "semantic_dedup_learned": AO.semantic_dedup_learned_oracle(0.97),
         # Hand-rolled HLL (xxhash64 registers, integer harmonic sum,
         # shared linear-counting table) + histogram quantile — the last

@@ -177,6 +177,7 @@ def main() -> None:
         "basket_rules_parts",
         "hybrid_doc_search",
         "value_drift_by_type",
+        "ann_recall_eval",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -154,3 +154,19 @@ def test_knn_matches_numpy_reference(spark, train_rows, test_vecs):
         key = (0, pred)
         conf[key] = conf.get(key, 0) + 1
     assert got == conf
+
+
+def test_ann_recall_eval_scoreboard(spark, sf_dir):
+    """Structural invariants of the ANN scoreboard: one row per method,
+    hits bounded by n_queries*k, recall = hits/(n*k) to 6 dp, MRR in
+    [0, 1e6], and PQ/IVF recalls at least as high as the recall floors
+    the individual method tests pin."""
+    import __spark_entry__ as E
+
+    rows = {r.method: r for r in E.queries()["ann_recall_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "ivfpq", "lsh", "pq"}
+    for m, r in rows.items():
+        assert 0 <= r.hits <= r.n_queries * 5
+        assert r.recall_at_5 == round(r.hits / (r.n_queries * 5.0), 6)
+        assert 0 <= r.mrr_micro <= 1_000_000
+        assert r.recall_at_5 >= 0.5, (m, r)  # every index beats chance by far
