@@ -219,6 +219,23 @@ def _nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC of the NB language classifier
+    (operators/classify.nb_auc): train on even-id docs, rank odd-id
+    docs by the per-class integer score, exact Mann–Whitney midrank
+    statistic — the threshold-free evaluation beside the confusion
+    matrix. (Near-0.5 AUCs on the synthetic corpus are expected — see
+    _nb_lang_confusion; the mechanism is pinned on separable corpora in
+    tests/test_classify.py.)"""
+    docs = Q.load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    priors, likes = CL.nb_train(train, label_col="lang")
+    scored = CL.nb_scores(test, priors, likes)
+    truth = test.select("doc_id", F.col("lang").alias("actual"))
+    return CL.nb_auc(scored, truth)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest cross-batch dedup (operators/dedup.incremental_dedup):
     odd-id docs play today's batch, even-id docs the already-accepted
@@ -1272,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "incremental_dedup": _incremental_dedup,
         "nb_lang_confusion": _nb_lang_confusion,
+        "nb_lang_auc": _nb_lang_auc,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
         "bpe_vocab_stats": _bpe_vocab_stats,
@@ -1378,6 +1396,57 @@ _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
+
+#: shared NB train/score CTE chain (train even-id docs, score odd-id
+#: docs, fixed-point micro-nat log-probs) ending in
+#: all_scored(doc_id, label, score) — consumed by the confusion-matrix
+#: oracle (argmax) and the AUC oracle (midrank statistic).
+_NB_SCORED_CTES = f"""train_toks AS (
+              SELECT lang AS label, t.tok
+              FROM documents, unnest({_TOKENS}) AS t(tok)
+              WHERE doc_id % 2 = 0 AND t.tok <> ''
+            ),
+            counts AS (
+              SELECT label, tok, count(*) AS c_tl FROM train_toks GROUP BY 1, 2
+            ),
+            totals AS (SELECT label, sum(c_tl) AS c_l FROM counts GROUP BY 1),
+            vocab AS (SELECT DISTINCT tok FROM train_toks),
+            vsz AS (SELECT count(*) AS v FROM vocab),
+            dc AS (SELECT lang AS label, count(*) AS n_docs
+                   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+            priors AS (
+              SELECT label,
+                     CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1000000)
+                          AS BIGINT) AS prior_unats
+              FROM dc, nt
+            ),
+            likes AS (
+              SELECT v.tok, t.label,
+                     CAST(round(ln(CAST(coalesce(c.c_tl, 0) + 1 AS DOUBLE)
+                                   / (t.c_l + vsz.v)) * 1000000)
+                          AS BIGINT) AS l_unats
+              FROM vocab v CROSS JOIN totals t CROSS JOIN vsz
+              LEFT JOIN counts c ON c.label = t.label AND c.tok = v.tok
+            ),
+            test_toks AS (
+              SELECT doc_id, t.tok, count(*) AS cnt
+              FROM documents, unnest({_TOKENS}) AS t(tok)
+              WHERE doc_id % 2 = 1 AND t.tok <> ''
+              GROUP BY 1, 2
+            ),
+            scores AS (
+              SELECT tt.doc_id, l.label, sum(tt.cnt * l.l_unats) AS tok_unats
+              FROM test_toks tt JOIN likes l ON l.tok = tt.tok
+              GROUP BY 1, 2
+            ),
+            all_scored AS (
+              SELECT d.doc_id, p.label,
+                     p.prior_unats + coalesce(s.tok_unats, 0) AS score
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+              CROSS JOIN priors p
+              LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.label = p.label
+            )"""
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 10, scale: int = 1000) -> str:
@@ -2032,52 +2101,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY norm
         """,
         "nb_lang_confusion": f"""
-            WITH train_toks AS (
-              SELECT lang AS label, t.tok
-              FROM documents, unnest({_TOKENS}) AS t(tok)
-              WHERE doc_id % 2 = 0 AND t.tok <> ''
-            ),
-            counts AS (
-              SELECT label, tok, count(*) AS c_tl FROM train_toks GROUP BY 1, 2
-            ),
-            totals AS (SELECT label, sum(c_tl) AS c_l FROM counts GROUP BY 1),
-            vocab AS (SELECT DISTINCT tok FROM train_toks),
-            vsz AS (SELECT count(*) AS v FROM vocab),
-            dc AS (SELECT lang AS label, count(*) AS n_docs
-                   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-            nt AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
-            priors AS (
-              SELECT label,
-                     CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1000000)
-                          AS BIGINT) AS prior_unats
-              FROM dc, nt
-            ),
-            likes AS (
-              SELECT v.tok, t.label,
-                     CAST(round(ln(CAST(coalesce(c.c_tl, 0) + 1 AS DOUBLE)
-                                   / (t.c_l + vsz.v)) * 1000000)
-                          AS BIGINT) AS l_unats
-              FROM vocab v CROSS JOIN totals t CROSS JOIN vsz
-              LEFT JOIN counts c ON c.label = t.label AND c.tok = v.tok
-            ),
-            test_toks AS (
-              SELECT doc_id, t.tok, count(*) AS cnt
-              FROM documents, unnest({_TOKENS}) AS t(tok)
-              WHERE doc_id % 2 = 1 AND t.tok <> ''
-              GROUP BY 1, 2
-            ),
-            scores AS (
-              SELECT tt.doc_id, l.label, sum(tt.cnt * l.l_unats) AS tok_unats
-              FROM test_toks tt JOIN likes l ON l.tok = tt.tok
-              GROUP BY 1, 2
-            ),
-            all_scored AS (
-              SELECT d.doc_id, p.label,
-                     p.prior_unats + coalesce(s.tok_unats, 0) AS score
-              FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-              CROSS JOIN priors p
-              LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.label = p.label
-            ),
+            WITH {_NB_SCORED_CTES},
             preds AS (
               SELECT doc_id, label AS predicted
               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -2089,6 +2113,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN preds p ON a.doc_id = p.doc_id
             WHERE a.doc_id % 2 = 1
             GROUP BY 1, 2
+        """,
+        # one-vs-rest AUC from the same integer score table: exact
+        # midrank numerator (rank lo + hi via two windows), one divide
+        "nb_lang_auc": f"""
+            WITH {_NB_SCORED_CTES},
+            joined AS (
+              SELECT s.label, (d.lang = s.label) AS is_pos, s.score
+              FROM all_scored s JOIN documents d ON d.doc_id = s.doc_id
+            ),
+            ranked AS (
+              SELECT label, is_pos,
+                     rank() OVER (PARTITION BY label ORDER BY score) * 2
+                       + count(*) OVER (PARTITION BY label, score) - 1
+                       AS two_mid
+              FROM joined
+            ),
+            agg AS (
+              SELECT label,
+                     sum(CASE WHEN is_pos THEN two_mid END) AS s2,
+                     CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+                       AS n_pos,
+                     CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
+                       AS n_neg
+              FROM ranked GROUP BY label
+            )
+            SELECT label, n_pos, n_neg,
+                   round((s2 - n_pos * (n_pos + 1))
+                         / (2.0 * n_pos * n_neg), 6) AS auc
+            FROM agg WHERE n_pos > 0 AND n_neg > 0
         """,
         "dsir_selection": f"""
             WITH tgt AS (

@@ -178,6 +178,7 @@ def main() -> None:
         "hybrid_doc_search",
         "value_drift_by_type",
         "ann_recall_eval",
+        "nb_lang_auc",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -101,17 +101,18 @@ def nb_train(
     return priors, likelihoods
 
 
-def nb_predict(
+def nb_scores(
     docs: DataFrame,
     priors: DataFrame,
     likelihoods: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, predicted) — argmax over integer scores
-    ``prior_unats + sum(tok_count * l_unats)``; out-of-vocabulary tokens
-    are ignored (standard multinomial NB inference), documents with no
-    in-vocab tokens score on the prior alone. Ties -> smallest label."""
+    """(id, label, score_unats) for EVERY doc × label — the integer NB
+    score table ``nb_predict`` argmaxes and ``nb_auc`` ranks.
+    Out-of-vocabulary tokens are ignored (standard multinomial NB
+    inference); documents with no in-vocab tokens score on the prior
+    alone."""
     doc_toks = (
         docs.select(
             F.col(id_col),
@@ -127,7 +128,7 @@ def nb_predict(
         .agg(F.sum(F.col("cnt") * F.col("l_unats")).alias("tok_unats"))
     )
     # every doc x every label (prior-only fallback for OOV-only docs)
-    all_scored = (
+    return (
         docs.select(id_col).crossJoin(priors)
         .join(scores, [id_col, "label"], "left")
         .select(
@@ -138,6 +139,20 @@ def nb_predict(
             ),
         )
     )
+
+
+def nb_predict(
+    docs: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, predicted) — argmax over the integer ``nb_scores`` table.
+    Ties -> smallest label."""
+    all_scored = nb_scores(
+        docs, priors, likelihoods, text_col=text_col, id_col=id_col
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score_unats"), F.asc("label")
     )
@@ -145,6 +160,64 @@ def nb_predict(
         all_scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, F.col("label").alias("predicted"))
+    )
+
+
+def nb_auc(
+    scored: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    actual_col: str = "actual",
+) -> DataFrame:
+    """One-vs-rest ROC AUC per label from the integer score table — the
+    threshold-free classifier evaluation beside the confusion matrix.
+
+    AUC is the Mann–Whitney rank statistic computed EXACTLY in
+    integers: rank each label's scores ascending with MIDRANKS for ties
+    (2·midrank = rank_lo + rank_hi, both from window functions — rank()
+    gives the tie group's low rank, a count-over-(label, score) window
+    its size), then
+
+        AUC = (Σ_pos 2·midrank − P·(P+1)) / (2·P·N)
+
+    — a BIGINT numerator and ONE correctly-rounded 6-dp divide, so the
+    DuckDB replay hash-matches (a float pairwise comparison loop would
+    be O(P·N) and summation-order-dependent). Ties across classes are
+    handled exactly (each counts ½ win — the standard convention).
+    Labels with zero positives or zero negatives are absent. Returns
+    (label, n_pos, n_neg, auc)."""
+    s = scored.join(
+        truth.select(
+            F.col(id_col), F.col(actual_col).alias("_actual")
+        ),
+        id_col,
+    )
+    wl = Window.partitionBy("label").orderBy("score_unats")
+    wt = Window.partitionBy("label", "score_unats")
+    ranked = s.select(
+        "label",
+        (F.col("_actual") == F.col("label")).alias("is_pos"),
+        (
+            F.rank().over(wl) * 2 + F.count(F.lit(1)).over(wt) - 1
+        ).alias("two_mid"),  # = r_lo + (r_lo + cnt - 1)
+    )
+    agg = ranked.groupBy("label").agg(
+        F.sum(F.when(F.col("is_pos"), F.col("two_mid"))).alias("s2"),
+        F.count(F.when(F.col("is_pos"), F.lit(1))).alias("n_pos"),
+        F.count(F.when(~F.col("is_pos"), F.lit(1))).alias("n_neg"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "label",
+            "n_pos",
+            "n_neg",
+            F.round(
+                (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
     )
 
 

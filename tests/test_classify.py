@@ -79,3 +79,69 @@ def test_scores_invariant_under_repartitioning(spark):
     again = {r["doc_id"]: r["predicted"]
              for r in nb_predict(test.repartition(11), p2, l2).collect()}
     assert base == again
+
+
+def test_nb_auc_known_values(spark):
+    """AUC from the midrank statistic on constructed score tables:
+    perfect separation -> 1.0, anti-separation -> 0.0, constant scores
+    (all ties) -> 0.5 exactly."""
+    from reddit_etl_pipeline_spark.operators.classify import nb_auc
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "perfect", i))           # positives (i>=5) higher
+        rows.append((i, "inverted", -i))         # positives lower
+        rows.append((i, "flat", 42))             # all tied
+    scored = spark.createDataFrame(
+        rows, "doc_id long, label string, score_unats long"
+    )
+    truth = spark.createDataFrame(
+        [
+            (i, "perfect" if i >= 5 else "x")
+            for i in range(10)
+        ],
+        "doc_id long, actual string",
+    )
+    got = {r.label: r for r in nb_auc(scored, truth).collect()}
+    # for labels 'inverted'/'flat' the same docs (i>=5 -> actual
+    # 'perfect') are ALL negatives -> absent (n_pos = 0)
+    assert set(got) == {"perfect"}
+    assert got["perfect"].auc == 1.0
+
+    truth2 = spark.createDataFrame(
+        [(i, "inverted" if i >= 5 else "flat") for i in range(10)],
+        "doc_id long, actual string",
+    )
+    got2 = {r.label: r for r in nb_auc(scored, truth2).collect()}
+    assert got2["inverted"].auc == 0.0  # positives rank lowest by -i
+    assert got2["flat"].auc == 0.5      # all ties -> exactly half
+    assert (got2["flat"].n_pos, got2["flat"].n_neg) == (5, 5)
+
+
+def test_nb_auc_separable_corpus_near_one(spark):
+    """On the separable two-language corpus the per-language AUC must be
+    ~1 (the classifier orders essentially all positives above
+    negatives)."""
+    from reddit_etl_pipeline_spark.operators.classify import (
+        nb_auc,
+        nb_scores,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "en", "the cat sat on the mat") for i in range(20)]
+        + [(i + 20, "de", "der hund ist nicht hier") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(100 + i, "en", "the dog sat on the cat") for i in range(10)]
+        + [(110 + i, "de", "der kater ist hier nicht") for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    from pyspark.sql import functions as F
+
+    priors, likes = nb_train(train, label_col="lang")
+    scored = nb_scores(test, priors, likes)
+    truth = test.select("doc_id", F.col("lang").alias("actual"))
+    got = {r.label: r.auc for r in nb_auc(scored, truth).collect()}
+    assert got["en"] >= 0.99 and got["de"] >= 0.99, got
