@@ -1071,6 +1071,14 @@ def _value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.value_drift_by_type(spark, sf_dir)
 
 
+def _stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitor: one streaming (type, side, bin)
+    counter-sum grid for both populations, TV distance batch-side from
+    the finished grid — counter partials sum to the grids of the union,
+    so the batch TV oracle replays it (the SUM merge law)."""
+    return ST.streamed_value_drift(spark, sf_dir)
+
+
 def _hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra: per-event-type-pair distinct-user estimates for
     each side, their union (register max merge), and the
@@ -1370,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_quantiles": _stream_value_quantiles,
         "hll_user_overlap": _hll_user_overlap,
         "value_drift_by_type": _value_drift_by_type,
+        "stream_value_drift": _stream_value_drift,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -3918,8 +3927,10 @@ LEFT JOIN rr r ON r.method = m.method, nq
         # HLL set algebra: one register build, pair unions by register
         # max, inclusion-exclusion in BIGINT — all replayed
         "hll_user_overlap": SK.hll_overlap_oracle_sql(),
-        # TV drift: exact BIGINT numerator sum, one 6-dp divide
+        # TV drift: exact BIGINT numerator sum, one 6-dp divide; the
+        # streaming twin shares the replay (counter SUM merge law)
         "value_drift_by_type": SK.value_drift_oracle_sql(),
+        "stream_value_drift": SK.value_drift_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

@@ -437,6 +437,39 @@ def value_drift_by_type(
     )
 
 
+def drift_from_side_grid(grid: DataFrame) -> DataFrame:
+    """TV-distance frame from a FINISHED two-sided grid
+    (event_type, side ∈ {0,1}, bin, n) — the batch tail shared by
+    ``value_drift_by_type``'s streaming twin: per-side totals, the
+    full-outer bin alignment expressed as conditional sums over the one
+    grid, exact BIGINT numerator, one 6-dp divide."""
+    pivoted = grid.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")).otherwise(F.lit(0))).alias("o"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")).otherwise(F.lit(0))).alias("b"),
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")).otherwise(F.lit(0))).alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")).otherwise(F.lit(0))).alias("n_b"),
+    )
+    num = (
+        pivoted.join(tot, "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("o") * F.col("n_b") - F.col("b") * F.col("n_a"))
+            ).alias("num")
+        )
+    )
+    return num.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("num") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6
+        ).alias("tv_distance"),
+    )
+
+
 def value_drift_oracle_sql(split_mod: int = 2) -> str:
     """DuckDB replay of ``value_drift_by_type``: same grid, same exact
     integer numerator, same single 6-dp divide."""

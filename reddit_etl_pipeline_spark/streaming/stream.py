@@ -373,6 +373,34 @@ def streamed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.grid_quantile_stats(grid, "event_type")
 
 
+def streamed_value_drift(
+    spark: SparkSession, sf_dir: str, split_mod: int = 2
+) -> DataFrame:
+    """Continuous drift monitor: BOTH populations' value grids are
+    maintained as ONE streaming (event_type, side, bin) counter-sum
+    aggregate (side = event_id parity — the deterministic stand-in for
+    reference-window vs live-window), the SUM merge law again; the TV
+    distance is computed batch-side from the finished two-sided grid
+    (sketches.drift_from_side_grid). Streaming state = 2× grid cells,
+    never rows. Shares the batch oracle (value_drift_oracle_sql) because
+    per-micro-batch counter partials sum to the grids of the union;
+    stream == batch pinned in tests/test_sketches.py."""
+    from ..operators import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir)
+    bins = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("side", (F.col("event_id") % split_mod != 0).cast("int"))
+        .withColumn(
+            "bin", F.expr(f"CAST(floor(value * {SK.P50_SCALE}) AS BIGINT)")
+        )
+        .groupBy("event_type", "side", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = run_stream_to_batch(bins, spark, output_mode="complete")
+    return SK.drift_from_side_grid(grid)
+
+
 def streamed_bloom_contamination(
     spark: SparkSession, sf_dir: str, banned_mod: int = 17, n_slices: int = 4
 ) -> DataFrame:

@@ -375,3 +375,17 @@ def test_tv_drift_bounds_and_known_values(spark, tmp_path):
     assert got["same"] == 0.0
     assert got["disjoint"] == 1.0
     assert got["half"] == 0.5
+
+
+def test_streamed_drift_equals_batch(spark, sf_dir):
+    """The streaming two-sided grid SUMs into exactly the batch grids,
+    so the streaming drift frame must equal the batch one row for row."""
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got = sorted(
+        tuple(r) for r in ST.streamed_value_drift(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in SK.value_drift_by_type(spark, sf_dir).collect()
+    )
+    assert got == want and got
