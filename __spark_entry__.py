@@ -219,6 +219,14 @@ def _nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch–Kincaid readability in exact micro-units
+    (operators/text_quality.readability_stats): the grade-level gate of
+    a text-curation pipeline, cleared to one positivity-shifted integer
+    division so the replay hash-matches."""
+    return TQ.readability_stats(Q.load(spark, sf_dir, "documents"))
+
+
 def _nb_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-vs-rest ROC AUC of the NB language classifier
     (operators/classify.nb_auc): train on even-id docs, rank odd-id
@@ -1298,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,
         "nb_lang_confusion": _nb_lang_confusion,
         "nb_lang_auc": _nb_lang_auc,
+        "readability_stats": _readability_stats,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
         "bpe_vocab_stats": _bpe_vocab_stats,
@@ -2152,6 +2161,8 @@ def oracle_sql() -> dict[str, str]:
                          / (2.0 * n_pos * n_neg), 6) AS auc
             FROM agg WHERE n_pos > 0 AND n_neg > 0
         """,
+        # Flesch-Kincaid: shared counts, one shifted HUGEINT division
+        "readability_stats": TQ.readability_oracle_sql(_TOKENS),
         "dsir_selection": f"""
             WITH tgt AS (
               SELECT {_TOKENS} AS l FROM documents

@@ -179,6 +179,8 @@ def main() -> None:
         "value_drift_by_type",
         "ann_recall_eval",
         "nb_lang_auc",
+        "readability_stats",
+        "stream_value_drift",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

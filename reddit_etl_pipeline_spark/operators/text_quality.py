@@ -358,3 +358,112 @@ def c4_filter_stats(
             & (F.col("has_lorem") == 0)
         ).cast("long").alias("would_keep"),
     )
+
+
+#: Flesch-Kincaid grade constants ×1e6 (0.39, 11.8, 15.59) and the
+#: positivity offset for cross-engine integer division: Spark's ``div``
+#: truncates toward zero while DuckDB's ``//`` floors, so the numerator
+#: is shifted by FK_OFF grades (> 15.59, the largest negative term)
+#: before the divide and shifted back after — the divide itself only
+#: ever sees a positive numerator.
+FK_W = 390_000
+FK_SYL = 11_800_000
+FK_C = 15_590_000
+FK_OFF = 16_000_000
+
+
+def readability_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch–Kincaid grade level in exact micro-units —
+    the classic readability filter of a text-curation pipeline
+    (e.g. "drop documents above grade 16 / below grade 2" gates).
+
+    Counts are the standard heuristics, identical on both engines:
+    words = whitespace tokens; sentences = [.!?]+ runs (min 1);
+    syllables = per-word [aeiouy]+ vowel-group runs (min 1/word).
+    The grade 0.39·(w/se) + 11.8·(syl/w) − 15.59 is cleared to ONE
+    integer division over the common denominator w·se:
+
+        fk_micro = (390000·w² + 11800000·syl·se − 15590000·w·se) div (w·se)
+
+    computed in DECIMAL(38)/HUGEINT with the FK_OFF positivity shift
+    (div vs // disagree on negatives), so the DuckDB replay
+    hash-matches. Zero-word documents are absent (the ratio is
+    undefined). Returns (id, n_words, n_sentences, n_syllables,
+    fk_grade_micro)."""
+    from ..functions.text import tokens
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.lit(1),
+                F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")),
+            )
+        ).alias("n_syllables"),
+    )
+    sents = docs.select(
+        F.col(id_col),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        ).cast("long").alias("n_sentences"),
+    )
+    j = per_doc.join(sents, id_col)
+    num = (
+        f"CAST({FK_W} AS DECIMAL(38,0)) * n_words * n_words"
+        f" + CAST({FK_SYL} AS DECIMAL(38,0)) * n_syllables * n_sentences"
+        f" - CAST({FK_C} AS DECIMAL(38,0)) * n_words * n_sentences"
+        f" + CAST({FK_OFF} AS DECIMAL(38,0)) * n_words * n_sentences"
+    )
+    den = "(CAST(n_words AS DECIMAL(38,0)) * n_sentences)"
+    return j.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.expr(
+            f"CAST(({num}) div {den} AS BIGINT) - {FK_OFF}"
+        ).alias("fk_grade_micro"),
+    )
+
+
+def readability_oracle_sql(tokens_expr: str) -> str:
+    """DuckDB replay of ``readability_stats`` over the documents table:
+    same counts, same positivity-shifted single HUGEINT division."""
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, t.tok AS w
+  FROM documents, unnest({tokens_expr}) AS t(tok)
+  WHERE t.tok <> ''
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))
+           AS n_syllables
+  FROM words GROUP BY doc_id
+),
+sents AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences
+  FROM documents
+)
+SELECT p.doc_id,
+       CAST(p.n_words AS BIGINT) AS n_words,
+       s.n_sentences,
+       CAST(p.n_syllables AS BIGINT) AS n_syllables,
+       CAST((CAST({FK_W} AS HUGEINT) * p.n_words * p.n_words
+             + CAST({FK_SYL} AS HUGEINT) * p.n_syllables * s.n_sentences
+             - CAST({FK_C} AS HUGEINT) * p.n_words * s.n_sentences
+             + CAST({FK_OFF} AS HUGEINT) * p.n_words * s.n_sentences)
+            // (CAST(p.n_words AS HUGEINT) * s.n_sentences)
+            - {FK_OFF} AS BIGINT) AS fk_grade_micro
+FROM per_doc p JOIN sents s ON s.doc_id = p.doc_id
+"""

@@ -183,3 +183,44 @@ def test_sentiment_rollup_lexicon_math(spark):
     assert rows["en"]["pos_doc_frac"] == 0.5
     assert rows["fr"]["n_docs"] == 2 and rows["fr"]["sum_valence"] == 0
     assert rows["fr"]["pos_doc_frac"] == 0.0
+
+
+def test_readability_hand_computed(spark):
+    """FK grade vs hand arithmetic on constructed texts, including the
+    negative-grade case that exercises the positivity shift (div vs //
+    disagree on negative numerators)."""
+    from reddit_etl_pipeline_spark.operators.text_quality import (
+        readability_stats,
+    )
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),      # simple, negative grade
+        (2, "Extraordinarily complicated terminology necessitates "
+            "comprehension. Unquestionably."),
+        (3, ""),                                # no words -> absent
+        (4, None),                              # null -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_stats(df).collect()}
+    assert set(got) == {1, 2}
+
+    def syl(word):
+        import re
+
+        return max(1, len(re.findall(r"[aeiouy]+", word.lower())))
+
+    for did, text in rows[:2]:
+        import re
+
+        ws = [w for w in text.lower().split() if w]
+        w, se = len(ws), max(1, len(re.findall(r"[.!?]+", text)))
+        s = sum(syl(x) for x in ws)
+        expect = (
+            390000 * w * w + 11800000 * s * se - 15590000 * w * se
+            + 16000000 * w * se
+        ) // (w * se) - 16000000
+        r = got[did]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, se, s)
+        assert r.fk_grade_micro == expect, (did, r.fk_grade_micro, expect)
+    # doc 1 is genuinely below grade 0; doc 2 far above doc 1
+    assert got[1].fk_grade_micro < 0 < got[2].fk_grade_micro
