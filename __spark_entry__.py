@@ -976,8 +976,12 @@ def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine baseline, in ONE frame — the evaluation a production vector
     pipeline runs before trusting an index. Integer-exact: hits and
     reciprocal ranks (1e6 div rank) are BIGINT sums, recall is one 6-dp
-    divide, MRR uses integer div by the query count — so the whole
-    scoreboard hash-matches the DuckDB replay of all five systems."""
+    divide, MRR uses integer div by the query count, and nDCG@5 (binary
+    relevance = exact-top-5 membership) uses the Python-generated
+    fixed-point discount table ``_NDCG_DISC`` = round(1e6/log2(r+1))
+    shared VERBATIM by both engines (the linear-counting-table pattern
+    — no libm in either plan) — so the whole scoreboard hash-matches
+    the DuckDB replay of all five systems."""
     exact = _cosine_topk(spark, sf_dir).localCheckpoint(eager=True)
     frames = {
         "ivf": _cosine_topk_ivf,
@@ -1005,17 +1009,36 @@ def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method")
         .agg(F.sum(F.expr("1000000 div rank")).alias("rrsum"))
     )
+    # nDCG@5, binary relevance: per-query DCG sums the fixed-point
+    # discount at each HIT's approx rank, normalized by the constant
+    # ideal DCG (5 relevant docs), then integer-averaged over queries
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank").cast("int")
+    )
+    ndcg = (
+        approx.join(ex_pairs, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.sum(disc).alias("dcg"))
+        .select(
+            "method",
+            F.expr(f"(dcg * 1000000) div {sum(_NDCG_DISC)}").alias("ndcg_q"),
+        )
+        .groupBy("method")
+        .agg(F.sum("ndcg_q").alias("ndcgsum"))
+    )
     mlist = approx.select("method").distinct()
     return (
         mlist.join(hits, "method", "left")
         .join(rr, "method", "left")
-        .na.fill({"hits": 0, "rrsum": 0})
+        .join(ndcg, "method", "left")
+        .na.fill({"hits": 0, "rrsum": 0, "ndcgsum": 0})
         .select(
             "method",
             F.lit(n_q).cast("long").alias("n_queries"),
             "hits",
             F.round(F.col("hits") / F.lit(n_q * 5.0), 6).alias("recall_at_5"),
             F.expr(f"rrsum div {n_q}").alias("mrr_micro"),
+            F.expr(f"ndcgsum div {n_q}").alias("ndcg_micro"),
         )
     )
 
@@ -1413,6 +1436,14 @@ _SENT_LEX_VALUES = ", ".join(
 _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+)
+
+#: nDCG@5 fixed-point discounts round(1e6 / log2(rank + 1)) — generated
+#: ONCE in Python and embedded as literals in BOTH the Spark plan and
+#: the DuckDB oracle (the linear-counting-table pattern), so libm vs
+#: java.lang.Math ulp differences cannot exist in either plan.
+_NDCG_DISC = tuple(
+    round(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, 6)
 )
 
 #: shared NB train/score CTE chain (train even-id docs, score odd-id
@@ -3880,16 +3911,35 @@ rr AS MATERIALIZED (
     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
   GROUP BY method
 ),
+ndcg AS MATERIALIZED (
+  SELECT method, sum(ndcg_q) AS ndcgsum FROM (
+    SELECT a.method, a.query_id,
+           (sum({{disc_case}}) * 1000000) // {{idcg}} AS ndcg_q
+    FROM approx a JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.method, a.query_id
+  ) GROUP BY method
+),
 mlist AS MATERIALIZED (SELECT DISTINCT method FROM approx)
 SELECT m.method,
        CAST(nq.n AS BIGINT) AS n_queries,
        CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        round(coalesce(h.hits, 0) / (nq.n * 5.0), 6) AS recall_at_5,
-       CAST(coalesce(r.rrsum, 0) // nq.n AS BIGINT) AS mrr_micro
+       CAST(coalesce(r.rrsum, 0) // nq.n AS BIGINT) AS mrr_micro,
+       CAST(coalesce(d.ndcgsum, 0) // nq.n AS BIGINT) AS ndcg_micro
 FROM mlist m
 LEFT JOIN hits h ON h.method = m.method
-LEFT JOIN rr r ON r.method = m.method, nq
+LEFT JOIN rr r ON r.method = m.method
+LEFT JOIN ndcg d ON d.method = m.method, nq
 """.format(
+            disc_case=(
+                "CASE a.rank "
+                + " ".join(
+                    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+                )
+                + " END"
+            ),
+            idcg=sum(_NDCG_DISC),
             exact="""
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -170,3 +170,23 @@ def test_ann_recall_eval_scoreboard(spark, sf_dir):
         assert r.recall_at_5 == round(r.hits / (r.n_queries * 5.0), 6)
         assert 0 <= r.mrr_micro <= 1_000_000
         assert r.recall_at_5 >= 0.5, (m, r)  # every index beats chance by far
+
+
+def test_ann_scoreboard_ndcg_bounds(spark, sf_dir):
+    """nDCG@5 invariants: in [0, 1e6]; a method with perfect recall AND
+    perfect order has ndcg == 1e6; ndcg <= recall-implied ceiling (all
+    hits at the best ranks)."""
+    import __spark_entry__ as E
+
+    rows = {
+        r.method: r
+        for r in E.queries()["ann_recall_eval"](spark, sf_dir).collect()
+    }
+    disc = E._NDCG_DISC
+    idcg = sum(disc)
+    for m, r in rows.items():
+        assert 0 <= r.ndcg_micro <= 1_000_000, (m, r)
+        # ceiling: every hit at the top-|hits/q| ranks on average; a
+        # coarse but real bound — perfect-recall methods must be near 1
+        if r.recall_at_5 == 1.0:
+            assert r.ndcg_micro >= 900_000, (m, r)
