@@ -219,6 +219,14 @@ def _nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch session attribution (plans/star.
+    session_attribution): each session's total value in integer micros
+    credited to its first and last event_type — the marketing-analytics
+    classic over the shared sessionization pattern."""
+    return Q.session_attribution(spark, sf_dir)
+
+
 def _readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Flesch–Kincaid readability in exact micro-units
     (operators/text_quality.readability_stats): the grade-level gate of
@@ -1330,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_confusion": _nb_lang_confusion,
         "nb_lang_auc": _nb_lang_auc,
         "readability_stats": _readability_stats,
+        "session_attribution": _session_attribution,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
         "bpe_vocab_stats": _bpe_vocab_stats,
@@ -2194,6 +2203,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flesch-Kincaid: shared counts, one shifted HUGEINT division
         "readability_stats": TQ.readability_oracle_sql(_TOKENS),
+        # first/last-touch attribution: the sessionize gap chain +
+        # row_number endpoints; session values in exact integer micros
+        "session_attribution": """
+            WITH marked AS MATERIALIZED (
+              SELECT user_id, event_id, ts, value, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS MATERIALIZED (
+              SELECT *, sum(new_session) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_seq
+              FROM marked
+            ), ranked AS MATERIALIZED (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id, session_seq
+                                        ORDER BY ts, event_id) AS rn_first,
+                     row_number() OVER (PARTITION BY user_id, session_seq
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn_last
+              FROM sess
+            ), per_session AS MATERIALIZED (
+              SELECT user_id, session_seq,
+                     max(CASE WHEN rn_first = 1 THEN event_type END)
+                       AS first_type,
+                     max(CASE WHEN rn_last = 1 THEN event_type END)
+                       AS last_type,
+                     sum(CAST(round(value * 1000000) AS BIGINT)) AS v_micro
+              FROM ranked GROUP BY user_id, session_seq
+            ), f AS MATERIALIZED (
+              SELECT first_type AS event_type,
+                     count(*) AS first_sessions,
+                     CAST(sum(v_micro) AS BIGINT) AS first_value_micro
+              FROM per_session GROUP BY first_type
+            ), l AS MATERIALIZED (
+              SELECT last_type AS event_type,
+                     count(*) AS last_sessions,
+                     CAST(sum(v_micro) AS BIGINT) AS last_value_micro
+              FROM per_session GROUP BY last_type
+            )
+            SELECT coalesce(f.event_type, l.event_type) AS event_type,
+                   coalesce(first_sessions, 0) AS first_sessions,
+                   coalesce(first_value_micro, 0) AS first_value_micro,
+                   coalesce(last_sessions, 0) AS last_sessions,
+                   coalesce(last_value_micro, 0) AS last_value_micro
+            FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+        """,
         "dsir_selection": f"""
             WITH tgt AS (
               SELECT {_TOKENS} AS l FROM documents

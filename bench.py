@@ -181,6 +181,7 @@ def main() -> None:
         "nb_lang_auc",
         "readability_stats",
         "stream_value_drift",
+        "session_attribution",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

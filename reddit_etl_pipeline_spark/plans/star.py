@@ -436,6 +436,82 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     )
 
 
+def session_attribution(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Marketing-style FIRST-touch / LAST-touch attribution: sessionize
+    (the shared lag + gap-cumsum pattern), credit each session's total
+    value to the session's first and last event_type, aggregate per
+    type.
+
+    Exactness: session values sum in INTEGER MICROS
+    (CAST(round(value·1e6) AS BIGINT) per event — the double product
+    and away-from-zero rounding are identical in both engines, and the
+    sums are then order-independent BIGINTs; a double sum over ~all
+    sessions per type would be summation-order-dependent). First/last
+    selection is a row_number over the total (ts, event_id) order —
+    deterministic under timestamp ties.
+
+    Scale: the two session windows and the two first/last windows all
+    share partitionBy(user_id) — one shuffle; the attribution aggregates
+    are map-side-combinable over sessions. Returns (event_type,
+    first_sessions, first_value_micro, last_sessions,
+    last_value_micro)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_seq")
+    ranked = sess.withColumn(
+        "rn_first",
+        F.row_number().over(ws.orderBy("ts", "event_id")),
+    ).withColumn(
+        "rn_last",
+        F.row_number().over(ws.orderBy(F.desc("ts"), F.desc("event_id"))),
+    )
+    per_session = ranked.groupBy("user_id", "session_seq").agg(
+        F.max(
+            F.when(F.col("rn_first") == 1, F.col("event_type"))
+        ).alias("first_type"),
+        F.max(
+            F.when(F.col("rn_last") == 1, F.col("event_type"))
+        ).alias("last_type"),
+        F.sum(
+            F.expr("CAST(round(value * 1000000) AS BIGINT)")
+        ).alias("v_micro"),
+    )
+    first = per_session.groupBy(
+        F.col("first_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("first_sessions"),
+        F.sum("v_micro").alias("first_value_micro"),
+    )
+    last = per_session.groupBy(F.col("last_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("last_sessions"),
+        F.sum("v_micro").alias("last_value_micro"),
+    )
+    return (
+        first.join(last, "event_type", "full_outer")
+        .na.fill(
+            {
+                "first_sessions": 0,
+                "first_value_micro": 0,
+                "last_sessions": 0,
+                "last_value_micro": 0,
+            }
+        )
+    )
+
+
 def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling (hypertable-style rollup): per event_type,
     a dense hourly grid from that type's first to last hour, with

@@ -123,3 +123,27 @@ def test_union_all_literals(spark):
     assert filtered.count() == 1
     # my_second_dbt_model.sql: SELECT * ... WHERE id = 1
     assert u.filter(F.col("id") == 1).count() == 1
+
+
+def test_session_attribution_conserves_value(spark, sf_dir):
+    """Both attribution models must credit the SAME total (every session
+    credited exactly once per model), equal to the corpus value total in
+    integer micros; single-event sessions credit first == last."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.plans import star as Q
+
+    rows = Q.session_attribution(spark, sf_dir).collect()
+    total_first = sum(r.first_value_micro for r in rows)
+    total_last = sum(r.last_value_micro for r in rows)
+    n_first = sum(r.first_sessions for r in rows)
+    n_last = sum(r.last_sessions for r in rows)
+    assert total_first == total_last
+    assert n_first == n_last
+    ev = Q.load(spark, sf_dir, "events")
+    corpus_micro = ev.agg(
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+    ).first()[0]
+    assert total_first == corpus_micro
+    n_sessions = Q.sessionize(spark, sf_dir).count()
+    assert n_first == n_sessions
