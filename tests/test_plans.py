@@ -83,6 +83,9 @@ BNL_ALLOWED = {
     # vocabulary, like nation), not sf-proportional;
     # test_nb_confusion_only_bounded_crosses pins that no third one creeps in.
     "nb_lang_confusion",
+    # nb_lang_auc: ranks the same nb_scores table, so it inherits the
+    # identical label-cardinality docs x priors cross — nothing new.
+    "nb_lang_auc",
     # knn_label_confusion: composes cosine_topk_bruteforce (the declared
     # exact baseline above), gated by max_queries; the IVF/LSH top-k is
     # the scale path for the same vote/argmax composition.
