@@ -1447,6 +1447,53 @@ _TOKENS = (
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
 
+def _copurchase_ctes(alias: str = "e") -> str:
+    """The co-purchase edge CTE chain (li + ``alias``(lo, hi)) shared by
+    every part-graph oracle — ONE definition so a change to
+    ``_copurchase_edges`` can never silently diverge from a subset of
+    the replays (it was copy-pasted six times before round 7's review)."""
+    return f"""li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), {alias} AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            )"""
+
+
+def _cosine_replay_sql(
+    k: int,
+    select: str = "query_id, rank, neighbor_id, round(sim, 6) AS sim",
+) -> str:
+    """The exact-cosine top-k DuckDB replay (12-dp RANK_DP rounding
+    before ranking — the similarity contract), single-sourced for the
+    cosine_topk oracle, the hybrid-RRF semantic leg, and the ANN
+    scoreboard's exact baseline."""
+    return f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), scored AS (
+              -- round(.., 12) before ranking (see knn_label_confusion)
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                       / greatest(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
+                       12) AS sim
+              FROM q, c WHERE neighbor_id <> query_id
+            )
+            SELECT {select} FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) r
+            WHERE rank <= {k}
+        """
+
+
 #: nDCG@5 fixed-point discounts round(1e6 / log2(rank + 1)) — generated
 #: ONCE in Python and embedded as literals in BOTH the Spark plan and
 #: the DuckDB oracle (the linear-counting-table pattern), so libm vs
@@ -1459,27 +1506,27 @@ _NDCG_DISC = tuple(
 #: docs, fixed-point micro-nat log-probs) ending in
 #: all_scored(doc_id, label, score) — consumed by the confusion-matrix
 #: oracle (argmax) and the AUC oracle (midrank statistic).
-_NB_SCORED_CTES = f"""train_toks AS (
+_NB_SCORED_CTES = f"""train_toks AS MATERIALIZED (
               SELECT lang AS label, t.tok
               FROM documents, unnest({_TOKENS}) AS t(tok)
               WHERE doc_id % 2 = 0 AND t.tok <> ''
             ),
-            counts AS (
+            counts AS MATERIALIZED (
               SELECT label, tok, count(*) AS c_tl FROM train_toks GROUP BY 1, 2
             ),
-            totals AS (SELECT label, sum(c_tl) AS c_l FROM counts GROUP BY 1),
-            vocab AS (SELECT DISTINCT tok FROM train_toks),
-            vsz AS (SELECT count(*) AS v FROM vocab),
-            dc AS (SELECT lang AS label, count(*) AS n_docs
+            totals AS MATERIALIZED (SELECT label, sum(c_tl) AS c_l FROM counts GROUP BY 1),
+            vocab AS MATERIALIZED (SELECT DISTINCT tok FROM train_toks),
+            vsz AS MATERIALIZED (SELECT count(*) AS v FROM vocab),
+            dc AS MATERIALIZED (SELECT lang AS label, count(*) AS n_docs
                    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-            nt AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
-            priors AS (
+            nt AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+            priors AS MATERIALIZED (
               SELECT label,
                      CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1000000)
                           AS BIGINT) AS prior_unats
               FROM dc, nt
             ),
-            likes AS (
+            likes AS MATERIALIZED (
               SELECT v.tok, t.label,
                      CAST(round(ln(CAST(coalesce(c.c_tl, 0) + 1 AS DOUBLE)
                                    / (t.c_l + vsz.v)) * 1000000)
@@ -1487,18 +1534,18 @@ _NB_SCORED_CTES = f"""train_toks AS (
               FROM vocab v CROSS JOIN totals t CROSS JOIN vsz
               LEFT JOIN counts c ON c.label = t.label AND c.tok = v.tok
             ),
-            test_toks AS (
+            test_toks AS MATERIALIZED (
               SELECT doc_id, t.tok, count(*) AS cnt
               FROM documents, unnest({_TOKENS}) AS t(tok)
               WHERE doc_id % 2 = 1 AND t.tok <> ''
               GROUP BY 1, 2
             ),
-            scores AS (
+            scores AS MATERIALIZED (
               SELECT tt.doc_id, l.label, sum(tt.cnt * l.l_unats) AS tok_unats
               FROM test_toks tt JOIN likes l ON l.tok = tt.tok
               GROUP BY 1, 2
             ),
-            all_scored AS (
+            all_scored AS MATERIALIZED (
               SELECT d.doc_id, p.label,
                      p.prior_unats + coalesce(s.tok_unats, 0) AS score
               FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
@@ -3053,27 +3100,9 @@ def oracle_sql() -> dict[str, str]:
                 prune_stop_terms=False,
                 query_where="doc_id < 5",
             ),
-            sem_sql="""
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 5
-            ), c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ), scored AS (
-              SELECT query_id, neighbor_id,
-                     round(list_dot_product(qv, cv)
-                       / greatest(sqrt(list_dot_product(qv, qv))
-                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
-                       12) AS sim
-              FROM q, c WHERE neighbor_id <> query_id
-            )
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim DESC, neighbor_id) AS rank
-              FROM scored) r
-            WHERE rank <= 20
-            """,
+            sem_sql=_cosine_replay_sql(
+                k=20, select="query_id, neighbor_id, rank"
+            ),
             k=10,
         ),
         "pii_scrub_stats": f"""
@@ -3197,28 +3226,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN pred p ON q.query_id = p.query_id
             GROUP BY 1, 2
         """,
-        "cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 5
-            ), c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ), scored AS (
-              -- round(.., 12) before ranking (see knn_label_confusion)
-              SELECT query_id, neighbor_id,
-                     round(list_dot_product(qv, cv)
-                       / greatest(sqrt(list_dot_product(qv, qv))
-                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
-                       12) AS sim
-              FROM q, c WHERE neighbor_id <> query_id
-            )
-            SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim DESC, neighbor_id) AS rank
-              FROM scored) r
-            WHERE rank <= 5
-        """,
+        "cosine_topk": _cosine_replay_sql(k=5),
         "bpe_token_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
@@ -3999,27 +4007,9 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
                 + " END"
             ),
             idcg=sum(_NDCG_DISC),
-            exact="""
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 5
-            ), c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ), scored AS (
-              SELECT query_id, neighbor_id,
-                     round(list_dot_product(qv, cv)
-                       / greatest(sqrt(list_dot_product(qv, qv))
-                                  * sqrt(list_dot_product(cv, cv)), 1e-12),
-                       12) AS sim
-              FROM q, c WHERE neighbor_id <> query_id
-            )
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim DESC, neighbor_id) AS rank
-              FROM scored) r
-            WHERE rank <= 5
-            """,
+            exact=_cosine_replay_sql(
+                k=5, select="query_id, neighbor_id, rank"
+            ),
             ivf=AO.ivf_topk_oracle(k=5),
             ivfpq=AO.ivfpq_topk_oracle(k=5),
             lsh=AO.lsh_topk_oracle(k=5),
@@ -4058,15 +4048,8 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # Triangle counting: the oracle enumerates each triangle once as
         # (a<b<c) edge triples — orientation-free exactness reference for
         # the engine's degree-oriented wedge closure
-        "part_triangles": """
-            WITH li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            ), tri AS MATERIALIZED (
+        "part_triangles": f"""
+            WITH {_copurchase_ctes()}, tri AS MATERIALIZED (
               SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
               FROM e e1
               JOIN e e2 ON e2.lo = e1.hi
@@ -4085,14 +4068,8 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # multi-source BFS: unrolled min-plus rounds over the
         # co-purchase adjacency from the every-199th-part seed set
         "part_seed_distances": GR.bfs_oracle_sql(
-            ctes="""li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            ), seeds AS MATERIALIZED (
+            ctes=_copurchase_ctes()
+            + """, seeds AS MATERIALIZED (
               SELECT p_partkey AS node FROM part WHERE p_partkey % 199 = 0
             )""",
             max_hops=3,
@@ -4101,28 +4078,14 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # LPA communities: unrolled synchronous rounds, same
         # (cnt DESC, label ASC) argmax total order as the engine
         "part_communities": GR.lpa_oracle_sql(
-            edges_ctes="""li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            )""",
+            edges_ctes=_copurchase_ctes(),
             rounds=4,
             node_alias="part_key",
         ),
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(
-            edges_ctes="""li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            )""",
+            edges_ctes=_copurchase_ctes(),
             sample_num=1,
             sample_den=4,
         ),
@@ -4130,27 +4093,13 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # same co-purchase e0; engine raises past the identical bound, so
         # non-convergence can never silently diverge
         "part_kcore": GR.kcore_oracle_sql(
-            edges_ctes="""li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e0 AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            )""",
+            edges_ctes=_copurchase_ctes("e0"),
             k=80,
             rounds=12,
             node_alias="part_key",
         ),
-        "part_clustering_coeff": """
-            WITH li AS MATERIALIZED (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), e AS MATERIALIZED (
-              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            ), deg AS MATERIALIZED (
+        "part_clustering_coeff": f"""
+            WITH {_copurchase_ctes()}, deg AS MATERIALIZED (
               SELECT node, count(*) AS degree FROM (
                 SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
               GROUP BY node

@@ -42,6 +42,14 @@ FAKE = os.environ.get("REDDIT_SPARK_FAKE_SOURCE", "")
 if CONF:
     _CONF_FLAG = f" --conf {CONF}"
 elif FAKE:
+    # validate here, not via a bare int() crash: a malformed or
+    # non-positive value must fail with the env contract spelled out,
+    # and FAKE_SOURCE=0 must not schedule a green zero-post ingest
+    if not FAKE.isdigit() or int(FAKE) <= 0:
+        raise ValueError(
+            "reddit_pipeline_spark DAG: REDDIT_SPARK_FAKE_SOURCE must be "
+            f"a positive integer post count, got {FAKE!r}."
+        )
     _CONF_FLAG = f" --fake-source {int(FAKE)}"
 else:
     raise ValueError(

@@ -260,27 +260,12 @@ def _hll_est_chain(groups: str, regs: str, prefix: str) -> str:
 
 def hll_overlap_oracle_sql() -> str:
     """DuckDB replay of ``hll_user_overlap``: the shared hashes/regs
-    build, the generic estimator chain once over single types and once
-    over pair-union register merges, then inclusion-exclusion in plain
+    build (``_hll_regs_ctes`` — same text as the users replay), the
+    generic estimator chain once over single types and once over
+    pair-union register merges, then inclusion-exclusion in plain
     BIGINT arithmetic."""
-    hash_sql = X.render_select(
-        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
-        ["uh"],
-        "(SELECT DISTINCT event_type, user_id FROM events)",
-        passthrough=["event_type"],
-    )
-    lc_rows = ", ".join(f"({v + 1}, {e})" for v, e in enumerate(_lc_table()))
     return f"""
-WITH hashes AS MATERIALIZED ({hash_sql}),
-regs AS MATERIALIZED (
-  SELECT event_type,
-         uh % {M} AS reg,
-         max(CASE WHEN uh // {M} = 0 THEN {RMAX}
-                  ELSE {RMAX} - length(bin(CAST(uh // {M} AS BIGINT))) END)
-           AS rho_max
-  FROM hashes GROUP BY event_type, reg
-),
-lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows})),
+WITH {_hll_regs_ctes()},
 {_hll_est_chain("event_type", "regs", "s_")},
 pairs AS MATERIALIZED (
   SELECT a.event_type AS type_a, b.event_type AS type_b
@@ -460,13 +445,20 @@ def drift_from_side_grid(grid: DataFrame) -> DataFrame:
             ).alias("num")
         )
     )
-    return num.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        F.round(
-            F.col("num") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6
-        ).alias("tv_distance"),
+    # one-sided types (all events on one parity) are ABSENT, matching
+    # the batch twin's inner na/nb joins and the shared oracle — without
+    # this, Spark's x/0.0 NULL (non-ANSI) would emit a NULL-tv row the
+    # oracle doesn't have
+    return (
+        num.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("num") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6
+            ).alias("tv_distance"),
+        )
     )
 
 
@@ -1004,12 +996,12 @@ hh AS MATERIALIZED (
 """
 
 
-def _hll_users_ctes() -> str:
-    """CTE chain from ``hashes`` through ``users(event_type,
-    approx_users)`` — the register build + estimator replay shared by
-    the batch oracle and the streaming twin's oracle (the stream merges
-    per-micro-batch registers by max, which equals building them over
-    the union — so one replay serves both)."""
+def _hll_regs_ctes() -> str:
+    """``hashes`` + ``regs`` + ``lc`` CTEs — the xxhash-register build
+    and shared linear-counting table, single-sourced for the users
+    replay AND the set-algebra replay (a change to the M/RMAX split or
+    the lc rendering in one copy but not the other would break the HLL
+    family's shared-replay contract)."""
     # signed BIGINT -> UBIGINT bit pattern (user ids are non-negative in
     # the data, but replay the general reinterpret anyway)
     hash_sql = X.render_select(
@@ -1030,30 +1022,18 @@ regs AS MATERIALIZED (
            AS rho_max
   FROM hashes GROUP BY event_type, reg
 ),
-sketch AS MATERIALIZED (
-  SELECT event_type,
-         count(*) AS n_regs,
-         sum(CAST(1 AS BIGINT) << ({RMAX} - rho_max)) AS z_present
-  FROM regs GROUP BY event_type
-),
-lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows})),
-est AS MATERIALIZED (
-  SELECT event_type,
-         ({M} - n_regs) AS v_zero,
-         CAST({_EST_NUM} AS HUGEINT)
-           // (CAST({A_DEN} AS HUGEINT)
-               * (CAST(z_present AS HUGEINT)
-                  + CAST(({M} - n_regs) AS HUGEINT)
-                    * CAST({1 << RMAX} AS HUGEINT)))
-           AS e_raw
-  FROM sketch
-),
-users AS MATERIALIZED (
-  SELECT event_type,
-         CAST(CASE WHEN e_raw <= {_LC_CUTOFF} AND v_zero > 0
-                   THEN lc.lc_est ELSE e_raw END AS BIGINT) AS approx_users
-  FROM est LEFT JOIN lc ON lc.v = est.v_zero
-)"""
+lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows}))"""
+
+
+def _hll_users_ctes() -> str:
+    """CTE chain from ``hashes`` through ``users(event_type,
+    approx_users)`` — the register build + estimator replay shared by
+    the batch oracle and the streaming twin's oracle (the stream merges
+    per-micro-batch registers by max, which equals building them over
+    the union — so one replay serves both)."""
+    return (
+        _hll_regs_ctes() + ",\n" + _hll_est_chain("event_type", "regs", "")
+    )
 
 
 def hll_users_oracle_sql() -> str:
@@ -1076,7 +1056,7 @@ WITH {_hll_users_ctes()},
 bins AS MATERIALIZED (
   SELECT event_type, CAST(floor(value * {P50_SCALE}) AS BIGINT) AS bin,
          count(*) AS n
-  FROM events GROUP BY event_type, bin
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, bin
 ),
 hit AS MATERIALIZED (
   SELECT event_type, min(bin) AS p50_bin

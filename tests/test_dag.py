@@ -90,6 +90,11 @@ def test_dag_refuses_silent_fake_source():
     assert "--conf /x/y.conf" in _exec_dag_prefix(
         {"REDDIT_SPARK_CONF": "/x/y.conf"}
     )["_CONF_FLAG"]
+    # malformed / non-positive opt-ins fail with the contract named,
+    # not a bare int() traceback or a green zero-post ingest
+    for bad in ("yes", "0", "-3", "2.5"):
+        with pytest.raises(ValueError, match="positive integer"):
+            _exec_dag_prefix({"REDDIT_SPARK_FAKE_SOURCE": bad})
 
 
 def test_staged_chain_matches_one_program_daily(spark, tmp_path, capsys):

@@ -368,6 +368,17 @@ def test_tv_drift_bounds_and_known_values(spark, tmp_path):
     d = str(tmp_path / "drift")
     df.coalesce(1).write.parquet(f"{d}/events.parquet")
 
+    # type 'onesided': every event_id even -> population B empty; the
+    # type must be ABSENT (not NULL-tv) from batch AND streaming twins
+    for i in range(20):
+        rows.append((3000 + 2 * i, i, "onesided", 1.0, "2024-01-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "drift")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
     got = {
         r.event_type: r.tv_distance
         for r in SK.value_drift_by_type(spark, d).collect()
@@ -375,6 +386,15 @@ def test_tv_drift_bounds_and_known_values(spark, tmp_path):
     assert got["same"] == 0.0
     assert got["disjoint"] == 1.0
     assert got["half"] == 0.5
+    assert "onesided" not in got
+
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got_stream = {
+        r.event_type: r.tv_distance
+        for r in ST.streamed_value_drift(spark, d).collect()
+    }
+    assert got_stream == got
 
 
 def test_streamed_drift_equals_batch(spark, sf_dir):
