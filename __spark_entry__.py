@@ -38,6 +38,7 @@ from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import sketches as SK
+from reddit_etl_pipeline_spark.operators import sketch_store as SS
 from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import graph as GR
 from reddit_etl_pipeline_spark.operators import basket as BK
@@ -1142,6 +1143,56 @@ def _stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_value_quantiles(spark, sf_dir)
 
 
+def _sketch_store(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Materialize ONE persisted-sketch-store partial table for the
+    events at ``sf_dir`` into a scratch lake dir (per-batch_date
+    parquet partitions) and return the store path — the ingest-side
+    build each sketch_store_* query measures along with its merge."""
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    store = scratch_dir("sketch_store_")
+    SS.build_store(Q.load(spark, sf_dir, "events"), store, tables=(table,))
+    return store
+
+
+def _sketch_store_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch store, HLL leg: per-batch_date register partials
+    written at ingest, distinct-user estimates answered by merging
+    partials register-wise (MAX law) — never rescanning raw events.
+    Shares the full-scan oracle because max over per-day maxes == max
+    over the union (operators/sketch_store.py)."""
+    return SS.store_distinct_users(
+        spark, _sketch_store(spark, sf_dir, "hll_users")
+    )
+
+
+def _sketch_store_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch store, quantile-grid leg: per-day bin-count
+    partials merge by SUM into the grid of the union; the shared
+    quantile walk answers p25/p50/p75/p90 from store partials only."""
+    return SS.store_value_quantiles(
+        spark, _sketch_store(spark, sf_dir, "value_grid")
+    )
+
+
+def _sketch_store_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch store, CMS leg: per-day (j, idx) counter
+    partials merge by SUM into the sketch of the union; the exact-top-20
+    probe (validation companion) runs beside it as in the twins."""
+    return SS.store_heavy_users(
+        spark, sf_dir, _sketch_store(spark, sf_dir, "cms_users"), top_n=20
+    )
+
+
+def _sketch_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch store, drift leg: the two-sided value grid
+    persists per day, merges by SUM, and the streaming twin's batch tail
+    computes per-type total-variation distance from partials alone."""
+    return SS.store_value_drift(
+        spark, _sketch_store(spark, sf_dir, "drift_grid")
+    )
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds + watermarks;
     equals the batch range join (same oracle shape)."""
@@ -1420,6 +1471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": _hll_user_overlap,
         "value_drift_by_type": _value_drift_by_type,
         "stream_value_drift": _stream_value_drift,
+        "sketch_store_distinct_users": _sketch_store_distinct_users,
+        "sketch_store_quantiles": _sketch_store_quantiles,
+        "sketch_store_heavy_users": _sketch_store_heavy_users,
+        "sketch_store_drift": _sketch_store_drift,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -4041,6 +4096,13 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # streaming twin shares the replay (counter SUM merge law)
         "value_drift_by_type": SK.value_drift_oracle_sql(),
         "stream_value_drift": SK.value_drift_oracle_sql(),
+        # persisted sketch store: merging per-batch_date partials under
+        # each sketch's merge law (HLL MAX, CMS/grid SUM) equals the
+        # sketch of the union of days, so the FULL-SCAN replays serve
+        "sketch_store_distinct_users": SK.hll_users_oracle_sql(),
+        "sketch_store_quantiles": SK.grid_quantiles_oracle_sql(),
+        "sketch_store_heavy_users": SK.cms_users_oracle_sql(top_n=20),
+        "sketch_store_drift": SK.value_drift_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

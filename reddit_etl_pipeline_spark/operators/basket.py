@@ -52,13 +52,23 @@ def basket_rules(
     conf_a_to_b, conf_b_to_a, lift) with item_a < item_b; supports are
     basket counts (BIGINT), confidences and lift 6-dp DOUBLEs. Pairs
     below ``min_support`` are dropped before the rule joins."""
-    b = baskets.select(
-        F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
-    ).distinct()
+    # the distinct scan feeds four branches (sizes, item_supp, ok, and
+    # both sides of the pair self-join) — materialize it once instead of
+    # recomputing the dominant scan per branch (the shared-subtree
+    # lesson from triangle_counts/bm25_topk)
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # basket-size guard: drop oversized baskets from PAIR generation
     # (their single-item supports still count — a mega-basket says
     # nothing about pairwise affinity but everything about item reach)
-    sizes = b.groupBy("bid").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = b.groupBy("bid").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint(
+        eager=True
+    )
     n_baskets = sizes.count()
     if n_baskets == 0:
         return baskets.sparkSession.createDataFrame(

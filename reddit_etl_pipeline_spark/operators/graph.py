@@ -661,10 +661,10 @@ def triangle_estimate_oracle_sql(
     edges_ctes: str, sample_num: int = 1, sample_den: int = 4
 ) -> str:
     """DuckDB replay of ``triangle_estimate``: ``edges_ctes`` must define
-    a CTE ``e(lo, hi)`` (normalized undirected distinct edges, both
-    endpoints non-negative BIGINTs — the UBIGINT cast below reinterprets
-    the hash input exactly like Spark's two's-complement long only for
-    non-negative keys). The sampled edge set keeps rows whose chained
+    a CTE ``e(lo, hi)`` (normalized undirected distinct edges, BIGINT
+    endpoints — negative keys are handled by the shared two's-complement
+    reinterpret ``xxh64_sql.unsigned``, exactly matching Spark's signed
+    xxhash64 input bits). The sampled edge set keeps rows whose chained
     xxhash64(lo, hi) has low bits < num (``uh % den`` == Spark's
     ``& (den-1)`` for power-of-two den), triangles are enumerated by the
     orientation-free triple join (exact on the sampled graph), and the
@@ -672,9 +672,7 @@ def triangle_estimate_oracle_sql(
     from .. import xxh64_sql as X
 
     edge_hash = X.render_select(
-        X.chain_cols(
-            "ehash", ["CAST(lo AS UBIGINT)", "CAST(hi AS UBIGINT)"]
-        ),
+        X.chain_cols("ehash", [X.unsigned("lo"), X.unsigned("hi")]),
         ["ehash"],
         "e",
         passthrough=["lo", "hi"],

@@ -1,0 +1,187 @@
+"""Persisted sketch store: per-``batch_date`` mergeable sketch partials
+written at ingest, queried by merging partials — never rescanning raw
+events.
+
+The 100 TB pattern this implements: the daily ingest
+(``plans/pipeline.run_daily_batch`` cadence) appends, alongside each
+day's raw partition, that day's SKETCH PARTIALS — relations bounded by
+sketch geometry (HLL: types × 1024 registers; CMS: 4×1024 counters;
+value/drift grids: distinct bins), never by row count. Questions that
+would otherwise scan every raw partition ("distinct users per type?",
+"heaviest users?", "p90 value?", "did the value distribution drift?")
+are then answered from the store by merging partials under each
+sketch's merge law:
+
+- HLL registers merge by **MAX** (idempotent),
+- CMS counters and grid bin counts merge by **SUM** (linear),
+
+— the same laws already proven by the streaming twins
+(``streaming/stream.py``: per-micro-batch partials == sketch of the
+union), which is exactly why the FULL-SCAN DuckDB oracles
+(``sketches.hll_users_oracle_sql`` / ``cms_users_oracle_sql`` /
+``grid_quantiles_oracle_sql`` / ``value_drift_oracle_sql``) replay
+merged-store answers bit for bit: merging per-day partials of a
+disjoint date partition of events equals building the sketch over the
+union of days.
+
+Incremental contract: ``append_day`` writes ONE day's partials (scans
+only that day's rows) with dynamic partition overwrite, so re-running a
+day is idempotent and a late-arriving day never touches its neighbors.
+The store answers after an append are identical to a full rebuild —
+pinned in tests/test_sketch_store.py and measured against the rescan
+path in DEPLOYMENT.md.
+
+Reference parity: the reference (951 LoC pandas + Redshift) recomputes
+every aggregate from raw rows per run; the sketch store is part of the
+beyond-reference large-scale family (same as the streaming twins whose
+merge laws it persists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import write_table
+from . import sketches as SK
+
+#: partial tables the store carries, each partitioned by batch_date
+STORE_TABLES = ("hll_users", "cms_users", "value_grid", "drift_grid")
+
+
+def _with_batch_date(events: DataFrame) -> DataFrame:
+    """Ingest-date key: the event's UTC calendar date as a string
+    partition column (the lake's batch_date convention)."""
+    return events.withColumn("batch_date", F.date_format("ts", "yyyy-MM-dd"))
+
+
+def day_partials(events: DataFrame, tables=STORE_TABLES) -> dict[str, DataFrame]:
+    """Per-batch_date sketch partials for every requested store table.
+    Each is the SAME state relation the batch/streaming twins build,
+    with batch_date as an extra group key — so a union of per-day
+    partials merges into exactly the full-scan sketch:
+
+    - ``hll_users``  (batch_date, event_type, reg, rho_max)  — MAX law
+    - ``cms_users``  (batch_date, j, idx, counter)           — SUM law
+    - ``value_grid`` (batch_date, event_type, bin, n)        — SUM law
+    - ``drift_grid`` (batch_date, event_type, side, bin, n)  — SUM law
+      (side = event_id parity, the drift detector's two populations)
+    """
+    ev = _with_batch_date(events)
+    out: dict[str, DataFrame] = {}
+    if "hll_users" in tables:
+        out["hll_users"] = SK.hll_registers(
+            ev, ["batch_date", "event_type"], F.xxhash64("user_id")
+        )
+    if "cms_users" in tables:
+        out["cms_users"] = (
+            SK.cms_user_positions(ev, extra=("batch_date",))
+            .groupBy("batch_date", "j", "idx")
+            .agg(F.count(F.lit(1)).alias("counter"))
+        )
+    if "value_grid" in tables:
+        out["value_grid"] = SK.value_grid_bins(
+            ev, ["batch_date", "event_type"], "value"
+        )
+    if "drift_grid" in tables:
+        # side expression mirrors streaming/stream.streamed_value_drift:
+        # NULL event_id -> NULL side, contributing to neither population
+        # (matches the batch twin's parity filters)
+        out["drift_grid"] = SK.value_grid_bins(
+            ev.withColumn("side", (F.col("event_id") % 2 != 0).cast("int")),
+            ["batch_date", "event_type", "side"],
+            "value",
+        )
+    return out
+
+
+def _write_partials(df: DataFrame, path: str) -> None:
+    # one file per date: partials are sketch-geometry-sized, so a
+    # 32-task write would scatter each day into dozens of KB files and
+    # the merge read would pay per-file open cost instead of one
+    # footer per day (measured 2.7 s vs 0.9 s at 10× before this)
+    write_table(
+        df.repartition("batch_date"),
+        path,
+        mode="overwrite",
+        partition_by=["batch_date"],
+    )
+
+
+def build_store(events: DataFrame, store_dir: str, tables=STORE_TABLES) -> None:
+    """Materialize the store from an events relation: one scan per
+    partial table, written partitioned by batch_date (dynamic overwrite
+    — rerunning a backfill only rewrites the dates present)."""
+    for name, df in day_partials(events, tables).items():
+        _write_partials(df, f"{store_dir}/{name}")
+
+
+def append_day(
+    events: DataFrame, store_dir: str, date: str, tables=STORE_TABLES
+) -> None:
+    """Incremental ingest: build and write partials for ONE batch_date,
+    scanning only that day's rows. Dynamic partition overwrite makes the
+    append idempotent (a rerun replaces only this date's partial); no
+    other date's partial — and no raw history — is read or touched."""
+    day = events.filter(F.date_format("ts", "yyyy-MM-dd") == date)
+    for name, df in day_partials(day, tables).items():
+        _write_partials(df, f"{store_dir}/{name}")
+
+
+def _read(spark: SparkSession, store_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{store_dir}/{name}")
+
+
+def store_distinct_users(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(event_type, approx_users) from the store: per-day register
+    partials merge by register-wise MAX, then the shared integer HLL
+    estimator. Cost is |dates|·|types|·m register rows — independent of
+    event count. Hash-matches the full-scan oracle
+    (``sketches.hll_users_oracle_sql``) because max over a date
+    partition's maxes == max over the union."""
+    regs = (
+        _read(spark, store_dir, "hll_users")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    return SK.hll_estimate(regs, "event_type")
+
+
+def store_value_quantiles(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Grid-sketch quantiles (p25/p50/p75/p90) per event_type from
+    merged per-day bin counts (SUM law) — the persisted counterpart of
+    ``sketches.value_quantiles``; shares its oracle."""
+    bins = (
+        _read(spark, store_dir, "value_grid")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return SK.grid_quantile_stats(bins, "event_type")
+
+
+def store_heavy_users(
+    spark: SparkSession, sf_dir: str, store_dir: str, top_n: int = 20
+) -> DataFrame:
+    """Exact top-n users with CMS point estimates, where the SKETCH side
+    comes from merged per-day counter partials (SUM law) instead of a
+    corpus rescan; shares ``sketches.cms_users_oracle_sql``. (The exact
+    side is the validation companion, as in the batch/streaming twins.)"""
+    sketch = (
+        _read(spark, store_dir, "cms_users")
+        .groupBy("j", "idx")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    return SK.cms_probe_users(spark, sf_dir, sketch, top_n=top_n)
+
+
+def store_value_drift(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Total-variation drift per event_type from the merged two-sided
+    grid (SUM law), reusing the streaming twin's batch tail
+    (``sketches.drift_from_side_grid``) — exact BIGINT numerator, one
+    6-dp divide; shares ``sketches.value_drift_oracle_sql``."""
+    grid = (
+        _read(spark, store_dir, "drift_grid")
+        .groupBy("event_type", "side", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return SK.drift_from_side_grid(grid)

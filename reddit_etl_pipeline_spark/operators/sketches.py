@@ -75,14 +75,17 @@ def _lc_table() -> list[int]:
     return [round(M * math.log(M / v)) for v in range(1, M + 1)]
 
 
-def hll_registers(rows: DataFrame, group: str, hash_col) -> DataFrame:
+def hll_registers(rows: DataFrame, group, hash_col) -> DataFrame:
     """Per-(group, register) max(rho) — the HLL sketch STATE. This
     relation is the mergeable object: max is idempotent and
     commutative, so register tables from partitions, days, or streaming
-    micro-batches union+max into the sketch of the union of inputs."""
+    micro-batches union+max into the sketch of the union of inputs.
+    ``group`` may be one column name or a list (composite keys, e.g. the
+    per-``batch_date`` partials of the persisted sketch store)."""
+    gcols = [group] if isinstance(group, str) else list(group)
     return (
         rows.select(
-            F.col(group),
+            *[F.col(g) for g in gcols],
             hash_col.alias("uh"),
         )
         # low B bits: non-negative for any signed input; remaining 54
@@ -96,7 +99,7 @@ def hll_registers(rows: DataFrame, group: str, hash_col) -> DataFrame:
                 F.lit(RMAX) - F.length(F.bin("w"))
             ),
         )
-        .groupBy(group, "reg")
+        .groupBy(*gcols, "reg")
         .agg(F.max("rho").alias("rho_max"))
     )
 
@@ -297,20 +300,22 @@ JOIN s_users sb ON sb.event_type = u.type_b
 QUANTS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
 
 
-def value_grid_bins(rows: DataFrame, group: str, value: str) -> DataFrame:
+def value_grid_bins(rows: DataFrame, group, value: str) -> DataFrame:
     """Per-``group`` fixed-grid histogram of ``value``: (group, bin, n)
     with bin = floor(value·P50_SCALE). THE mergeable quantile state —
     bin counts add (the CMS SUM law), so per-partition, per-day or
     per-micro-batch grids merge into exactly the grid of the union;
     state is bounded by grid resolution × value range, never row count.
     NULL values are dropped on both engines (NULL bin ordering differs
-    between Spark and DuckDB window sorts)."""
+    between Spark and DuckDB window sorts). ``group`` may be one column
+    name or a list (per-``batch_date`` sketch-store partials)."""
+    gcols = [group] if isinstance(group, str) else list(group)
     return (
         rows.filter(F.col(value).isNotNull())
         .withColumn(
             "bin", F.expr(f"CAST(floor({value} * {P50_SCALE}) AS BIGINT)")
         )
-        .groupBy(group, "bin")
+        .groupBy(*gcols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -776,6 +781,31 @@ def _cms_idx_exprs_spark(d: int = CMS_D, w: int = CMS_W):
     return {j: F.expr(f"(h1 + {j} * h2) & {w - 1}") for j in range(d)}
 
 
+def cms_user_positions(rows: DataFrame, key: str = "user_id", extra=()) -> DataFrame:
+    """One CMS (j, idx) increment row per occurrence of integer column
+    ``key`` — the shared position explode behind the batch probe, the
+    streaming counter aggregate, and the sketch store's per-day
+    partials. ``extra`` columns (e.g. batch_date) ride along as partial
+    group keys."""
+    idx = _cms_idx_exprs_spark()
+    hashed = rows.select(
+        *[F.col(c) for c in extra],
+        F.expr(f"xxhash64({key}) & 4294967295").alias("h1"),
+        F.expr(f"shiftrightunsigned(xxhash64({key}), 32)").alias("h2"),
+    )
+    return hashed.select(
+        *[F.col(c) for c in extra],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(*extra, "p.j", "p.idx")
+
+
 def cms_heavy_hitters(
     spark: SparkSession, sf_dir: str, top_n: int = 50
 ) -> DataFrame:
@@ -913,13 +943,9 @@ def cms_probe_users(
 
 def _u64_sql(col: str) -> str:
     """Signed BIGINT -> UBIGINT bit-pattern reinterpret (two's
-    complement) — the single source for every integer-keyed xxhash64
-    replay (HLL users, CMS users)."""
-    return (
-        f"CAST(CASE WHEN {col} >= 0 THEN CAST({col} AS HUGEINT) "
-        f"ELSE CAST({col} AS HUGEINT) + CAST({1 << 64} AS HUGEINT) "
-        "END AS UBIGINT)"
-    )
+    complement) for the integer-keyed xxhash64 replays (HLL users, CMS
+    users) — delegates to the shared ``xxh64_sql.unsigned``."""
+    return X.unsigned(col)
 
 
 def _cms_tail_sql(key: str, rel: str, top_n: int) -> str:

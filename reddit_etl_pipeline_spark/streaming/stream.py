@@ -324,23 +324,10 @@ def streamed_cms_heavy_users(
     from ..operators import sketches as SK
 
     ev = read_events_stream(spark, sf_dir)
-    hashed = ev.select(
-        F.expr("xxhash64(user_id) & 4294967295").alias("h1"),
-        F.expr("shiftrightunsigned(xxhash64(user_id), 32)").alias("h2"),
-    )
-    idx = SK._cms_idx_exprs_spark()
-    positions = hashed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), idx[j].alias("idx"))
-                    for j in range(SK.CMS_D)
-                ]
-            )
-        ).alias("p")
-    ).select("p.j", "p.idx")
-    counters = positions.groupBy("j", "idx").agg(
-        F.count(F.lit(1)).alias("counter")
+    counters = (
+        SK.cms_user_positions(ev)
+        .groupBy("j", "idx")
+        .agg(F.count(F.lit(1)).alias("counter"))
     )
     sketch = run_stream_to_batch(counters, spark, output_mode="complete")
     return SK.cms_probe_users(spark, sf_dir, sketch, top_n=top_n)

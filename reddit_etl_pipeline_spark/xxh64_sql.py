@@ -259,6 +259,18 @@ def signed(u: str) -> str:
     )
 
 
+def unsigned(col: str) -> str:
+    """Reinterpret a signed BIGINT's two's-complement bit pattern as
+    UBIGINT — the inverse of ``signed``; the single source for feeding
+    signed Spark longs (which may be negative) into the integer-keyed
+    hash replays (HLL/CMS users, DOULION edge sampling)."""
+    return (
+        f"CAST(CASE WHEN {col} >= 0 THEN CAST({col} AS HUGEINT) "
+        f"ELSE CAST({col} AS HUGEINT) + CAST({TWO64} AS HUGEINT) "
+        f"END AS UBIGINT)"
+    )
+
+
 def pmod31(u: str) -> str:
     """Spark pmod(signed(u), 2**31-1) — result BIGINT in [0, 2**31-1)."""
     m = (1 << 31) - 1

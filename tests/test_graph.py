@@ -281,6 +281,43 @@ def test_triangle_estimate_accuracy_on_corpus(spark, sf_dir):
     )
 
 
+def test_triangle_estimate_oracle_handles_negative_keys(spark):
+    """The DuckDB replay must reinterpret NEGATIVE node ids through the
+    shared two's-complement reinterpret instead of erroring on a raw
+    UBIGINT cast (round-7 advice) — engine and oracle must agree on a
+    graph with negative BIGINT keys."""
+    import duckdb
+
+    from reddit_etl_pipeline_spark.operators.graph import (
+        triangle_estimate,
+        triangle_estimate_oracle_sql,
+    )
+
+    pairs = [(-5, -2), (-2, 7), (-5, 7), (-9, -5), (-9, -2), (3, 7)]
+    e = _edges(spark, pairs)
+    got = sorted(
+        map(
+            tuple,
+            triangle_estimate(e, sample_num=1, sample_den=2).collect(),
+        )
+    )
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    ctes = (
+        f"raw(u, v) AS MATERIALIZED (SELECT * FROM (VALUES {values})),\n"
+        "e AS MATERIALIZED (SELECT DISTINCT least(u, v) AS lo, "
+        "greatest(u, v) AS hi FROM raw)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                triangle_estimate_oracle_sql(ctes, 1, 2)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
 def test_triangle_estimate_rejects_bad_params(spark):
     from reddit_etl_pipeline_spark.operators.graph import triangle_estimate
 
