@@ -365,3 +365,160 @@ def train_val_test_split(
         .when(band < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def scramble_sql(col: str) -> str:
+    """The DuckDB replay of ``scramble`` (the 16-bit split multiply,
+    verbatim) — single-sourced so oracles can't drift from the engine."""
+    return (
+        f"((((({col} % {_MOD}) // 65536) * {_KNUTH} % 65536) * 65536"
+        f" + (({col} % {_MOD}) % 65536) * {_KNUTH}) % {_MOD})"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Weight-proportional sampling without an RNG: systematic PPS
+    (probability-proportional-to-size, Madow 1949) over the cumulative
+    integer-weight axis — the curation counterpart of DSIR ("sample
+    documents ∝ quality score").
+
+    Rows are laid on [0, W) in deterministic Knuth-scrambled id order
+    (each row owns the interval [cum_before, cum_before + w)); k
+    equally-spaced thresholds u + j·(W div k), j = 0..k−1, pick the rows
+    whose interval they land in. Exactly k hits total (Σ n_hits == k),
+    inclusion probability k·wᵢ/W for wᵢ ≤ W/k (over the scramble's
+    pseudo-random orderings), and rows with wᵢ > W/k are
+    certainty-included with multiplicity n_hits ≈ wᵢ/(W/k) — the
+    classic PPS systematic estimator, here with a deterministic start
+    u = (seed·KNUTH) mod step so reruns and engines agree bit for bit.
+
+    Everything is BIGINT: weights must be non-negative integers (use
+    micro-units for fractional scores; zero-weight rows own an empty
+    interval and are never selected), the threshold count below x is
+    f(x) = least(k, (x − u + step − 1) div step) — the argument is
+    provably ≥ 0, so Spark's truncating div and DuckDB's flooring //
+    agree — and n_hits = f(hi) − f(lo).
+
+    Scale shape: the same two-phase bucketed cumulative sum as
+    ``token_budget_sample`` (64 scramble-range buckets roll up map-side;
+    the per-bucket offset window runs over 64 rows; per-bucket cumsum
+    windows give buckets × cores parallelism — no single global sort).
+    Degenerate guard: W < k makes step = 0; those rows are dropped
+    (empty result) rather than dividing by zero, mirrored in the oracle.
+
+    Returns (id_col, weight, n_hits) for selected rows, n_hits ≥ 1.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    bucket = (scramble(id_col) / F.lit(_MOD // n_buckets)).cast("int")
+    rows = df.select(
+        F.col(id_col),
+        bucket.alias("_bkt"),
+        F.greatest(F.coalesce(F.col(weight_col), F.lit(0)), F.lit(0))
+        .cast("long")
+        .alias("weight"),
+    )
+    per_bucket = rows.groupBy("_bkt").agg(F.sum("weight").alias("_bw"))
+    wb = Window.orderBy("_bkt")
+    offsets = (
+        per_bucket.withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bw").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_total",
+            F.sum("_bw").over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("_bkt", "_offset", "_total")
+    )
+    w = Window.partitionBy("_bkt").orderBy(
+        scramble(id_col).asc(), F.col(id_col).asc()
+    )
+    step = F.expr(f"_total div {k}")
+    u = F.expr(f"CAST({(seed * _KNUTH) % (1 << 62)} AS BIGINT) % _step")
+    hi_cum = F.col("_offset") + F.sum("weight").over(w)
+    lo_cum = hi_cum - F.col("weight")
+    scored = (
+        rows.join(F.broadcast(offsets), "_bkt")
+        .filter(step > 0)
+        .withColumn("_step", step)
+        .withColumn("_u", u)
+        .withColumn("_hi", hi_cum)
+        .withColumn("_lo", lo_cum)
+        .withColumn(
+            "_f_hi",
+            F.least(
+                F.lit(k).cast("long"),
+                F.expr("(_hi - _u + _step - 1) div _step"),
+            ),
+        )
+        .withColumn(
+            "_f_lo",
+            F.least(
+                F.lit(k).cast("long"),
+                F.expr("(_lo - _u + _step - 1) div _step"),
+            ),
+        )
+        .withColumn("n_hits", (F.col("_f_hi") - F.col("_f_lo")).cast("long"))
+    )
+    return scored.filter(F.col("n_hits") >= 1).select(
+        id_col, "weight", "n_hits"
+    )
+
+
+def weighted_sample_oracle_sql(
+    table_sql: str,
+    weight_sql: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> str:
+    """DuckDB replay of ``weighted_sample``: the engine's bucketed
+    two-phase cumsum collapses to ONE window here because the bucket is
+    the scramble's high bits — ordering by (bucket, scramble, id) IS
+    ordering by (scramble, id) — and (scr, id) is unique, so the RANGE
+    default frame equals the engine's ROWS cumsum. Same integer
+    step/u/f(x) arithmetic; ``weight_sql`` must produce a non-negative
+    BIGINT (coalesce/greatest applied here, mirroring the engine)."""
+    u_num = (seed * _KNUTH) % (1 << 62)
+    f_hi = f"least({k}, (hi - u + step - 1) // step)"
+    f_lo = f"least({k}, (lo - u + step - 1) // step)"
+    return f"""
+WITH wrows AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         greatest(coalesce({weight_sql}, 0), 0) AS weight,
+         {scramble_sql("id")} AS scr
+  FROM {table_sql}
+),
+cum AS MATERIALIZED (
+  SELECT id, weight,
+         sum(weight) OVER (ORDER BY scr, id) AS hi,
+         sum(weight) OVER () AS total
+  FROM wrows
+),
+thr AS MATERIALIZED (
+  SELECT id, weight, hi, hi - weight AS lo,
+         total // {k} AS step,
+         CAST({u_num} AS BIGINT) % (total // {k}) AS u
+  FROM cum WHERE total // {k} > 0
+)
+SELECT CAST(id AS BIGINT) AS {id_col},
+       CAST(weight AS BIGINT) AS weight,
+       CAST({f_hi} - {f_lo} AS BIGINT) AS n_hits
+FROM thr
+WHERE {f_hi} - {f_lo} >= 1
+"""

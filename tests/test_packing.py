@@ -230,3 +230,92 @@ def test_scramble_is_overflow_safe_for_large_ids(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert got == {i: (i * 2654435761) % (1 << 32) for i in ids}
+
+
+# ------------------------------------------------------------ weighted_sample
+
+
+def _ws(spark, weights, k, seed=1):
+    from reddit_etl_pipeline_spark.operators.packing import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    return {
+        r["doc_id"]: r["n_hits"]
+        for r in weighted_sample(
+            df, k=k, weight_col="w", id_col="doc_id", seed=seed
+        ).collect()
+    }
+
+
+def test_weighted_sample_exactly_k_hits(spark):
+    """Σ n_hits == k exactly, whatever the weights (the systematic-PPS
+    invariant), and every selected weight is positive."""
+    hits = _ws(spark, [5, 0, 17, 3, 9, 1, 40, 0, 8, 2] * 30, k=37)
+    assert sum(hits.values()) == 37
+    assert all(h >= 1 for h in hits.values())
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    weights = [0, 100, 0, 100, 0, 100, 0, 100]
+    hits = _ws(spark, weights, k=4)
+    assert all(weights[d] > 0 for d in hits)
+    assert sum(hits.values()) == 4
+
+
+def test_weighted_sample_heavy_item_certainty(spark):
+    """A row with w > W/k must be included (its interval spans at least
+    one full step), with multiplicity ~ w/(W/k)."""
+    weights = [1] * 100 + [900]  # W = 1000, k = 10 -> step = 100
+    hits = _ws(spark, weights, k=10)
+    assert 100 in hits  # the heavy row (doc_id 100)
+    assert 8 <= hits[100] <= 10  # 900/100 = 9 ± edge effects
+
+
+def test_weighted_sample_proportionality(spark):
+    """Across many seeds, empirical inclusion frequency tracks k·w/W.
+    Weights 1:4 should select the heavy stratum ~4x as often."""
+    import collections
+
+    weights = ([1] * 200) + ([4] * 200)  # W = 1000
+    totals = collections.Counter()
+    for seed in range(1, 31):
+        for d, h in _ws(spark, weights, k=10, seed=seed).items():
+            totals[d >= 200] += h
+    heavy, light = totals[True], totals[False]
+    # expectation: heavy = 10*800/1000 = 8/round, light = 2/round
+    assert 0.72 <= heavy / (heavy + light) <= 0.88, (heavy, light)
+
+
+def test_weighted_sample_degenerate_small_total(spark):
+    """W < k -> step = 0: defined behavior is an EMPTY result (never a
+    divide-by-zero), mirrored in the oracle's WHERE step > 0."""
+    assert _ws(spark, [1, 1, 1], k=10) == {}
+
+
+def test_weighted_sample_matches_oracle_on_synthetic(spark):
+    """Engine vs DuckDB replay on a synthetic weight table (weights and
+    ids chosen to exercise bucket boundaries and ties)."""
+    import duckdb
+
+    from reddit_etl_pipeline_spark.operators.packing import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    rows = [(i * 7919 + 3, (i * i) % 97 + (1 if i % 5 else 0)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        map(
+            tuple,
+            weighted_sample(df, k=50, weight_col="w", id_col="doc_id").collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        map(tuple, con.execute(weighted_sample_oracle_sql("t", "w", k=50)).fetchall())
+    )
+    assert got == want and sum(r[2] for r in got) == 50
