@@ -487,6 +487,44 @@ def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph — the
+    prerequisite labeling for any per-component statistic at corpus
+    scale (dedup.connected_components: iterative min-label propagation,
+    O(diameter) rounds, converge-or-raise). Returns (part_id,
+    component_id = component min, component_size). ORACLE-CHECKED via
+    the same star-rounds replay the near-dup cluster family uses
+    (neardup_oracles.cc_star_member_ctes) — first-class here instead of
+    only inside the dedup pipelines."""
+    from reddit_etl_pipeline_spark.operators.dedup import connected_components
+
+    cc = connected_components(
+        _copurchase_edges(spark, sf_dir), src="src", dst="dst"
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("part_id"),
+        F.col("component").alias("component_id"),
+        "component_size",
+    )
+
+
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional document sampling (packing.weighted_sample,
+    systematic PPS over the integer cumulative-weight axis): 500
+    threshold hits distributed ∝ quality-score micros — the curation
+    counterpart of DSIR's importance weights. Exactly 500 hits, pure
+    BIGINT, deterministic start, hash-replayed by DuckDB."""
+    docs = Q.load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.round(TX.quality_score("text") * 1e6).cast("long").alias("w"),
+    )
+    return PK.weighted_sample(weighted, k=500, weight_col="w")
+
+
 def _basket_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: top-100 part
     pairs by co-occurrence support with confidence/lift
@@ -697,6 +735,32 @@ def _hybrid_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = S.cosine_topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 5), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return RV.rrf_fuse(lex, sem, k=10)
+
+
+def _hybrid_doc_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SCALE path: the same integer-exact RRF fusion,
+    but the semantic leg is the production LSH index (cosine_topk_lsh —
+    banded equi-join candidates, hot-bucket splits) instead of the gated
+    brute-force baseline, so the fused pipeline is BNL-free end to end
+    (covered by the full-surface plan sweep, NOT on the allowlist).
+    Pairs with ``hybrid_doc_search`` exactly like every other family's
+    exact-baseline/production-twin pairing."""
+    docs = Q.load(spark, sf_dir, "documents")
+    emb = Q.load(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = RV.bm25_topk(docs, qd, k=20, prune_stop_terms=False).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = S.cosine_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        k=20,
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return RV.rrf_fuse(lex, sem, k=10)
 
@@ -1446,8 +1510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": _part_triangles,
         "part_triangles_approx": _part_triangles_approx,
         "part_communities": _part_communities,
+        "part_components": _part_components,
         "part_seed_distances": _part_seed_distances,
         "basket_rules_parts": _basket_rules_parts,
+        "weighted_sample": _weighted_sample_docs,
+        "hybrid_doc_search_lsh": _hybrid_doc_search_lsh,
         "part_kcore": _part_kcore,
         "part_clustering_coeff": _part_clustering_coeff,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3160,6 +3227,25 @@ def oracle_sql() -> dict[str, str]:
             ),
             k=10,
         ),
+        # hybrid scale path: same fusion, semantic leg = the LSH index
+        # replay (integer-grid bucket build, hot splits, RANK_DP rerank)
+        "hybrid_doc_search_lsh": RV.rrf_oracle_sql(
+            lex_sql=RV.bm25_oracle_sql(
+                k=20,
+                tokens_expr=_TOKENS,
+                prune_stop_terms=False,
+                query_where="doc_id < 5",
+            ),
+            sem_sql=AO.lsh_topk_oracle(k=20),
+            k=10,
+        ),
+        # quality-proportional PPS sample: weight = quality micros (the
+        # shared QUALITY_EXPR_SQL), same integer threshold arithmetic
+        "weighted_sample": PK.weighted_sample_oracle_sql(
+            "documents",
+            f"CAST(round(({NO.QUALITY_EXPR_SQL}) * 1000000) AS BIGINT)",
+            k=500,
+        ),
         "pii_scrub_stats": f"""
             WITH d AS (
               SELECT doc_id,
@@ -4144,6 +4230,30 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
             rounds=4,
             node_alias="part_key",
         ),
+        # plain connected components on the co-purchase graph: the same
+        # star-rounds replay the near-dup cluster oracles use, plus the
+        # per-component size rollup; isolated-in-pairs handling via the
+        # nodes/coalesce shape (rep may omit self-rows)
+        "part_components": f"""
+            WITH {_copurchase_ctes()},
+            pairs AS MATERIALIZED (SELECT lo AS doc_a, hi AS doc_b FROM e),
+            {NO_CC_STAR},
+            nodes AS MATERIALIZED (
+              SELECT lo AS part_id FROM e UNION SELECT hi FROM e
+            ),
+            memb AS MATERIALIZED (
+              SELECT n.part_id, coalesce(r.rep_id, n.part_id) AS component_id
+              FROM nodes n LEFT JOIN rep r ON r.doc_id = n.part_id
+            ),
+            csizes AS MATERIALIZED (
+              SELECT component_id, count(*) AS component_size
+              FROM memb GROUP BY component_id
+            )
+            SELECT CAST(m.part_id AS BIGINT) AS part_id,
+                   CAST(m.component_id AS BIGINT) AS component_id,
+                   CAST(s.component_size AS BIGINT) AS component_size
+            FROM memb m JOIN csizes s USING (component_id)
+        """,
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(

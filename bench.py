@@ -186,6 +186,9 @@ def main() -> None:
         "sketch_store_quantiles",
         "sketch_store_heavy_users",
         "sketch_store_drift",
+        "part_components",
+        "weighted_sample",
+        "hybrid_doc_search_lsh",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the
