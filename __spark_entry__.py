@@ -1257,6 +1257,16 @@ def _sketch_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous sketch-store ingest: foreachBatch writes per-batch
+    HLL register partials partitioned by INGEST batch id (dynamic
+    overwrite = exactly-once per micro-batch under at-least-once
+    replay); the merged store answers distinct users — date × batch
+    partials merge to the sketch of the union, so the full-scan HLL
+    oracle replays it (streaming/stream.streamed_sketch_store)."""
+    return ST.streamed_sketch_store(spark, sf_dir)
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds + watermarks;
     equals the batch range join (same oracle shape)."""
@@ -1423,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_deciles_by_nation": Q.spend_deciles_by_nation,
         "nation_directory": Q.nation_directory,
         "state_history_scd2": Q.state_history_scd2,
+        "purchase_state_pit": Q.purchase_state_pit,
         "small_quantity_revenue": Q.small_quantity_revenue,
         "order_count_distribution": Q.order_count_distribution,
         "promo_revenue_share": Q.promo_revenue_share,
@@ -1542,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_quantiles": _sketch_store_quantiles,
         "sketch_store_heavy_users": _sketch_store_heavy_users,
         "sketch_store_drift": _sketch_store_drift,
+        "stream_sketch_store": _stream_sketch_store,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -3725,6 +3737,47 @@ def oracle_sql() -> dict[str, str]:
                    n_events
             FROM collapsed
         """,
+        # feature-store point-in-time join: purchases ⋈ the SCD-2
+        # browsing-state interval containing the purchase ts — same
+        # gaps-and-islands chain as state_history_scd2, over
+        # non-purchase events, interval-containment LEFT join
+        "purchase_state_pit": """
+            WITH marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WHERE event_type <> 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS run_id
+              FROM marked
+            ), collapsed AS (
+              SELECT user_id, run_id, event_type,
+                     min(ts) AS valid_from, count(*) AS n_events
+              FROM runs GROUP BY 1, 2, 3
+            ), hist AS (
+              SELECT user_id, event_type, valid_from,
+                     lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY run_id) AS valid_to,
+                     n_events
+              FROM collapsed
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
+                   p.value,
+                   h.event_type AS state_type,
+                   CAST(date_trunc('microseconds', h.valid_from) AS TIMESTAMP)
+                     AS state_since,
+                   h.n_events AS state_events
+            FROM events p
+            LEFT JOIN hist h ON h.user_id = p.user_id
+                            AND h.valid_from <= p.ts
+                            AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+            WHERE p.event_type = 'purchase'
+        """,
         "temperature_mix": f"""
             WITH counts AS (
               SELECT source, count(*) AS n_docs FROM documents GROUP BY source
@@ -4189,6 +4242,7 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         "sketch_store_quantiles": SK.grid_quantiles_oracle_sql(),
         "sketch_store_heavy_users": SK.cms_users_oracle_sql(top_n=20),
         "sketch_store_drift": SK.value_drift_oracle_sql(),
+        "stream_sketch_store": SK.hll_users_oracle_sql(),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

@@ -189,6 +189,8 @@ def main() -> None:
         "part_components",
         "weighted_sample",
         "hybrid_doc_search_lsh",
+        "purchase_state_pit",
+        "stream_sketch_store",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

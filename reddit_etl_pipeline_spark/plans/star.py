@@ -1015,7 +1015,13 @@ def state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval close via lead over the collapsed (already tiny) run table.
     Total order inside a user via (ts, event_id) so ties collapse
     identically on every engine."""
-    ev = load(spark, sf_dir, "events")
+    return scd2_intervals(load(spark, sf_dir, "events"))
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """SCD-2 interval builder over any events-shaped frame — the
+    gaps-and-islands chain shared by ``state_history_scd2`` and the
+    point-in-time join (``purchase_state_pit``)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id", "event_type", "ts", "event_id",
@@ -1040,6 +1046,52 @@ def state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w_run).alias("valid_to"),
         "n_events",
+    )
+
+
+def purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME join: each purchase event enriched
+    with the user's browsing state — the SCD-2 interval over the user's
+    NON-purchase events — valid at the purchase timestamp. The
+    leakage-free feature lookup every training-data export needs: only
+    state knowable at event time attaches (intervals close at the next
+    state's start, so a future state can never leak backwards).
+    Purchases before a user's first browsing state carry NULL state
+    columns (LEFT join).
+
+    Scale shape: interval containment plans as a HASH join on the
+    user_id equi key with the two range predicates as residual
+    conditions (pinned BNL-free in tests/test_plans.py) — per-user
+    interval counts are small and the equi key carries the shuffle.
+    Containment is used instead of an as-of carry because it is
+    tie-unambiguous when two adjacent runs share a boundary timestamp:
+    the empty [t, t) interval can never contain a point, where an as-of
+    last()-carry would tie-break arbitrarily between equal valid_from
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    hist = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase")
+    ).withColumnRenamed("user_id", "h_user")
+    return (
+        purchases.join(
+            hist,
+            (purchases.user_id == hist.h_user)
+            & (F.col("valid_from") <= purchases.ts)
+            & (F.col("valid_to").isNull() | (purchases.ts < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("event_type").alias("state_type"),
+            F.col("valid_from").alias("state_since"),
+            F.col("n_events").alias("state_events"),
+        )
     )
 
 
@@ -1790,4 +1842,49 @@ def value_anomalies(spark: SparkSession, sf_dir: str, nsig: int = 5) -> DataFram
             F.round(F.first("med"), ROUND_DP).alias("med"),
             F.round(F.first("mad"), ROUND_DP).alias("mad"),
         )
+    )
+
+
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series outlier DAYS per event type: the daily event count's
+    z-score against that type's own mean/stddev over all days — the
+    ingest-volume monitor that catches a broken producer or a backfill
+    double-write the row-level value_anomalies can't see.
+
+    Exactness: daily counts are BIGINTs; mean and variance come from the
+    exact integer sums (n·Σx² − (Σx)² in BIGINT — counts are small
+    enough that every intermediate is < 2^53, so the int→double
+    conversions are EXACT, the sqrt is the one correctly-rounded IEEE
+    op, and the single z divide rounds to 6 dp identically in both
+    engines; no decimal→double 1-ulp hazard because nothing exceeds
+    2^53). Population stddev (divide by n_days) on both sides.
+
+    Scale shape: one map-side-combinable (type, day) count, one tiny
+    per-type rollup over |days| rows, one broadcast join back. Returns
+    every (event_type, day) with its z-score and an is_anomaly flag at
+    |z| > 2 — counts, not samples, so the output is |types|·|days|."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    # var = (n_days*sxx - sx^2) / n_days^2, exact integer numerator;
+    # zero variance (constant daily counts, or a single day) is DEFINED
+    # as z = 0 on both engines instead of an IEEE 0/0 NaN
+    joined = daily.join(F.broadcast(stats), "event_type")
+    var_num = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = F.when(var_num == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("n_days") - F.col("sx"))
+        / F.sqrt(var_num.cast("double"))
+    )
+    return joined.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round(z, ROUND_DP).alias("z_score"),
+        (F.abs(z) > 2.0).cast("long").alias("is_anomaly"),
     )

@@ -360,6 +360,72 @@ def streamed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.grid_quantile_stats(grid, "event_type")
 
 
+def streamed_sketch_store(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
+    """Continuous PERSISTED-sketch-store ingest — the streaming twin of
+    ``operators/sketch_store.py``: events stream in ``n_slices``
+    micro-batches (split by event_id % n_slices, so event time
+    interleaves across batches); ``foreachBatch`` writes each batch's
+    per-batch_date HLL register partials into the store partitioned by
+    INGEST BATCH id. Dynamic overwrite on that partition makes each
+    micro-batch's write exactly-once under foreachBatch's at-least-once
+    replay — the retry-safety a SUM-law partial needs (register MAX
+    would forgive duplicates; counter SUM would not, so the store keys
+    partials by the replay unit, not by date).
+
+    The read side merges register partials exactly as the batch store
+    does; a (date × batch) partition of events merges to the sketch of
+    the union, so the FULL-SCAN HLL oracle (hll_users_oracle_sql)
+    replays the streamed store's answer. Returns (event_type,
+    approx_users)."""
+    from ..operators import sketch_store as SS
+    from ..operators import sketches as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slices = [
+        batch.filter(F.col("event_id") % n_slices == i)
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="sketch_store_stream_")
+    stream = _normalize_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store = scratch_dir("stream_sketch_store_") + "/hll_users"
+
+    def ingest(b: DataFrame, batch_id: int) -> None:
+        parts = SS.day_partials(b, tables=("hll_users",))["hll_users"]
+        (
+            parts.withColumn("ingest_batch", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store)
+        )
+
+    chk = scratch_dir("sketch_store_chk_")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    return SK.hll_estimate(regs, "event_type")
+
+
 def streamed_value_drift(
     spark: SparkSession, sf_dir: str, split_mod: int = 2
 ) -> DataFrame:
@@ -1794,6 +1860,46 @@ def stream_static_enrich(
     micro-batch probes the static side (broadcast when small). The
     canonical "attach dimension attributes to a firehose" operator."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def streamed_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature lookup: purchase events stream against the
+    STATIC SCD-2 browsing-state history (plans/star.scd2_intervals over
+    non-purchase events) with the same interval-containment predicate as
+    the batch point-in-time join — the online half of the feature-store
+    pattern (training uses the batch PIT join, serving streams against
+    the identical history, so online/offline features can never skew).
+    Stateless stream-static LEFT join → append mode; shares the batch
+    oracle because containment attaches exactly one interval per
+    purchase regardless of arrival order."""
+    from reddit_etl_pipeline_spark.plans.star import load as star_load
+    from reddit_etl_pipeline_spark.plans.star import scd2_intervals
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    hist = scd2_intervals(
+        star_load(spark, sf_dir, "events").filter(
+            F.col("event_type") != "purchase"
+        )
+    ).withColumnRenamed("user_id", "h_user")
+    joined = purchases.join(
+        hist,
+        (purchases.user_id == hist.h_user)
+        & (F.col("valid_from") <= purchases.ts)
+        & (F.col("valid_to").isNull() | (purchases.ts < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("event_type").alias("state_type"),
+        F.col("valid_from").alias("state_since"),
+        F.col("n_events").alias("state_events"),
+    )
+    return run_stream_to_batch(joined, spark, output_mode="append")
 
 
 def streamed_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:

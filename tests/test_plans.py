@@ -132,6 +132,17 @@ def test_shipping_priority_pushdown_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_pit_join_is_equi_with_range_residual(spark, sf_dir):
+    """The point-in-time state join must plan as a hash/sort-merge join
+    on the user_id equi key with the interval-containment bounds as
+    residual conditions — never a BNL (the leakage-free feature lookup
+    must survive 100 TB event tables)."""
+    p = plan_of(Q.purchase_state_pit(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    # the purchase filter reaches the scan
+    assert "EqualTo(event_type,purchase)" in p
+
+
 def test_late_shipment_semi_join_residual(spark, sf_dir):
     """EXISTS plans as a left-semi hash/sort-merge join on the equi key;
     the 90-day comparison rides as a residual condition, never a BNL."""

@@ -136,3 +136,42 @@ def test_store_reads_prune_to_one_partition(spark, store):
     one_day = df.filter(F.col("batch_date") == "2024-01-01")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "batch_date" in plan
+
+
+def test_streamed_store_equals_batch_store_and_direct(spark, events, sf_dir, store):
+    """Streamed ingest (date × batch partials) must answer identically
+    to the batch store AND the direct full-scan sketch."""
+    from reddit_etl_pipeline_spark.streaming.stream import streamed_sketch_store
+
+    streamed = rows(streamed_sketch_store(spark, sf_dir))
+    assert streamed == rows(SS.store_distinct_users(spark, store))
+    assert streamed == rows(
+        SK.hll_estimate(
+            SK.hll_registers(events, "event_type", F.xxhash64("user_id")),
+            "event_type",
+        )
+    )
+
+
+def test_streamed_store_ingest_is_replay_safe(spark, events):
+    """foreachBatch is at-least-once: re-running a micro-batch's ingest
+    with the SAME batch id must leave the store unchanged (dynamic
+    overwrite on the ingest_batch partition), so even SUM-law partials
+    would survive a replay."""
+    d = scratch_dir("test_stream_store_replay_") + "/hll_users"
+    part = SS.day_partials(events, tables=("hll_users",))["hll_users"]
+
+    def write(batch_id):
+        (
+            part.withColumn("ingest_batch", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(d)
+        )
+
+    write(0)
+    once = spark.read.parquet(d).count()
+    write(0)  # the replay
+    assert spark.read.parquet(d).count() == once
