@@ -39,6 +39,7 @@ from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import sketches as SK
 from reddit_etl_pipeline_spark.operators import sketch_store as SS
+from reddit_etl_pipeline_spark.operators import snapshot as SNAP
 from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import graph as GR
 from reddit_etl_pipeline_spark.operators import basket as BK
@@ -54,6 +55,47 @@ from reddit_etl_pipeline_spark import neardup_oracles as NO
 NO_CC_STAR = NO.cc_star_member_ctes()
 
 from pyspark.sql import functions as F
+
+# Shared PIT-join replay (batch query and its streaming twin emit the
+# identical frame - containment attaches exactly one interval per
+# purchase regardless of arrival order).
+_PIT_ORACLE = """
+            WITH marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WHERE event_type <> 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS run_id
+              FROM marked
+            ), collapsed AS (
+              SELECT user_id, run_id, event_type,
+                     min(ts) AS valid_from, count(*) AS n_events
+              FROM runs GROUP BY 1, 2, 3
+            ), hist AS (
+              SELECT user_id, event_type, valid_from,
+                     lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY run_id) AS valid_to,
+                     n_events
+              FROM collapsed
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
+                   p.value,
+                   h.event_type AS state_type,
+                   CAST(date_trunc('microseconds', h.valid_from) AS TIMESTAMP)
+                     AS state_since,
+                   h.n_events AS state_events
+            FROM events p
+            LEFT JOIN hist h ON h.user_id = p.user_id
+                            AND h.valid_from <= p.ts
+                            AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+            WHERE p.event_type = 'purchase'
+        """
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -1257,6 +1299,43 @@ def _sketch_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: per-source added/removed/changed/unchanged
+    counts between two crawl snapshots (deterministic stand-ins: old =
+    docs sans %17==3, new = docs sans %17==0 with %13==0 texts
+    revised). Fingerprints project BEFORE the full-outer join so text
+    never crosses the Exchange (operators/snapshot.py); the oracle
+    replays the same xxhash64 bit for bit."""
+    from reddit_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    docs = Q.load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3)
+    new = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 13 == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def _daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitor: per-(event_type, day) z-score of the daily
+    count against the type's own day distribution — exact integer
+    sums (everything < 2^53, so the int→double conversions are exact),
+    zero variance defined as z = 0 (plans/star.daily_count_anomalies)."""
+    return Q.daily_count_anomalies(spark, sf_dir)
+
+
+def _stream_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online half of the feature-store pattern: purchases STREAM
+    against the static SCD-2 state history with the same containment
+    predicate as the batch PIT join — identical features online and
+    offline, so no training/serving skew; shares the batch oracle."""
+    return ST.streamed_purchase_state_pit(spark, sf_dir)
+
+
 def _stream_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous sketch-store ingest: foreachBatch writes per-batch
     HLL register partials partitioned by INGEST batch id (dynamic
@@ -1554,6 +1633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_heavy_users": _sketch_store_heavy_users,
         "sketch_store_drift": _sketch_store_drift,
         "stream_sketch_store": _stream_sketch_store,
+        "snapshot_diff_docs": _snapshot_diff_docs,
+        "daily_count_anomalies": _daily_count_anomalies,
+        "stream_purchase_state_pit": _stream_purchase_state_pit,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -3741,42 +3823,42 @@ def oracle_sql() -> dict[str, str]:
         # browsing-state interval containing the purchase ts — same
         # gaps-and-islands chain as state_history_scd2, over
         # non-purchase events, interval-containment LEFT join
-        "purchase_state_pit": """
-            WITH marked AS (
-              SELECT user_id, event_type, ts, event_id,
-                     CASE WHEN lag(event_type) OVER w IS NULL
-                            OR lag(event_type) OVER w <> event_type
-                          THEN 1 ELSE 0 END AS chg
-              FROM events WHERE event_type <> 'purchase'
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), runs AS (
-              SELECT *, sum(chg) OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-                       AS run_id
-              FROM marked
-            ), collapsed AS (
-              SELECT user_id, run_id, event_type,
-                     min(ts) AS valid_from, count(*) AS n_events
-              FROM runs GROUP BY 1, 2, 3
-            ), hist AS (
-              SELECT user_id, event_type, valid_from,
-                     lead(valid_from) OVER (PARTITION BY user_id
-                                            ORDER BY run_id) AS valid_to,
-                     n_events
-              FROM collapsed
+        "purchase_state_pit": _PIT_ORACLE,
+        "stream_purchase_state_pit": _PIT_ORACLE,
+        # fingerprint snapshot diff: same xxhash64 via xxh64_sql, same
+        # null-safe classification, same per-source rollup
+        "snapshot_diff_docs": SNAP.snapshot_diff_oracle_sql(
+            old_sql="SELECT doc_id, source, text FROM documents "
+            "WHERE doc_id % 17 <> 3",
+            new_sql="SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 "
+            "AND text IS NOT NULL THEN text || ' rev2' ELSE text END AS "
+            "text FROM documents WHERE doc_id % 17 <> 0",
+        ),
+        # daily-count z-scores: exact integer sums (< 2^53 end to end),
+        # population variance, zero variance -> z = 0 on both sides
+        "daily_count_anomalies": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            stats AS MATERIALIZED (
+              SELECT event_type, count(*) AS n_days, sum(n) AS sx,
+                     sum(n*n) AS sxx
+              FROM daily GROUP BY event_type
             )
-            SELECT p.event_id, p.user_id,
-                   CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP) AS ts,
-                   p.value,
-                   h.event_type AS state_type,
-                   CAST(date_trunc('microseconds', h.valid_from) AS TIMESTAMP)
-                     AS state_since,
-                   h.n_events AS state_events
-            FROM events p
-            LEFT JOIN hist h ON h.user_id = p.user_id
-                            AND h.valid_from <= p.ts
-                            AND (h.valid_to IS NULL OR p.ts < h.valid_to)
-            WHERE p.event_type = 'purchase'
+            SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+                   round(CASE WHEN s.n_days*s.sxx - s.sx*s.sx = 0 THEN 0.0
+                         ELSE (d.n*s.n_days - s.sx)
+                              / sqrt(CAST(s.n_days*s.sxx - s.sx*s.sx
+                                          AS DOUBLE)) END, 6) AS z_score,
+                   CAST(CASE WHEN abs(CASE WHEN s.n_days*s.sxx - s.sx*s.sx = 0
+                                  THEN 0.0
+                                  ELSE (d.n*s.n_days - s.sx)
+                                       / sqrt(CAST(s.n_days*s.sxx - s.sx*s.sx
+                                                   AS DOUBLE)) END) > 2.0
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM daily d JOIN stats s USING (event_type)
         """,
         "temperature_mix": f"""
             WITH counts AS (

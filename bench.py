@@ -191,6 +191,9 @@ def main() -> None:
         "hybrid_doc_search_lsh",
         "purchase_state_pit",
         "stream_sketch_store",
+        "snapshot_diff_docs",
+        "daily_count_anomalies",
+        "stream_purchase_state_pit",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

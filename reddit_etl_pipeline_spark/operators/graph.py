@@ -25,7 +25,7 @@ engine's iterative-algorithm surface alongside k-means and CC.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -41,6 +41,8 @@ __all__ = [
     "lpa_oracle_sql",
     "seed_distances",
     "bfs_oracle_sql",
+    "community_modularity",
+    "modularity_oracle_sql",
 ]
 
 
@@ -730,4 +732,154 @@ WITH {ctes}
 SELECT CAST(node AS BIGINT) AS {node_alias}, count(*) AS core_deg FROM (
   SELECT lo AS node FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
 GROUP BY node
+"""
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community Newman modularity contributions — the QUALITY
+    metric for a community labeling (Newman & Girvan 2004):
+    Q = Σ_c [e_c/m − (d_c/2m)²], computed per community in EXACT
+    INTEGER MICRO-UNITS so the oracle replays it at any scale:
+
+      q_micro_c = (num·1e6 + OFF·den) div den − OFF,
+      num = 4m·e_c − d_c²,  den = 4m²,  OFF = 2·1e6
+
+    (the positivity shift because num may be negative and Spark's div
+    truncates while DuckDB's // floors — the FK-readability rule). All
+    terms run in DECIMAL(38,0) / HUGEINT: at 100× (1.2e8 edges) the
+    shifted numerator reaches ~1e19, past BIGINT but far under 38
+    digits.
+
+    ``labels`` is a (node, community) frame (e.g. label_propagation
+    output). Returns (community, n_members, intra_edges, degree_sum,
+    q_micro); Σ q_micro / 1e6 ≈ global Q (each term truncated to the
+    micro-grid). Scale shape: two label joins over the edge set, three
+    tiny per-community aggregates, the global m attached via a window
+    over the per-community frame — no scalar collect, no cartesian."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    la = labels.select(F.col("node").alias("lo"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("hi"), F.col("community").alias("cb"))
+    el = und.join(la, "lo").join(lb, "hi").select("ca", "cb")
+    # every edge counted once under its lo-endpoint's community -> the
+    # window sum over the per-community frame recovers the global m
+    anyc = el.groupBy(F.col("ca").alias("community")).agg(
+        F.count(F.lit(1)).alias("ec_any")
+    )
+    intra = (
+        el.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    degc = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("degree_sum"))
+    )
+    mem = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    base = (
+        mem.join(intra, "community", "left")
+        .join(degc, "community")
+        .join(anyc, "community", "left")
+        .na.fill({"intra_edges": 0, "ec_any": 0})
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withm = base.withColumn("m", F.sum("ec_any").over(w_all))
+    q = F.expr(
+        "CAST(((CAST(4 AS DECIMAL(38,0)) * m * intra_edges"
+        "   - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum)"
+        "  * 1000000"
+        "  + CAST(2000000 AS DECIMAL(38,0)) * (CAST(4 AS DECIMAL(38,0)) * m * m))"
+        " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT) - 2000000"
+    )
+    return withm.select(
+        "community",
+        "n_members",
+        "intra_edges",
+        "degree_sum",
+        q.alias("q_micro"),
+    )
+
+
+def modularity_oracle_sql(
+    edges_ctes: str, rounds: int = 4, labels_sql: str | None = None
+) -> str:
+    """DuckDB replay of ``community_modularity`` over LPA labels:
+    wraps the full ``lpa_oracle_sql`` statement as a CTE (DuckDB allows
+    a complete WITH…SELECT inside a parenthesized CTE body — the
+    composed-oracle pattern), rebuilds the same per-community integer
+    sums, and applies the identical shifted HUGEINT division.
+    ``edges_ctes`` must define ``e(lo, hi)`` and is used BOTH inside the
+    LPA replay and for the edge/degree sums here (same text, so the two
+    views of the graph can never diverge)."""
+    labels = labels_sql or lpa_oracle_sql(edges_ctes, rounds=rounds, node_alias="node")
+    return f"""
+WITH labels AS MATERIALIZED ({labels}),
+{edges_ctes},
+el AS MATERIALIZED (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM e JOIN labels la ON la.node = e.lo
+         JOIN labels lb ON lb.node = e.hi
+),
+anyc AS MATERIALIZED (
+  SELECT ca AS community, count(*) AS ec_any FROM el GROUP BY ca
+),
+intra AS MATERIALIZED (
+  SELECT ca AS community, count(*) AS intra_edges FROM el
+  WHERE ca = cb GROUP BY ca
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY node
+),
+degc AS MATERIALIZED (
+  SELECT l.community, sum(d.d) AS degree_sum
+  FROM deg d JOIN labels l ON l.node = d.node GROUP BY l.community
+),
+mem AS MATERIALIZED (
+  SELECT community, count(*) AS n_members FROM labels GROUP BY community
+),
+tot AS MATERIALIZED (SELECT sum(ec_any) AS m FROM anyc),
+base AS MATERIALIZED (
+  SELECT mem.community, mem.n_members,
+         coalesce(intra.intra_edges, 0) AS intra_edges,
+         degc.degree_sum, tot.m
+  FROM mem
+  LEFT JOIN intra USING (community)
+  JOIN degc USING (community), tot
+)
+SELECT community,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(intra_edges AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       CAST(((CAST(4 AS HUGEINT) * m * intra_edges
+              - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000
+             + CAST(2000000 AS HUGEINT)
+               * (CAST(4 AS HUGEINT) * m * m))
+            // (CAST(4 AS HUGEINT) * m * m) - 2000000 AS BIGINT)
+         AS q_micro
+FROM base
 """

@@ -185,3 +185,84 @@ def store_value_drift(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
     )
     return SK.drift_from_side_grid(grid)
+
+
+def store_window_users(
+    spark: SparkSession, store_dir: str, window_days: int = 7
+) -> DataFrame:
+    """TIME-WINDOWED sketch algebra over the store: for every date in
+    the store, the distinct-user estimate per event_type over the
+    trailing ``window_days`` window — the "7-day actives" dashboard
+    query, answered entirely from register partials (register MAX over
+    the window's days == registers of the union of those days).
+
+    Shape: each day's register row EXPLODES into the ≤ window_days
+    window-ends it contributes to (a generate + equi SEMI join against
+    the store's real dates — never a range join, which would plan a
+    BNL over the register table), then one (window_end, type, reg) MAX
+    and the shared estimator. Cost is dates × window_days × geometry —
+    still independent of raw event count. Windows at the store's start
+    are partial (cover only the days present), identically on both
+    sides. Returns (window_end, event_type, approx_users)."""
+    regs = _read(spark, store_dir, "hll_users").withColumn(
+        "d", F.to_date("batch_date")
+    )
+    dates = regs.select(F.col("d").alias("window_end")).distinct()
+    exploded = regs.select(
+        "event_type",
+        "reg",
+        "rho_max",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("window_end"),
+    )
+    windowed = exploded.join(F.broadcast(dates), "window_end", "left_semi")
+    merged = windowed.groupBy(
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        "reg",
+    ).agg(F.max("rho_max").alias("rho_max"))
+    return SK.hll_estimate(merged, ["window_end", "event_type"])
+
+
+def window_users_oracle_sql(window_days: int = 7) -> str:
+    """DuckDB replay of ``store_window_users``: per-window register
+    builds from the raw events (valid because window-merged day
+    partials == registers of the window's union), the shared
+    linear-counting table and estimator chain."""
+    from .. import xxh64_sql as X
+    from .sketches import M, RMAX, _lc_table, _u64_sql
+
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT user_id FROM events)",
+        passthrough=["user_id"],
+    )
+    lc_rows = ", ".join(f"({v + 1}, {e})" for v, e in enumerate(_lc_table()))
+    est = SK._hll_est_chain("window_end, event_type", "wregs", "w_")
+    return f"""
+WITH uhash AS MATERIALIZED ({hash_sql}),
+ev AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id FROM events
+),
+dates AS MATERIALIZED (SELECT DISTINCT d FROM ev),
+memb AS MATERIALIZED (
+  SELECT DISTINCT w.d AS wend, e.event_type, e.user_id
+  FROM ev e JOIN dates w ON e.d BETWEEN w.d - {window_days - 1} AND w.d
+),
+wregs AS MATERIALIZED (
+  SELECT CAST(m.wend AS VARCHAR) AS window_end, m.event_type,
+         h.uh % {M} AS reg,
+         max(CASE WHEN h.uh // {M} = 0 THEN {RMAX}
+                  ELSE {RMAX} - length(bin(CAST(h.uh // {M} AS BIGINT))) END)
+           AS rho_max
+  FROM memb m JOIN uhash h USING (user_id)
+  GROUP BY 1, 2, reg
+),
+lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows})),
+{est}
+SELECT window_end, event_type, approx_users FROM w_users
+"""

@@ -455,3 +455,75 @@ def test_seed_distances_multi_source_min(spark):
     want = dict(con.execute(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_modularity_two_cliques_known_value(spark):
+    """Two disjoint triangles labeled as their own communities: m = 6,
+    each community e_c = 3, d_c = 6 -> q_c = 3/6 - (6/12)^2 = 0.25
+    exactly -> q_micro = 250000; Q = 0.5 (the maximum for two equal
+    cliques with no inter-edges)."""
+    from reddit_etl_pipeline_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    e = _edges(spark, pairs)
+    labels = label_propagation(e, rounds=3)
+    rows = {
+        r.community: r for r in community_modularity(e, labels).collect()
+    }
+    assert set(rows) == {1, 4}
+    for c in (1, 4):
+        assert rows[c].n_members == 3
+        assert rows[c].intra_edges == 3
+        assert rows[c].degree_sum == 6
+        assert rows[c].q_micro == 250000
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: e_c = m, d_c = 2m -> q = 1 - 1 = 0."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators.graph import community_modularity
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    e = _edges(spark, pairs)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("community", F.lit(1))
+    )
+    row = community_modularity(e, nodes).collect()[0]
+    assert row.q_micro == 0 and row.intra_edges == 5 and row.degree_sum == 10
+
+
+def test_modularity_matches_oracle_on_copurchase(spark, sf_dir):
+    """Engine vs the composed DuckDB replay (LPA labels wrapped as a
+    CTE) on the real co-purchase graph."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from reddit_etl_pipeline_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+        modularity_oracle_sql,
+    )
+
+    edges = E._copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=4)
+    got = sorted(map(tuple, community_modularity(edges, labels).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                modularity_oracle_sql(E._copurchase_ctes(), rounds=4)
+            ).fetchall(),
+        )
+    )
+    assert got == want

@@ -175,3 +175,42 @@ def test_streamed_store_ingest_is_replay_safe(spark, events):
     once = spark.read.parquet(d).count()
     write(0)  # the replay
     assert spark.read.parquet(d).count() == once
+
+
+def test_window_users_limits(spark, events, store):
+    """window == 1 day reproduces each day's own estimate; a window
+    covering the whole store reproduces the all-time estimate at the
+    final date."""
+    daily = {
+        (r.window_end, r.event_type): r.approx_users
+        for r in SS.store_window_users(spark, store, window_days=1).collect()
+    }
+    one_day = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-05"
+    )
+    direct = {
+        ("2024-01-05", r.event_type): r.approx_users
+        for r in SK.hll_estimate(
+            SK.hll_registers(one_day, "event_type", F.xxhash64("user_id")),
+            "event_type",
+        ).collect()
+    }
+    for k, v in direct.items():
+        assert daily[k] == v
+
+    n_dates = (
+        events.select(F.date_format("ts", "yyyy-MM-dd")).distinct().count()
+    )
+    last = max(d for d, _ in daily)
+    wide = {
+        (r.window_end, r.event_type): r.approx_users
+        for r in SS.store_window_users(
+            spark, store, window_days=n_dates
+        ).collect()
+    }
+    alltime = {
+        r.event_type: r.approx_users
+        for r in SS.store_distinct_users(spark, store).collect()
+    }
+    for t, v in alltime.items():
+        assert wide[(last, t)] == v
