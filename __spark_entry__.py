@@ -1299,6 +1299,34 @@ def _sketch_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_store_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per event_type for EVERY date in
+    the store, answered purely from register partials (window merge =
+    register MAX over the window's days) — the dashboard query the
+    sketch store exists for; cost is dates × 7 × geometry, independent
+    of raw event count (sketch_store.store_window_users)."""
+    return SS.store_window_users(
+        spark, _sketch_store(spark, sf_dir, "hll_users"), window_days=7
+    )
+
+
+def _part_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community QUALITY metric: per-community Newman modularity
+    contributions over the LPA labels of the co-purchase graph, in
+    exact integer micro-units (graph.community_modularity) — the
+    statistic that says whether the communities are worth using for
+    topic-balanced sampling. ORACLE: the full LPA replay wrapped as a
+    CTE + the identical shifted HUGEINT division."""
+    from reddit_etl_pipeline_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=4)
+    return community_modularity(edges, labels)
+
+
 def _snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff: per-source added/removed/changed/unchanged
     counts between two crawl snapshots (deterministic stand-ins: old =
@@ -1636,6 +1664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": _snapshot_diff_docs,
         "daily_count_anomalies": _daily_count_anomalies,
         "stream_purchase_state_pit": _stream_purchase_state_pit,
+        "sketch_store_window_users": _sketch_store_window_users,
+        "part_community_modularity": _part_community_modularity,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -4325,6 +4355,16 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         "sketch_store_heavy_users": SK.cms_users_oracle_sql(top_n=20),
         "sketch_store_drift": SK.value_drift_oracle_sql(),
         "stream_sketch_store": SK.hll_users_oracle_sql(),
+        # windowed sketch algebra: per-window register rebuilds replay
+        # the store's window-MAX merges (window union == merged days)
+        "sketch_store_window_users": SS.window_users_oracle_sql(
+            window_days=7
+        ),
+        # per-community Newman Q in integer micro-units; the LPA replay
+        # rides inside as a CTE, shifted HUGEINT division outside
+        "part_community_modularity": GR.modularity_oracle_sql(
+            edges_ctes=_copurchase_ctes(), rounds=4
+        ),
         "bloom_contamination_stats": SK.bloom_oracle_sql(),
         # the streaming twin's bloom == bloom of the union, so the SAME
         # batch replay is its oracle (the HLL/CMS twin convention)

@@ -194,6 +194,8 @@ def main() -> None:
         "snapshot_diff_docs",
         "daily_count_anomalies",
         "stream_purchase_state_pit",
+        "sketch_store_window_users",
+        "part_community_modularity",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the
