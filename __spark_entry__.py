@@ -1327,6 +1327,18 @@ def _part_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_modularity(edges, labels)
 
 
+def _rollup_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-aggregate rollup store: per-month additive partials over
+    orders (COUNT + DECIMAL SUM + MAX), yearly report answered from
+    merged partials — zero-error incremental materialization
+    (sketch_store.build_order_rollup_store / rollup_store_yearly)."""
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    store = scratch_dir("rollup_store_")
+    SS.build_order_rollup_store(Q.load(spark, sf_dir, "orders"), store)
+    return SS.rollup_store_yearly(spark, store)
+
+
 def _snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff: per-source added/removed/changed/unchanged
     counts between two crawl snapshots (deterministic stand-ins: old =
@@ -1666,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_purchase_state_pit": _stream_purchase_state_pit,
         "sketch_store_window_users": _sketch_store_window_users,
         "part_community_modularity": _part_community_modularity,
+        "rollup_store_revenue": _rollup_store_revenue,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -4360,6 +4373,8 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         "sketch_store_window_users": SS.window_users_oracle_sql(
             window_days=7
         ),
+        # exact-aggregate store: month partials merge with zero error
+        "rollup_store_revenue": SS.rollup_yearly_oracle_sql(),
         # per-community Newman Q in integer micro-units; the LPA replay
         # rides inside as a CTE, shifted HUGEINT division outside
         "part_community_modularity": GR.modularity_oracle_sql(

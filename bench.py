@@ -196,6 +196,7 @@ def main() -> None:
         "stream_purchase_state_pit",
         "sketch_store_window_users",
         "part_community_modularity",
+        "rollup_store_revenue",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -266,3 +266,52 @@ lc(v, lc_est) AS MATERIALIZED (SELECT * FROM (VALUES {lc_rows})),
 {est}
 SELECT window_end, event_type, approx_users FROM w_users
 """
+
+
+def build_order_rollup_store(orders: DataFrame, store_dir: str) -> None:
+    """EXACT-aggregate sibling of the sketch partials: per-month
+    additive rollup partials over orders — (batch_date = yyyy-MM,
+    n_orders, revenue DECIMAL, max_order DECIMAL). COUNT and the
+    DECIMAL SUM merge additively; MAX merges idempotently — so any
+    coarser rollup (year, all-time) is answerable from partials with
+    zero error, the classic incremental-ETL materialization (the
+    reference recomputes its summary from raw rows every run). Money
+    stays DECIMAL inside the store (the CLAUDE money rule); doubles
+    appear only at the query boundary."""
+    part = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("batch_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("max_order"),
+    )
+    _write_partials(part, f"{store_dir}/orders_rollup")
+
+
+def rollup_store_yearly(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(year, n_orders, revenue, max_order) from merged month partials —
+    SUM/SUM/MAX over ≤ 12 rows per year, never a fact-table scan. The
+    revenue rounds to 2 dp IN DECIMAL before the double cast (the
+    grand-total rule)."""
+    p = _read(spark, store_dir, "orders_rollup")
+    return p.groupBy(
+        F.substring("batch_date", 1, 4).alias("year")
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("revenue"),
+        F.max("max_order").cast("double").alias("max_order"),
+    )
+
+
+def rollup_yearly_oracle_sql() -> str:
+    """DuckDB replay of ``rollup_store_yearly`` — the direct yearly
+    rollup over orders (valid because COUNT/DECIMAL-SUM/MAX over month
+    partials equal the direct aggregates over the union)."""
+    return """
+SELECT strftime(o_orderdate, '%Y') AS year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order
+FROM orders GROUP BY 1
+"""

@@ -55,9 +55,17 @@ def run_daily_batch(
     batch_date: str,
     extraction_at=None,
     run_dbt_models: bool = True,
+    sketch_store_path: str | None = None,
 ) -> dict:
     """One end-to-end daily run. Returns the audit log dict (null counts,
-    row counts — the reference's observability surface)."""
+    row counts — the reference's observability surface).
+
+    ``sketch_store_path``: when set, the run ALSO appends this
+    batch_date's sketch partials (per-subreddit author-HLL registers +
+    score grid) — the persisted-sketch-store ingest pattern
+    (operators/sketch_store.py) wired into the daily cadence, so
+    distinct-author / score-quantile dashboards never rescan the lake.
+    Idempotent like the lake append (dynamic partition overwrite)."""
     raw = fetch_posts_df(spark, fetcher)
     staged = transform_posts(raw, extraction_at=extraction_at)
     audits = {"nulls_raw": total_nulls(raw), **summary_stats(staged)}
@@ -76,6 +84,12 @@ def run_daily_batch(
         dynamic_overwrite=True,
     )
 
+    if sketch_store_path is not None:
+        write_post_sketch_partials(
+            read_table(spark, lake_path, batch_date=batch_date),
+            sketch_store_path,
+        )
+
     # warehouse upsert (COPY + DELETE USING + INSERT parity)
     batch = read_table(spark, lake_path, batch_date=batch_date).drop("batch_date")
     _upsert_warehouse(spark, batch, warehouse_path)
@@ -90,6 +104,64 @@ def run_daily_batch(
         warehouse.createOrReplaceTempView("reddit")
         M.run_models(spark)
     return audits
+
+
+def write_post_sketch_partials(day: DataFrame, sketch_store_path: str) -> None:
+    """This batch_date's mergeable sketch partials for the posts
+    pipeline: per-(batch_date, subreddit) author-HLL registers (distinct
+    author dashboards — MAX merge law) and score value-grid bins
+    (score-quantile dashboards — SUM law). One file per date, dynamic
+    overwrite: a day's rerun replaces only that day's partial, exactly
+    like the lake append it rides along with. ``day`` must carry
+    batch_date (the lake read does)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+    from ..operators.sketch_store import _write_partials
+
+    _write_partials(
+        SK.hll_registers(
+            day, ["batch_date", "subreddit"], F.xxhash64("author")
+        ),
+        f"{sketch_store_path.rstrip('/')}/author_hll",
+    )
+    _write_partials(
+        SK.value_grid_bins(
+            day.withColumn("score_d", F.col("score").cast("double")),
+            ["batch_date", "subreddit"],
+            "score_d",
+        ),
+        f"{sketch_store_path.rstrip('/')}/score_grid",
+    )
+
+
+def post_sketch_distinct_authors(spark: SparkSession, sketch_store_path: str) -> DataFrame:
+    """(subreddit, approx_users) from the posts sketch store — merged
+    register partials, never a lake rescan."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+
+    regs = (
+        spark.read.parquet(f"{sketch_store_path.rstrip('/')}/author_hll")
+        .groupBy("subreddit", "reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    return SK.hll_estimate(regs, "subreddit")
+
+
+def post_sketch_score_quantiles(spark: SparkSession, sketch_store_path: str) -> DataFrame:
+    """Per-subreddit score quantiles from merged grid partials."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+
+    bins = (
+        spark.read.parquet(f"{sketch_store_path.rstrip('/')}/score_grid")
+        .groupBy("subreddit", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return SK.grid_quantile_stats(bins, "subreddit")
 
 
 def _upsert_warehouse(spark: SparkSession, batch: DataFrame, warehouse_path: str) -> None:

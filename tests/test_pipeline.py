@@ -138,3 +138,79 @@ def test_backfill_aborts_after_retry_budget_and_keeps_prior_days(spark, tmp_path
     # day 1 committed durably; day 3 never ran (order dependence)
     wh = spark.read.parquet(str(tmp_path / "wh"))
     assert wh.count() == 40
+
+
+def test_daily_batch_maintains_sketch_store(spark, tmp_path):
+    """run_daily_batch(sketch_store_path=...) appends each day's author
+    HLL + score-grid partials at ingest; the merged store answers must
+    equal direct full-lake computation, and a day's rerun must not
+    change them (dynamic overwrite idempotency)."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+    from reddit_etl_pipeline_spark.plans.pipeline import (
+        post_sketch_distinct_authors,
+        post_sketch_score_quantiles,
+        run_daily_batch,
+    )
+    from reddit_etl_pipeline_spark.sources import FakeRedditSource
+
+    lake = str(tmp_path / "lake")
+    wh = str(tmp_path / "wh")
+    store = str(tmp_path / "sketches")
+    for day, date in enumerate(["20250318", "20250319", "20250320"]):
+        run_daily_batch(
+            spark,
+            FakeRedditSource(n=120 + day * 10, day=day),
+            lake_path=lake,
+            warehouse_path=wh,
+            batch_date=date,
+            extraction_at=f"2025-03-{18 + day} 09:00:00",
+            sketch_store_path=store,
+        )
+    lake_df = spark.read.parquet(lake)
+    direct_users = sorted(
+        map(
+            tuple,
+            SK.hll_estimate(
+                SK.hll_registers(lake_df, "subreddit", F.xxhash64("author")),
+                "subreddit",
+            ).collect(),
+        )
+    )
+    got_users = sorted(
+        map(tuple, post_sketch_distinct_authors(spark, store).collect())
+    )
+    assert got_users == direct_users
+    direct_q = sorted(
+        map(
+            tuple,
+            SK.grid_quantile_stats(
+                SK.value_grid_bins(
+                    lake_df.withColumn(
+                        "score_d", F.col("score").cast("double")
+                    ),
+                    "subreddit",
+                    "score_d",
+                ),
+                "subreddit",
+            ).collect(),
+        )
+    )
+    got_q = sorted(
+        map(tuple, post_sketch_score_quantiles(spark, store).collect())
+    )
+    assert got_q == direct_q
+    # rerun day 2: idempotent, answers unchanged
+    run_daily_batch(
+        spark,
+        FakeRedditSource(n=130, day=1),
+        lake_path=lake,
+        warehouse_path=wh,
+        batch_date="20250319",
+        extraction_at="2025-03-19 09:00:00",
+        sketch_store_path=store,
+    )
+    assert sorted(
+        map(tuple, post_sketch_distinct_authors(spark, store).collect())
+    ) == got_users

@@ -207,11 +207,14 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
     assert targets, "expected broadcast hints on bounded dims to remain"
     # n1/n2 are nation_trade_volume's filtered projections of nation;
     # reg/local_nations are local_supplier_volume's region-filtered
-    # region (1 row) and nation⋈region members (<= 25 rows) — bounded
+    # region (1 row) and nation⋈region members (<= 25 rows) — bounded;
+    # stats is daily_count_anomalies' per-event_type sum table (|types|
+    # rows — type cardinality, not sf)
     bad = [
         t
         for t in targets
-        if t not in {"nation", "region", "n1", "n2", "reg", "local_nations"}
+        if t
+        not in {"nation", "region", "n1", "n2", "reg", "local_nations", "stats"}
     ]
     assert not bad, f"forced broadcast of sf-proportional tables: {bad}"
 

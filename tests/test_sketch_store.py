@@ -214,3 +214,26 @@ def test_window_users_limits(spark, events, store):
     }
     for t, v in alltime.items():
         assert wide[(last, t)] == v
+
+
+def test_order_rollup_store_equals_direct(spark, sf_dir):
+    """Yearly answers from month partials must equal the direct rollup
+    exactly (COUNT/DECIMAL-SUM/MAX merge with zero error)."""
+    from reddit_etl_pipeline_spark.plans.star import load
+
+    orders = load(spark, sf_dir, "orders")
+    d = scratch_dir("test_rollup_store_")
+    SS.build_order_rollup_store(orders, d)
+    got = rows(SS.rollup_store_yearly(spark, d))
+    direct = rows(
+        orders.groupBy(F.date_format("o_orderdate", "yyyy").alias("year")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("max_order"),
+        )
+    )
+    assert got == direct
