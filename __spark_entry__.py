@@ -1376,6 +1376,15 @@ def _stream_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_purchase_state_pit(spark, sf_dir)
 
 
+def _stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous KMV bottom-k sketch: per-micro-batch bottom-k states
+    merge under the idempotent MIN-SET law (replay-safe by idempotence,
+    unlike SUM partials); shares the batch KMV oracle because bottom-k
+    of the union == bottom-k of merged bottom-ks
+    (streaming/stream.streamed_kmv_distinct)."""
+    return ST.streamed_kmv_distinct(spark, sf_dir)
+
+
 def _stream_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous sketch-store ingest: foreachBatch writes per-batch
     HLL register partials partitioned by INGEST batch id (dynamic
@@ -1679,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_window_users": _sketch_store_window_users,
         "part_community_modularity": _part_community_modularity,
         "rollup_store_revenue": _rollup_store_revenue,
+        "supplier_blame_report": Q.supplier_blame_report,
+        "kmv_distinct_users": SK.kmv_distinct_users,
+        "stream_kmv_distinct": _stream_kmv_distinct,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -4368,6 +4380,10 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         "sketch_store_heavy_users": SK.cms_users_oracle_sql(top_n=20),
         "sketch_store_drift": SK.value_drift_oracle_sql(),
         "stream_sketch_store": SK.hll_users_oracle_sql(),
+        # KMV bottom-k: the distinct sketch that doubles as a uniform
+        # distinct SAMPLE; batch and stream share the replay (min-set law)
+        "kmv_distinct_users": SK.kmv_oracle_sql(),
+        "stream_kmv_distinct": SK.kmv_oracle_sql(),
         # windowed sketch algebra: per-window register rebuilds replay
         # the store's window-MAX merges (window union == merged days)
         "sketch_store_window_users": SS.window_users_oracle_sql(
@@ -4375,6 +4391,34 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         ),
         # exact-aggregate store: month partials merge with zero error
         "rollup_store_revenue": SS.rollup_yearly_oracle_sql(),
+        # Q21 shape, decorrelated: one lineitem scan; EXISTS/NOT EXISTS
+        # become n_supps >= 2 and n_attain == 1 over grouped aggregates
+        "supplier_blame_report": """
+            WITH per_os AS MATERIALIZED (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS own_max
+              FROM lineitem GROUP BY 1, 2
+            ),
+            per_o AS MATERIALIZED (
+              SELECT l_orderkey, count(*) AS n_supps,
+                     max(own_max) AS order_max
+              FROM per_os GROUP BY 1
+            ),
+            attain AS MATERIALIZED (
+              SELECT s.l_orderkey, o.n_supps,
+                     count(*) AS n_attain, min(s.l_suppkey) AS blame_sk
+              FROM per_os s JOIN per_o o USING (l_orderkey)
+              WHERE s.own_max = o.order_max
+              GROUP BY 1, 2
+            ),
+            counts AS MATERIALIZED (
+              SELECT blame_sk AS s_suppkey, count(*) AS n_blamed
+              FROM attain WHERE n_supps >= 2 AND n_attain = 1
+              GROUP BY 1
+            )
+            SELECT c.s_suppkey, sup.s_name, CAST(c.n_blamed AS BIGINT) AS n_blamed
+            FROM counts c JOIN supplier sup ON sup.s_suppkey = c.s_suppkey
+            ORDER BY n_blamed DESC, c.s_suppkey LIMIT 20
+        """,
         # per-community Newman Q in integer micro-units; the LPA replay
         # rides inside as a CTE, shifted HUGEINT division outside
         "part_community_modularity": GR.modularity_oracle_sql(

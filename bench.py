@@ -197,6 +197,9 @@ def main() -> None:
         "sketch_store_window_users",
         "part_community_modularity",
         "rollup_store_revenue",
+        "supplier_blame_report",
+        "kmv_distinct_users",
+        "stream_kmv_distinct",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -1099,3 +1099,105 @@ SELECT u.event_type AS event_type,
        round(CAST(h.p50_bin AS DOUBLE) / {P50_SCALE}, 6) AS approx_p50
 FROM users u JOIN hit h USING (event_type)
 """
+
+
+# ------------------------------------------------------------------ KMV
+# (k-minimum-values / bottom-k, Bar-Yossef et al. 2002): keep the k
+# smallest distinct hash values per group. The MIN-SET merge law —
+# bottom-k of a union == bottom-k of the merged bottom-k sets — is
+# idempotent and commutative like the HLL register max, but the state
+# doubles as a UNIFORM SAMPLE of the group's distinct keys (hashes are
+# exchangeable), which no other sketch in the family provides. The
+# estimator (k−1)·2^64 / h_(k) is integer end to end: unsigned order is
+# emulated on Spark's signed xxhash64 by flipping the sign bit (XOR
+# with −2^63 — bit pattern order == unsigned order), the kth value
+# re-biases to unsigned in DECIMAL(38,0)/HUGEINT, one integer division.
+KMV_K = 256  # rsd ~ 1/sqrt(k-2) = 6.3%
+_SIGN_FLIP = -(1 << 63)
+
+
+def kmv_bottomk(
+    rows: DataFrame, group: str, hash_col, k: int = KMV_K
+) -> DataFrame:
+    """Per-``group`` bottom-k sketch STATE: (group, flipped) — the k
+    smallest distinct hashes in sign-flipped (= unsigned) order. This
+    relation is the mergeable object; re-applying ``kmv_bottomk`` to a
+    union of states merges them."""
+    from pyspark.sql import Window
+
+    distinct = rows.select(
+        F.col(group), F.expr(f"{hash_col} ^ {_SIGN_FLIP}").alias("flipped")
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("flipped")
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group, "flipped")
+    )
+
+
+def kmv_estimate(state: DataFrame, group: str, k: int = KMV_K) -> DataFrame:
+    """(group, n_kept, kmv_est) from a bottom-k state: fewer than k
+    distinct values means the state IS the exact distinct set
+    (est = n_kept); otherwise (k−1)·2^64 div u_(k) with u_(k) the kth
+    smallest unsigned hash (guarded ≥ 1 — an exactly-zero 64-bit hash)."""
+    agg = state.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("flipped").alias("kth_flipped"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")).otherwise(
+        F.expr(
+            f"CAST(CAST({(k - 1) * (1 << 64)} AS DECIMAL(38,0)) div "
+            f"greatest(CAST(kth_flipped AS DECIMAL(38,0)) "
+            f"+ CAST({1 << 63} AS DECIMAL(38,0)), CAST(1 AS DECIMAL(38,0))) "
+            f"AS BIGINT)"
+        )
+    )
+    return agg.select(group, "n_kept", est.alias("kmv_est"))
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """Per-event-type distinct-user estimate AND uniform distinct sample
+    via one bottom-k sketch — the KMV companion to the HLL: same
+    one-scan build, state = k hashes per group (which double as a
+    sample for drill-down, e.g. joining back for exemplar users).
+    Returns (event_type, n_kept, kmv_est)."""
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events")
+    state = kmv_bottomk(ev, "event_type", "xxhash64(user_id)", k=k)
+    return kmv_estimate(state, "event_type", k=k)
+
+
+def kmv_oracle_sql(k: int = KMV_K) -> str:
+    """DuckDB replay: xxhash64 of the two's-complement user bits via
+    xxh64_sql (unsigned th — ordered natively, no flip needed), per-type
+    distinct bottom-k, the same guarded integer division."""
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        passthrough=["event_type"],
+    )
+    return f"""
+WITH hashes AS MATERIALIZED ({hash_sql}),
+dist AS MATERIALIZED (SELECT DISTINCT event_type, uh FROM hashes),
+ranked AS MATERIALIZED (
+  SELECT event_type, uh,
+         row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+  FROM dist
+),
+state AS MATERIALIZED (
+  SELECT event_type, uh FROM ranked WHERE rn <= {k}
+),
+agg AS MATERIALIZED (
+  SELECT event_type, count(*) AS n_kept, max(uh) AS kth
+  FROM state GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept < {k} THEN n_kept
+                 ELSE CAST({(k - 1) * (1 << 64)} AS HUGEINT)
+                      // greatest(CAST(kth AS HUGEINT), 1)
+            END AS BIGINT) AS kmv_est
+FROM agg
+"""

@@ -1888,3 +1888,53 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, ROUND_DP).alias("z_score"),
         (F.abs(z) > 2.0).cast("long").alias("is_anomaly"),
     )
+
+
+def supplier_blame_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21 SHAPE on the shipped columns (the testdata carries no
+    receipt/commit dates): for multi-supplier orders, blame the supplier
+    who UNIQUELY shipped last — the classic "suppliers who kept orders
+    waiting" report, whose textbook form is a correlated EXISTS + NOT
+    EXISTS pair against the same fact table.
+
+    DECORRELATED: two grouped aggregates replace both correlated
+    subqueries — per-(order, supplier) max shipdate, then per-order
+    (supplier count, attaining-supplier count) — so lineitem is scanned
+    ONCE and everything else is key-joined aggregate tables (the
+    single-scan discipline of late_shipment_priority /
+    top_value_parts). 'Uniquely last' = exactly one supplier attains
+    the order max (the NOT EXISTS half); 'kept others waiting' =
+    ≥ 2 suppliers in the order (the EXISTS half). Top-k totally ordered
+    on (n_blamed DESC, s_suppkey)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("own_max")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.max("own_max").alias("order_max"),
+    )
+    attain = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(F.col("own_max") == F.col("order_max"))
+        .groupBy("l_orderkey", "n_supps")
+        .agg(
+            F.count(F.lit(1)).alias("n_attain"),
+            F.min("l_suppkey").alias("blame_sk"),
+        )
+    )
+    blamed = attain.filter(
+        (F.col("n_supps") >= 2) & (F.col("n_attain") == 1)
+    )
+    counts = blamed.groupBy(F.col("blame_sk").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_blamed")
+    )
+    return (
+        counts.join(sup, "s_suppkey")
+        .select("s_suppkey", "s_name", "n_blamed")
+        .orderBy(F.col("n_blamed").desc(), "s_suppkey")
+        .limit(k)
+    )

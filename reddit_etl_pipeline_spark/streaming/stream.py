@@ -426,6 +426,79 @@ def streamed_sketch_store(
     return SK.hll_estimate(regs, "event_type")
 
 
+def streamed_kmv_distinct(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3, k: int = None
+) -> DataFrame:
+    """Continuous KMV (bottom-k) distinct sketch: per micro-batch the
+    batch's per-type bottom-k hashes merge into a persisted ≤ types×k
+    row state (union → re-bottom-k — the idempotent MIN-SET law, so an
+    at-least-once replay of a batch merges to the identical state).
+    Completes the streaming sketch family's law coverage: register MAX,
+    counter SUM, bit OR, grid SUM, and now min-set. The final estimate
+    is the batch estimator over the converged state; the full-scan KMV
+    oracle replays it because bottom-k of the union == bottom-k of
+    merged per-batch bottom-ks. Returns (event_type, n_kept, kmv_est)."""
+    from ..operators import sketches as SK
+
+    if k is None:
+        k = SK.KMV_K
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slices = [
+        batch.filter(F.col("event_id") % n_slices == i)
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="kmv_stream_")
+    stream = _normalize_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state_path = scratch_dir("kmv_state_") + "/state"
+
+    def merge(b: DataFrame, _batch_id: int) -> None:
+        fresh = SK.kmv_bottomk(
+            b, "event_type", "xxhash64(user_id)", k=k
+        )
+        old = _read_index_or_none(spark, state_path)
+        if old is not None:
+            # re-flipping a flipped value is wrong — old state is
+            # already in flipped space, so merge in that space directly
+            merged = old.unionByName(fresh)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("event_type").orderBy("flipped")
+            fresh = (
+                merged.distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("event_type", "flipped")
+            )
+        # the state is ≤ types×k rows: rewrite whole, one file
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            state_path + "__next"
+        )
+        import shutil
+
+        shutil.rmtree(state_path, ignore_errors=True)
+        shutil.move(state_path + "__next", state_path)
+
+    chk = scratch_dir("kmv_chk_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return SK.kmv_estimate(
+        spark.read.parquet(state_path), "event_type", k=k
+    )
+
+
 def streamed_value_drift(
     spark: SparkSession, sf_dir: str, split_mod: int = 2
 ) -> DataFrame:

@@ -409,3 +409,93 @@ def test_streamed_drift_equals_batch(spark, sf_dir):
         tuple(r) for r in SK.value_drift_by_type(spark, sf_dir).collect()
     )
     assert got == want and got
+
+
+# ------------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    """Fewer distinct keys than k -> the state IS the exact set; well
+    above k the estimator lands within ~4 sigma of 1/sqrt(k-2)."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+
+    small = spark.createDataFrame(
+        [(i % 100, "a") for i in range(1000)], "user_id long, event_type string"
+    )
+    est = SK.kmv_estimate(
+        SK.kmv_bottomk(small, "event_type", "xxhash64(user_id)"), "event_type"
+    ).collect()[0]
+    assert est.n_kept == 100 and est.kmv_est == 100
+
+    big = spark.createDataFrame(
+        [(i, "b") for i in range(20000)], "user_id long, event_type string"
+    )
+    est = SK.kmv_estimate(
+        SK.kmv_bottomk(big, "event_type", "xxhash64(user_id)"), "event_type"
+    ).collect()[0]
+    assert est.n_kept == SK.KMV_K
+    assert abs(est.kmv_est - 20000) <= 0.25 * 20000, est.kmv_est
+
+
+def test_kmv_min_set_merge_law(spark):
+    """bottom-k of a union == bottom-k of the merged per-part bottom-k
+    states — the law the streaming twin and any partitioned build rely
+    on; also idempotent (merging a state with itself is a no-op)."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+
+    full = spark.createDataFrame(
+        [(i * 31 + 7, "t") for i in range(3000)],
+        "user_id long, event_type string",
+    )
+    parts = [
+        full.filter(F.col("user_id") % 3 == i) for i in range(3)
+    ]
+    direct = sorted(
+        map(
+            tuple,
+            SK.kmv_bottomk(full, "event_type", "xxhash64(user_id)").collect(),
+        )
+    )
+    states = [
+        SK.kmv_bottomk(p, "event_type", "xxhash64(user_id)") for p in parts
+    ]
+    merged_in = states[0].unionByName(states[1]).unionByName(states[2])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("flipped")
+    merged = sorted(
+        map(
+            tuple,
+            merged_in.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SK.KMV_K)
+            .select("event_type", "flipped")
+            .collect(),
+        )
+    )
+    assert merged == direct
+    # idempotence: state ∪ state re-bottom-ks to itself
+    twice = sorted(
+        map(
+            tuple,
+            states[0]
+            .unionByName(states[0])
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SK.KMV_K)
+            .select("event_type", "flipped")
+            .collect(),
+        )
+    )
+    assert twice == sorted(map(tuple, states[0].collect()))
+
+
+def test_kmv_stream_equals_batch(spark, sf_dir):
+    """The foreachBatch min-set merge must converge to the one-batch
+    sketch exactly."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+    from reddit_etl_pipeline_spark.streaming.stream import streamed_kmv_distinct
+
+    got = sorted(map(tuple, streamed_kmv_distinct(spark, sf_dir).collect()))
+    want = sorted(map(tuple, SK.kmv_distinct_users(spark, sf_dir).collect()))
+    assert got == want
