@@ -1690,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_store_revenue": _rollup_store_revenue,
         "supplier_blame_report": Q.supplier_blame_report,
         "kmv_distinct_users": SK.kmv_distinct_users,
+        "kmv_user_jaccard": SK.kmv_user_jaccard,
         "stream_kmv_distinct": _stream_kmv_distinct,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
@@ -4383,6 +4384,7 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # KMV bottom-k: the distinct sketch that doubles as a uniform
         # distinct SAMPLE; batch and stream share the replay (min-set law)
         "kmv_distinct_users": SK.kmv_oracle_sql(),
+        "kmv_user_jaccard": SK.kmv_jaccard_oracle_sql(),
         "stream_kmv_distinct": SK.kmv_oracle_sql(),
         # windowed sketch algebra: per-window register rebuilds replay
         # the store's window-MAX merges (window union == merged days)

@@ -200,6 +200,7 @@ def main() -> None:
         "supplier_blame_report",
         "kmv_distinct_users",
         "stream_kmv_distinct",
+        "kmv_user_jaccard",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

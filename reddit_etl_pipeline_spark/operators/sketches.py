@@ -1201,3 +1201,114 @@ SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
             END AS BIGINT) AS kmv_est
 FROM agg
 """
+
+
+def kmv_user_jaccard(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV SET ALGEBRA: estimated Jaccard similarity of the distinct
+    USER sets of every event-type pair — the bottom-k counterpart of
+    ``hll_user_overlap``. For a pair (a, b), the union's bottom-k is the
+    bottom-k of the two merged states (the MIN-SET law); each of those
+    hashes is a uniform sample of A ∪ B, so the fraction present in
+    BOTH states estimates |A∩B|/|A∪B| (Broder's classic min-wise
+    argument, here with one shared hash instead of k permutations —
+    the bottom-k variant). Everything is integer until one final 6-dp
+    divide: membership flags are exact, the union cut is a row_number
+    over flipped (= unsigned) order.
+
+    ONE state build feeds all pairs; pair work merges ≤ 2k-row slices —
+    never user ids (the hll_user_overlap scale story). Returns
+    (type_a, type_b, n_union_kept, n_both, jaccard_est)."""
+    from pyspark.sql import Window
+
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events")
+    state = kmv_bottomk(
+        ev, "event_type", "xxhash64(user_id)", k=k
+    ).localCheckpoint(eager=True)
+    types = state.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sa = pairs.join(
+        state.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "flipped", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    sb = pairs.join(
+        state.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "flipped", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("type_a", "type_b", "flipped")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("flipped")
+    cut = merged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return cut.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_jaccard_oracle_sql(k: int = KMV_K) -> str:
+    """DuckDB replay of ``kmv_user_jaccard``: same per-type bottom-k
+    states (native unsigned order), same pair merge / union cut /
+    membership counts, one 6-dp divide."""
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT event_type, user_id FROM events)",
+        passthrough=["event_type"],
+    )
+    return f"""
+WITH hashes AS MATERIALIZED ({hash_sql}),
+dist AS MATERIALIZED (SELECT DISTINCT event_type, uh FROM hashes),
+state AS MATERIALIZED (
+  SELECT event_type, uh FROM (
+    SELECT event_type, uh,
+           row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+    FROM dist
+  ) WHERE rn <= {k}
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM state) a,
+       (SELECT DISTINCT event_type FROM state) b
+  WHERE a.event_type < b.event_type
+),
+merged AS MATERIALIZED (
+  SELECT type_a, type_b, uh, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, s.uh, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN state s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.uh, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN state s ON s.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+cut AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY uh) AS rn
+    FROM merged
+  ) WHERE rn <= {k}
+)
+SELECT type_a, type_b,
+       CAST(count(*) AS BIGINT) AS n_union_kept,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_est
+FROM cut GROUP BY 1, 2
+"""

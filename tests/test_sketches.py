@@ -499,3 +499,23 @@ def test_kmv_stream_equals_batch(spark, sf_dir):
     got = sorted(map(tuple, streamed_kmv_distinct(spark, sf_dir).collect()))
     want = sorted(map(tuple, SK.kmv_distinct_users(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_kmv_jaccard_accuracy_known_overlap(spark, monkeypatch, tmp_path):
+    """Two types with engineered |A∩B|/|A∪B| = 1/3 (A = 0..5999,
+    B = 3000..8999): the bottom-k estimate lands within ~4 sigma of
+    sqrt(J(1-J)/k) ≈ 0.03."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+
+    rows = [(u, "a") for u in range(6000)] + [
+        (u, "b") for u in range(3000, 9000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    df.withColumn("event_id", F.col("user_id")).withColumn(
+        "ts", F.expr("timestamp '2024-01-01 00:00:00'")
+    ).withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit(None).cast("string")
+    ).coalesce(2).write.parquet(str(tmp_path / "events.parquet"))
+    out = SK.kmv_user_jaccard(spark, str(tmp_path)).collect()[0]
+    assert out.type_a == "a" and out.type_b == "b"
+    assert abs(out.jaccard_est - 1 / 3) <= 0.12, out.jaccard_est
