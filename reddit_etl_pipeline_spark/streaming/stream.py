@@ -458,6 +458,17 @@ def streamed_kmv_distinct(
     state_path = scratch_dir("kmv_state_") + "/state"
 
     def merge(b: DataFrame, _batch_id: int) -> None:
+        import os
+        import shutil
+
+        old_dir = state_path + "__old"
+        # crash recovery (the _upsert_warehouse swap discipline): a
+        # previous merge died between the moves — restore the stranded
+        # state instead of silently restarting from this batch alone
+        if os.path.exists(old_dir) and not os.path.exists(state_path):
+            shutil.move(old_dir, state_path)
+        elif os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         fresh = SK.kmv_bottomk(
             b, "event_type", "xxhash64(user_id)", k=k
         )
@@ -475,14 +486,15 @@ def streamed_kmv_distinct(
                 .filter(F.col("rn") <= k)
                 .select("event_type", "flipped")
             )
-        # the state is ≤ types×k rows: rewrite whole, one file
+        # the state is ≤ types×k rows: rewrite whole, one file, then a
+        # two-move swap so no crash window leaves zero copies on disk
         fresh.coalesce(1).write.mode("overwrite").parquet(
             state_path + "__next"
         )
-        import shutil
-
-        shutil.rmtree(state_path, ignore_errors=True)
+        if os.path.exists(state_path):
+            shutil.move(state_path, old_dir)
         shutil.move(state_path + "__next", state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     chk = scratch_dir("kmv_chk_")
     q = (
