@@ -553,6 +553,23 @@ def _part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED quality-proportional sampling: the same systematic
+    PPS run independently per document language — exactly 100 hits per
+    lang ∝ quality micros (each stratum gets its own W/step/thresholds),
+    the per-language curation mix (packing.weighted_sample with
+    group_col)."""
+    docs = Q.load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "lang",
+        "doc_id",
+        F.round(TX.quality_score("text") * 1e6).cast("long").alias("w"),
+    )
+    return PK.weighted_sample(
+        weighted, k=100, weight_col="w", group_col="lang"
+    )
+
+
 def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional document sampling (packing.weighted_sample,
     systematic PPS over the integer cumulative-weight axis): 500
@@ -1691,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_blame_report": Q.supplier_blame_report,
         "kmv_distinct_users": SK.kmv_distinct_users,
         "kmv_user_jaccard": SK.kmv_user_jaccard,
+        "kmv_sample_users": SK.kmv_sample_users,
+        "weighted_sample_by_lang": _weighted_sample_by_lang,
         "stream_kmv_distinct": _stream_kmv_distinct,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
@@ -4385,6 +4404,14 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # distinct SAMPLE; batch and stream share the replay (min-set law)
         "kmv_distinct_users": SK.kmv_oracle_sql(),
         "kmv_user_jaccard": SK.kmv_jaccard_oracle_sql(),
+        "kmv_sample_users": SK.kmv_sample_oracle_sql(n=5),
+        # stratified PPS: per-lang thresholds, same integer arithmetic
+        "weighted_sample_by_lang": PK.weighted_sample_oracle_sql(
+            "documents",
+            f"CAST(round(({NO.QUALITY_EXPR_SQL}) * 1000000) AS BIGINT)",
+            k=100,
+            group_col="lang",
+        ),
         "stream_kmv_distinct": SK.kmv_oracle_sql(),
         # windowed sketch algebra: per-window register rebuilds replay
         # the store's window-MAX merges (window union == merged days)

@@ -201,6 +201,8 @@ def main() -> None:
         "kmv_distinct_users",
         "stream_kmv_distinct",
         "kmv_user_jaccard",
+        "kmv_sample_users",
+        "weighted_sample_by_lang",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

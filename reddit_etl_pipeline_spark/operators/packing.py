@@ -383,6 +383,7 @@ def weighted_sample(
     id_col: str = "doc_id",
     seed: int = 1,
     n_buckets: int = 64,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Weight-proportional sampling without an RNG: systematic PPS
     (probability-proportional-to-size, Madow 1949) over the cumulative
@@ -413,20 +414,28 @@ def weighted_sample(
     Degenerate guard: W < k makes step = 0; those rows are dropped
     (empty result) rather than dividing by zero, mirrored in the oracle.
 
-    Returns (id_col, weight, n_hits) for selected rows, n_hits ≥ 1.
+    ``group_col``: STRATIFIED variant — run the whole scheme
+    independently per stratum (its own W, step and thresholds), so each
+    stratum yields exactly k hits ∝ its own weights (the per-language /
+    per-source curation mix); the ungrouped form is the same code over
+    one constant stratum. Returns (group_col?, id_col, weight, n_hits)
+    for selected rows, n_hits ≥ 1.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    grp = group_col if group_col is not None else "_grp"
     bucket = (scramble(id_col) / F.lit(_MOD // n_buckets)).cast("int")
-    rows = df.select(
+    base = df if group_col is not None else df.withColumn("_grp", F.lit(0))
+    rows = base.select(
+        F.col(grp),
         F.col(id_col),
         bucket.alias("_bkt"),
         F.greatest(F.coalesce(F.col(weight_col), F.lit(0)), F.lit(0))
         .cast("long")
         .alias("weight"),
     )
-    per_bucket = rows.groupBy("_bkt").agg(F.sum("weight").alias("_bw"))
-    wb = Window.orderBy("_bkt")
+    per_bucket = rows.groupBy(grp, "_bkt").agg(F.sum("weight").alias("_bw"))
+    wb = Window.partitionBy(grp).orderBy("_bkt")
     offsets = (
         per_bucket.withColumn(
             "_offset",
@@ -443,9 +452,9 @@ def weighted_sample(
                 )
             ),
         )
-        .select("_bkt", "_offset", "_total")
+        .select(grp, "_bkt", "_offset", "_total")
     )
-    w = Window.partitionBy("_bkt").orderBy(
+    w = Window.partitionBy(grp, "_bkt").orderBy(
         scramble(id_col).asc(), F.col(id_col).asc()
     )
     step = F.expr(f"_total div {k}")
@@ -453,7 +462,7 @@ def weighted_sample(
     hi_cum = F.col("_offset") + F.sum("weight").over(w)
     lo_cum = hi_cum - F.col("weight")
     scored = (
-        rows.join(F.broadcast(offsets), "_bkt")
+        rows.join(F.broadcast(offsets), [grp, "_bkt"])
         .filter(step > 0)
         .withColumn("_step", step)
         .withColumn("_u", u)
@@ -475,9 +484,12 @@ def weighted_sample(
         )
         .withColumn("n_hits", (F.col("_f_hi") - F.col("_f_lo")).cast("long"))
     )
-    return scored.filter(F.col("n_hits") >= 1).select(
-        id_col, "weight", "n_hits"
-    )
+    out_cols = ([grp] if group_col is not None else []) + [
+        id_col,
+        "weight",
+        "n_hits",
+    ]
+    return scored.filter(F.col("n_hits") >= 1).select(*out_cols)
 
 
 def weighted_sample_oracle_sql(
@@ -486,6 +498,7 @@ def weighted_sample_oracle_sql(
     k: int,
     id_col: str = "doc_id",
     seed: int = 1,
+    group_col: str | None = None,
 ) -> str:
     """DuckDB replay of ``weighted_sample``: the engine's bucketed
     two-phase cumsum collapses to ONE window here because the bucket is
@@ -497,26 +510,28 @@ def weighted_sample_oracle_sql(
     u_num = (seed * _KNUTH) % (1 << 62)
     f_hi = f"least({k}, (hi - u + step - 1) // step)"
     f_lo = f"least({k}, (lo - u + step - 1) // step)"
+    gsel = f"{group_col}, " if group_col else ""
+    gpart = f"PARTITION BY {group_col}" if group_col else ""
     return f"""
 WITH wrows AS MATERIALIZED (
-  SELECT {id_col} AS id,
+  SELECT {gsel}{id_col} AS id,
          greatest(coalesce({weight_sql}, 0), 0) AS weight,
          {scramble_sql("id")} AS scr
   FROM {table_sql}
 ),
 cum AS MATERIALIZED (
-  SELECT id, weight,
-         sum(weight) OVER (ORDER BY scr, id) AS hi,
-         sum(weight) OVER () AS total
+  SELECT {gsel}id, weight,
+         sum(weight) OVER ({gpart} ORDER BY scr, id) AS hi,
+         sum(weight) OVER ({gpart}) AS total
   FROM wrows
 ),
 thr AS MATERIALIZED (
-  SELECT id, weight, hi, hi - weight AS lo,
+  SELECT {gsel}id, weight, hi, hi - weight AS lo,
          total // {k} AS step,
          CAST({u_num} AS BIGINT) % (total // {k}) AS u
   FROM cum WHERE total // {k} > 0
 )
-SELECT CAST(id AS BIGINT) AS {id_col},
+SELECT {gsel}CAST(id AS BIGINT) AS {id_col},
        CAST(weight AS BIGINT) AS weight,
        CAST({f_hi} - {f_lo} AS BIGINT) AS n_hits
 FROM thr

@@ -1312,3 +1312,63 @@ SELECT type_a, type_b,
        round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_est
 FROM cut GROUP BY 1, 2
 """
+
+
+def kmv_sample_users(
+    spark: SparkSession, sf_dir: str, n: int = 5
+) -> DataFrame:
+    """The KMV state's SAMPLE face, made concrete: per event_type the
+    ``n`` smallest-hash users — a deterministic uniform sample of the
+    type's DISTINCT users (hashes are exchangeable) — joined back to
+    their event counts for drill-down. This is what the bottom-k sketch
+    buys over HLL: the same state that estimates distinct cardinality
+    names exemplar members. Join-back is one equi join on the computed
+    hash (never a scan of anything but the events table it came from).
+    Returns (event_type, user_id, n_events)."""
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events")
+    state = kmv_bottomk(ev, "event_type", "xxhash64(user_id)", k=n)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    keyed = counts.withColumn(
+        "flipped", F.expr(f"xxhash64(user_id) ^ {_SIGN_FLIP}")
+    )
+    return state.join(keyed, ["event_type", "flipped"]).select(
+        "event_type", "user_id", "n_events"
+    )
+
+
+def kmv_sample_oracle_sql(n: int = 5) -> str:
+    """DuckDB replay of ``kmv_sample_users``: the same distinct-hash
+    bottom-n per type (native unsigned order), joined back through the
+    per-user hash to event counts."""
+    hash_sql = X.render_select(
+        X.hash_long_cols("uh", _u64_sql("user_id"), X._lit(X.SEED)),
+        ["uh"],
+        "(SELECT DISTINCT user_id FROM events)",
+        passthrough=["user_id"],
+    )
+    return f"""
+WITH uhash AS MATERIALIZED ({hash_sql}),
+tu AS MATERIALIZED (
+  SELECT e.event_type, e.user_id, count(*) AS n_events
+  FROM events e GROUP BY 1, 2
+),
+dist AS MATERIALIZED (
+  SELECT DISTINCT t.event_type, h.uh
+  FROM tu t JOIN uhash h USING (user_id)
+),
+state AS MATERIALIZED (
+  SELECT event_type, uh FROM (
+    SELECT event_type, uh,
+           row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+    FROM dist
+  ) WHERE rn <= {n}
+)
+SELECT t.event_type, t.user_id, CAST(t.n_events AS BIGINT) AS n_events
+FROM state s
+JOIN uhash h ON h.uh = s.uh
+JOIN tu t ON t.user_id = h.user_id AND t.event_type = s.event_type
+"""

@@ -319,3 +319,21 @@ def test_weighted_sample_matches_oracle_on_synthetic(spark):
         map(tuple, con.execute(weighted_sample_oracle_sql("t", "w", k=50)).fetchall())
     )
     assert got == want and sum(r[2] for r in got) == 50
+
+
+def test_weighted_sample_grouped_exactly_k_per_stratum(spark):
+    """group_col: each stratum runs its own threshold axis — exactly k
+    hits per stratum (where stratum weight >= k), zero cross-stratum
+    leakage."""
+    from reddit_etl_pipeline_spark.operators.packing import weighted_sample
+
+    rows = [(i, ["en", "fr", "de"][i % 3], (i * i) % 50 + 1) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_sample(
+        df, k=25, weight_col="w", group_col="lang"
+    ).collect()
+    per = {}
+    for r in out:
+        per[r.lang] = per.get(r.lang, 0) + r.n_hits
+        assert ["en", "fr", "de"][r.doc_id % 3] == r.lang  # no leakage
+    assert per == {"en": 25, "fr": 25, "de": 25}

@@ -519,3 +519,27 @@ def test_kmv_jaccard_accuracy_known_overlap(spark, monkeypatch, tmp_path):
     out = SK.kmv_user_jaccard(spark, str(tmp_path)).collect()[0]
     assert out.type_a == "a" and out.type_b == "b"
     assert abs(out.jaccard_est - 1 / 3) <= 0.12, out.jaccard_est
+
+
+def test_kmv_sample_users_shape_and_determinism(spark, sf_dir):
+    """Exactly n exemplar users per type (distinct hashes -> distinct
+    users at these cardinalities), stable across invocations, and each
+    row's count equals the user's true event count for the type."""
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+    from reddit_etl_pipeline_spark.plans.star import load
+
+    a = sorted(map(tuple, SK.kmv_sample_users(spark, sf_dir, n=5).collect()))
+    b = sorted(map(tuple, SK.kmv_sample_users(spark, sf_dir, n=5).collect()))
+    assert a == b
+    per_type = {}
+    for t, u, n in a:
+        per_type.setdefault(t, set()).add(u)
+    assert all(len(us) == 5 for us in per_type.values())
+    ev = load(spark, sf_dir, "events")
+    truth = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(truth[(t, u)] == n for t, u, n in a)
