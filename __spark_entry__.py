@@ -529,6 +529,29 @@ def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution diagnostics for the co-purchase graph:
+    node counts per LOG2 degree bucket (bucket = bit length of the
+    degree — ``length(bin(deg))``, the exact integer trick the HLL rho
+    uses, identical in both engines) with min/max degree per bucket —
+    the power-law / hub-risk summary read before choosing broadcast,
+    salting, or orientation strategies for any graph operator. One
+    degree aggregate + one bucket aggregate; no joins."""
+    deg = (
+        _copurchase_edges(spark, sf_dir)
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("deg")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
 def _part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the part co-purchase graph — the
     prerequisite labeling for any per-component statistic at corpus
@@ -1667,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles_approx": _part_triangles_approx,
         "part_communities": _part_communities,
         "part_components": _part_components,
+        "part_degree_hist": _part_degree_hist,
         "part_seed_distances": _part_seed_distances,
         "basket_rules_parts": _basket_rules_parts,
         "weighted_sample": _weighted_sample_docs,
@@ -4494,6 +4518,21 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
             rounds=4,
             node_alias="part_key",
         ),
+        # degree histogram: log2 buckets via bin() length — the exact
+        # integer bit-length trick, identical in both engines
+        "part_degree_hist": f"""
+            WITH {_copurchase_ctes()},
+            deg AS MATERIALIZED (
+              SELECT node, count(*) AS deg FROM (
+                SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+              ) GROUP BY node
+            )
+            SELECT CAST(length(bin(deg)) AS BIGINT) AS degree_bucket,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(min(deg) AS BIGINT) AS min_deg,
+                   CAST(max(deg) AS BIGINT) AS max_deg
+            FROM deg GROUP BY 1
+        """,
         # plain connected components on the co-purchase graph: the same
         # star-rounds replay the near-dup cluster oracles use, plus the
         # per-component size rollup; isolated-in-pairs handling via the

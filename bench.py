@@ -203,6 +203,7 @@ def main() -> None:
         "kmv_user_jaccard",
         "kmv_sample_users",
         "weighted_sample_by_lang",
+        "part_degree_hist",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the
