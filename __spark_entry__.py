@@ -44,6 +44,9 @@ from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import graph as GR
 from reddit_etl_pipeline_spark.operators import basket as BK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
+from reddit_etl_pipeline_spark.operators import behavior as BH
+from reddit_etl_pipeline_spark.operators import skew as SKW
+from reddit_etl_pipeline_spark.operators import quality as QL
 from reddit_etl_pipeline_spark.plans import star as Q
 from reddit_etl_pipeline_spark.streaming import stream as ST
 from reddit_etl_pipeline_spark import ann_oracles as AO
@@ -268,6 +271,76 @@ def _session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited to its first and last event_type — the marketing-analytics
     classic over the shared sessionization pattern."""
     return Q.session_attribution(spark, sf_dir)
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix (operators/behavior.
+    event_transitions): per-user consecutive (prev -> next) event-type
+    pairs counted and row-normalized to exact micro-probabilities —
+    the user-journey question after the per-type rollups."""
+    return BH.event_transitions(Q.load(spark, sf_dir, "events"))
+
+
+def _churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn-hazard curve (operators/behavior.
+    churn_hazard): per-week hazard = churned/at-risk from exact tenure
+    integers — the survival view of the same event stream."""
+    return BH.churn_hazard(Q.load(spark, sf_dir, "events"))
+
+
+def _ab_conversion_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer 2x2 chi-square A/B test (operators/behavior.
+    ab_conversion_chisq): user_id-parity split vs a >=14-purchases
+    conversion flag, one DECIMAL(38)/HUGEINT division, significance by
+    integer comparison against the 95% critical value."""
+    return BH.ab_conversion_chisq(Q.load(spark, sf_dir, "events"))
+
+
+def _interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval histogram (operators/behavior.
+    interpurchase_intervals): log2-bucketed gaps between a user's
+    consecutive purchases in exact integer seconds — the
+    repeat-purchase-cadence read beside the churn hazard."""
+    return BH.interpurchase_intervals(Q.load(spark, sf_dir, "events"))
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/behavior.rfm_segments):
+    deterministic rank-formula quartiles on recency/frequency/monetary
+    (exact integer days/counts/cents), rolled up per segment cell."""
+    return BH.rfm_segments(Q.load(spark, sf_dir, "orders"))
+
+
+_PROFILE_COLS = [
+    ("customer.c_mktsegment", "customer", "c_mktsegment"),
+    ("documents.lang", "documents", "lang"),
+    ("documents.source", "documents", "source"),
+    ("events.event_type", "events", "event_type"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+]
+
+
+def _lineitem_partkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.join_skew_stats): the
+    per-key self-join pair volume and share for lineitem.l_partkey —
+    the read taken before choosing broadcast/salted/sort-merge for the
+    co-purchase family's hottest key."""
+    return SKW.join_skew_stats(
+        Q.load(spark, sf_dir, "lineitem").select("l_partkey"), "l_partkey"
+    )
+
+
+def _categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality/concentration profile of the star schema's
+    categorical columns (operators/quality.categorical_profile): n,
+    distinct, modal share and exact-integer Gini impurity per column —
+    the dictionary-encodability / partition-key planning read."""
+    return QL.categorical_profile(
+        [
+            (label, Q.load(spark, sf_dir, table), col)
+            for label, table, col in _PROFILE_COLS
+        ]
+    )
 
 
 def _readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +729,20 @@ def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part co-purchase graph
+    (operators/graph.link_prediction): top non-adjacent pairs by shared
+    neighbors on the DOULION-sampled wedge set (p=1/4, deterministic
+    xxhash64 edges, integer den²/num² scale-up) — the
+    "should-be-co-purchased" recommendation read; non-adjacency and
+    degrees stay exact against the full graph."""
+    from reddit_etl_pipeline_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+    )
+
+
 def _part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core (k=80) of the part co-purchase graph: iterative distributed
     peel to fixpoint (operators/graph.kcore_members) — the dense-region
@@ -754,6 +841,18 @@ def _kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Q.load(spark, sf_dir, "embeddings")
     return CL.kmeans_cluster_stats(emb, k=8, max_iter=10)
+
+
+def _kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the integerized Lloyd
+    clustering (operators/clustering.kmeans_silhouette): cohesion vs
+    separation in exact shifted-HUGEINT micro-units — the
+    cluster-quality read beside kmeans_cluster_stats, sharing its
+    unrolled-CTE oracle prefix."""
+    from reddit_etl_pipeline_spark.operators import clustering as CL
+
+    emb = Q.load(spark, sf_dir, "embeddings")
+    return CL.kmeans_silhouette(emb, k=8, max_iter=10)
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,6 +1732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_auc": _nb_lang_auc,
         "readability_stats": _readability_stats,
         "session_attribution": _session_attribution,
+        # behavioral / experiment analytics
+        "event_transitions": _event_transitions,
+        "churn_hazard": _churn_hazard,
+        "ab_conversion_chisq": _ab_conversion_chisq,
+        "rfm_segments": _rfm_segments,
+        "interpurchase_intervals": _interpurchase_intervals,
+        # profiling / planning diagnostics
+        "lineitem_partkey_skew": _lineitem_partkey_skew,
+        "categorical_profile": _categorical_profile,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
         "bpe_vocab_stats": _bpe_vocab_stats,
@@ -1685,9 +1793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "semantic_dedup_learned": _semantic_dedup_learned,
         "kmeans_cluster_stats": _kmeans_cluster_stats,
+        "kmeans_silhouette": _kmeans_silhouette,
         "supplier_pagerank": _supplier_pagerank,
         "part_triangles": _part_triangles,
         "part_triangles_approx": _part_triangles_approx,
+        "part_link_prediction": _part_link_prediction,
         "part_communities": _part_communities,
         "part_components": _part_components,
         "part_degree_hist": _part_degree_hist,
@@ -1887,6 +1997,90 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, scale: int = 1000) -> str:
     assignment feeds the per-cluster rollup with exact-integer
     numerators/denominators."""
     s2 = scale * scale
+    return (
+        _kmeans_oracle_prefix(k, iters, scale)
+        + f""",
+        fin AS (
+          SELECT vec_id, j, A, n FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), j
+            ) AS rn FROM af
+          ) WHERE rn = 1
+        )
+        SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+               round(CAST(SUM(A) AS DOUBLE)
+                     / CAST(COUNT(*) * MAX(n) * MAX(n) * {s2} AS DOUBLE),
+                     6) AS avg_sqdist,
+               round(CAST(MAX(A) AS DOUBLE)
+                     / CAST(MAX(n) * MAX(n) * {s2} AS DOUBLE), 6) AS max_sqdist
+        FROM fin GROUP BY j"""
+    )
+
+
+def _kmeans_silhouette_oracle(
+    k: int = 8, iters: int = 10, scale: int = 1000
+) -> str:
+    """Unrolled-Lloyd replay of ``clustering.kmeans_silhouette``: the
+    shared prefix's final per-point distance table ``af`` picks the own
+    (global float-d2 argmin, lowest-j ties) and second-best clusters
+    with the same total order, then the per-point simplified silhouette
+    and per-cluster average replay the engine's shifted HUGEINT
+    divisions exactly (clustering.SIL_OFF)."""
+    from reddit_etl_pipeline_spark.operators.clustering import SIL_OFF
+
+    den = (
+        "greatest(CAST(o.A AS HUGEINT) * b.n * b.n,"
+        " CAST(b.A AS HUGEINT) * o.n * o.n)"
+    )
+    num = (
+        "(CAST(b.A AS HUGEINT) * o.n * o.n"
+        " - CAST(o.A AS HUGEINT) * b.n * b.n)"
+    )
+    return (
+        _kmeans_oracle_prefix(k, iters, scale)
+        + f""",
+        own AS MATERIALIZED (
+          SELECT vec_id, j, A, n FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), j
+            ) AS rn FROM af
+          ) WHERE rn = 1
+        ),
+        bst AS MATERIALIZED (
+          SELECT vec_id, A, n FROM (
+            SELECT af.vec_id, af.A, af.n, ROW_NUMBER() OVER (
+              PARTITION BY af.vec_id
+              ORDER BY CAST(af.A AS DOUBLE) / CAST(af.n * af.n AS DOUBLE),
+                       af.j
+            ) AS rn
+            FROM af JOIN own ON own.vec_id = af.vec_id
+            WHERE af.j <> own.j
+          ) WHERE rn = 1
+        ),
+        sp AS MATERIALIZED (
+          SELECT o.j AS cluster,
+                 CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(({num} * 1000000 + {SIL_OFF} * ({den}))
+                                // ({den}) AS BIGINT) - {SIL_OFF}
+                 END AS s_micro
+          FROM own o JOIN bst b ON b.vec_id = o.vec_id
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST((sum(s_micro) + {SIL_OFF} * count(*)) // count(*)
+                    AS BIGINT) - {SIL_OFF} AS avg_sil_micro,
+               CAST(min(s_micro) AS BIGINT) AS min_sil_micro,
+               CAST(max(s_micro) AS BIGINT) AS max_sil_micro
+        FROM sp GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def _kmeans_oracle_prefix(k: int, iters: int, scale: int) -> str:
+    """The shared unrolled-Lloyd CTE chain through ``af`` — the final
+    per-point (vec_id, j, A, n) distance table against the fitted
+    centroids — common to the cluster-stats and silhouette oracles."""
     sql = [f"""
         WITH ql_t AS (
           SELECT vec_id,
@@ -1937,28 +2131,13 @@ def _kmeans_oracle(k: int = 8, iters: int = 10, scale: int = 1000) -> str:
           ) u ON u.j = c.j AND u.p = c.p
         )""")
     sql.append(f""",
-        af AS (
+        af AS MATERIALIZED (
           SELECT e.vec_id, c.j,
                  SUM((c.n * e.q - c.s) * (c.n * e.q - c.s)) AS A,
                  MAX(c.n) AS n
           FROM e JOIN cent{iters} c ON c.p = e.p
           GROUP BY e.vec_id, c.j
-        ),
-        fin AS (
-          SELECT vec_id, j, A, n FROM (
-            SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY vec_id
-              ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), j
-            ) AS rn FROM af
-          ) WHERE rn = 1
-        )
-        SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
-               round(CAST(SUM(A) AS DOUBLE)
-                     / CAST(COUNT(*) * MAX(n) * MAX(n) * {s2} AS DOUBLE),
-                     6) AS avg_sqdist,
-               round(CAST(MAX(A) AS DOUBLE)
-                     / CAST(MAX(n) * MAX(n) * {s2} AS DOUBLE), 6) AS max_sqdist
-        FROM fin GROUP BY j""")
+        )""")
     return "".join(sql)
 
 
@@ -2565,6 +2744,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flesch-Kincaid: shared counts, one shifted HUGEINT division
         "readability_stats": TQ.readability_oracle_sql(_TOKENS),
+        # behavioral / experiment analytics: exact-integer replays
+        "event_transitions": BH.event_transitions_oracle_sql(),
+        "churn_hazard": BH.churn_hazard_oracle_sql(),
+        "ab_conversion_chisq": BH.ab_conversion_chisq_oracle_sql(),
+        "rfm_segments": BH.rfm_segments_oracle_sql(),
+        "interpurchase_intervals": BH.interpurchase_intervals_oracle_sql(),
+        # profiling / planning diagnostics: exact-integer replays
+        "lineitem_partkey_skew": SKW.join_skew_oracle_sql(
+            "lineitem", "l_partkey"
+        ),
+        "categorical_profile": QL.categorical_profile_oracle_sql(
+            _PROFILE_COLS
+        ),
         # first/last-touch attribution: the sessionize gap chain +
         # row_number endpoints; session values in exact integer micros
         "session_attribution": """
@@ -4270,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_pagerank": _pagerank_oracle(iters=8, damping=0.85),
         "bpe_vocab_stats": _bpe_oracle(iters=8),
         "kmeans_cluster_stats": _kmeans_oracle(k=8, iters=10),
+        "kmeans_silhouette": _kmeans_silhouette_oracle(k=8, iters=10),
         "semantic_dedup": """
             WITH e AS (
               SELECT vec_id,
@@ -4560,6 +4753,13 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(
+            edges_ctes=_copurchase_ctes(),
+            sample_num=1,
+            sample_den=4,
+        ),
+        # link prediction: same DOULION sampling replay over the same
+        # co-purchase e; non-adjacency + degrees exact on the full graph
+        "part_link_prediction": GR.link_prediction_oracle_sql(
             edges_ctes=_copurchase_ctes(),
             sample_num=1,
             sample_den=4,

@@ -263,6 +263,51 @@ def kmeans_cluster_stats(
     # quantized vectors feed max_iter+1 full passes; checkpoint so the
     # source scan + quantization run once
     qdf = _quantize_vectors(df, scale, id_col, vec_col).localCheckpoint()
+    s, n, _assign = _lloyd_fit_int(qdf, k, max_iter, id_col)
+    s_f, n_f = s, n
+
+    def final(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype("int64")
+            a, assign = _assign(m, s_f, n_f)
+            yield pd.DataFrame(
+                {
+                    "cluster": assign.astype("int64"),
+                    "a": a[np.arange(len(m)), assign],
+                    "nj": n_f[assign],
+                }
+            )
+
+    assigned = qdf.select("q").mapInPandas(
+        final, "cluster long, a long, nj long"
+    )
+    s2 = scale * scale
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum("a").cast("double")
+            / (F.count(F.lit(1)) * F.max("nj") * F.max("nj") * F.lit(s2)).cast(
+                "double"
+            ),
+            6,
+        ).alias("avg_sqdist"),
+        F.round(
+            F.max("a").cast("double")
+            / (F.max("nj") * F.max("nj") * F.lit(s2)).cast("double"),
+            6,
+        ).alias("max_sqdist"),
+    )
+
+
+def _lloyd_fit_int(qdf: DataFrame, k: int, max_iter: int, id_col: str):
+    """The shared integerized Lloyd loop over a quantized-vector frame
+    (see :func:`kmeans_cluster_stats` for the exactness argument).
+    Returns the fitted centroid state ``(s, n)`` (component-sums and
+    counts, int64 arrays) plus the exact-integer assignment kernel."""
+    import numpy as np
+    import pandas as pd
 
     rows = qdf.orderBy(id_col).limit(4 * k).collect()
     seen: list = []
@@ -320,38 +365,120 @@ def kmeans_cluster_stats(
             new_n[r["cluster"]] = r["n"]
         s, n = new_s, new_n  # empty clusters keep their previous state
 
+    return s, n, _assign
+
+
+# micro-unit positivity shift for the silhouette division: |s| <= 1 by
+# construction, so adding 2*den keeps the numerator non-negative and
+# floor == truncation on both engines (the FK_OFF pattern).
+SIL_OFF = 2_000_000
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette (centroid-based, on squared
+    distances) of the integerized Lloyd clustering — the cluster-quality
+    read (cohesion vs separation) taken before trusting k-means labels
+    for SemDeDup partitions or topic-balanced sampling.
+
+    For each point with own-centroid statistic a = A_o/n_o^2 and
+    second-best b = A_b/n_b^2 (A, n the exact-integer kernel of
+    :func:`kmeans_cluster_stats`), the score s = (b - a)/max(a, b) is
+    cleared of floats entirely:
+
+        s_micro = (A_b*n_o^2 - A_o*n_b^2) * 1e6 div max(A_o*n_b^2,
+                                                        A_b*n_o^2)
+
+    in DECIMAL(38)/HUGEINT with the :data:`SIL_OFF` positivity shift
+    (own is the FLOAT-argmin winner, so the exact-integer difference
+    can be infinitesimally negative on float near-ties; the shift keeps
+    floor == trunc). Both-zero (point on two centroids) scores 0. The
+    per-cluster average is one more shifted integer division, so the
+    whole statistic replays bit-identically in the unrolled-CTE oracle.
+    Second-best selection uses the same (float d2, lowest j) total
+    order as assignment.
+
+    Overflow headroom: A <= dim*(2*n*q_max)^2 needs <= ~1.3e5 rows at
+    scale 1000 / dim 64 / |x|<=0.6 (int64, same bound as
+    kmeans_cluster_stats); A*n^2*1e6 <= ~2e34 stays inside DECIMAL(38)
+    (tests pin both).
+
+    Scale: one Arrow map pass per Lloyd iteration plus one scoring pass;
+    per-point output is 4 integers, the rollup is map-combinable.
+    Returns (cluster, n_points, avg_sil_micro, min_sil_micro,
+    max_sil_micro) ordered by cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2")
+    qdf = _quantize_vectors(df, scale, id_col, vec_col).localCheckpoint()
+    s, n, _assign = _lloyd_fit_int(qdf, k, max_iter, id_col)
     s_f, n_f = s, n
 
-    def final(batches):
+    def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf["q"].to_numpy()).astype("int64")
             a, assign = _assign(m, s_f, n_f)
+            d2 = a.astype("float64") / (n_f * n_f).astype("float64")
+            rows = np.arange(len(m))
+            d2[rows, assign] = np.inf
+            second = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "cluster": assign.astype("int64"),
-                    "a": a[np.arange(len(m)), assign],
-                    "nj": n_f[assign],
+                    "a_own": a[rows, assign],
+                    "n_own": n_f[assign],
+                    "a_best": a[rows, second],
+                    "n_best": n_f[second],
                 }
             )
 
-    assigned = qdf.select("q").mapInPandas(
-        final, "cluster long, a long, nj long"
+    scored = qdf.select("q").mapInPandas(
+        score, "cluster long, a_own long, n_own long, a_best long, n_best long"
     )
-    s2 = scale * scale
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.round(
-            F.sum("a").cast("double")
-            / (F.count(F.lit(1)) * F.max("nj") * F.max("nj") * F.lit(s2)).cast(
-                "double"
-            ),
-            6,
-        ).alias("avg_sqdist"),
-        F.round(
-            F.max("a").cast("double")
-            / (F.max("nj") * F.max("nj") * F.lit(s2)).cast("double"),
-            6,
-        ).alias("max_sqdist"),
+    num = (
+        "CAST(a_best AS DECIMAL(38,0)) * n_own * n_own"
+        " - CAST(a_own AS DECIMAL(38,0)) * n_best * n_best"
+    )
+    den = (
+        "greatest(CAST(a_own AS DECIMAL(38,0)) * n_best * n_best,"
+        " CAST(a_best AS DECIMAL(38,0)) * n_own * n_own)"
+    )
+    per_point = scored.select(
+        "cluster",
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((({num}) * 1000000 + {SIL_OFF} * ({den}))"
+            f" div ({den}) AS BIGINT) - {SIL_OFF} END"
+        ).alias("s_micro"),
+    )
+    return (
+        per_point.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("s_micro").alias("sum_s"),
+            F.min("s_micro").alias("min_sil_micro"),
+            F.max("s_micro").alias("max_sil_micro"),
+        )
+        .select(
+            "cluster",
+            "n_points",
+            F.expr(
+                f"CAST((sum_s + CAST({SIL_OFF} AS BIGINT) * n_points)"
+                f" div n_points AS BIGINT) - {SIL_OFF}"
+            ).alias("avg_sil_micro"),
+            "min_sil_micro",
+            "max_sil_micro",
+        )
+        .orderBy("cluster")
     )

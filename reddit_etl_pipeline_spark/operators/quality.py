@@ -114,3 +114,68 @@ def dq_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+def categorical_profile(named_cols) -> DataFrame:
+    """Cardinality / concentration profile of categorical columns — the
+    data-profiling read (dictionary-encodability, partition-key and
+    groupBy-fanout planning) taken once per ingest at 100 TB.
+
+    ``named_cols`` is a list of (label, df, col); for each column the
+    profile emits row count, distinct count, the modal frequency and its
+    share, and the Gini impurity 1 - sum((c/N)^2) — an exact rational,
+    computed as (N^2 - sum(c^2)) * 1e6 div N^2 in DECIMAL(38)/HUGEINT
+    (no float ever enters; N <= ~5e15 before N^2 * 1e6 leaves
+    DECIMAL(38)). NULL is its own category on both engines.
+
+    Scale: one map-combinable groupBy per column plus a one-row fold;
+    the union is |columns| rows. Returns
+    (column, n, n_distinct, top1_n, top1_share_micro, gini_micro)
+    ordered by column label.
+    """
+    out = None
+    for label, df, col in named_cols:
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        prof = counts.agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top1_n"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_c2"),
+        ).select(
+            F.lit(label).alias("column"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("top1_n").cast("long").alias("top1_n"),
+            F.expr(
+                "CAST((top1_n * CAST(1000000 AS DECIMAL(38,0))) div n"
+                " AS BIGINT)"
+            ).alias("top1_share_micro"),
+            F.expr(
+                "CAST(((CAST(n AS DECIMAL(38,0)) * n - sum_c2)"
+                " * 1000000) div (CAST(n AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("column")
+
+
+def categorical_profile_oracle_sql(named_cols) -> str:
+    """DuckDB replay of :func:`categorical_profile`;
+    ``named_cols`` is a list of (label, table, col)."""
+    parts = []
+    for label, table, col in named_cols:
+        parts.append(f"""
+SELECT '{label}' AS "column",
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top1_n,
+       CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top1_share_micro,
+       CAST(((CAST(sum(c) AS HUGEINT) * sum(c) - sum(CAST(c AS HUGEINT) * c))
+             * 1000000) // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+         AS gini_micro
+FROM (SELECT {col} AS v, count(*) AS c FROM {table} GROUP BY {col})
+""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'

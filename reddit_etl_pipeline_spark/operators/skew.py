@@ -88,3 +88,56 @@ def two_phase_distinct_count(
     )
     deduped = salted.select(*keys, "__salt", value).distinct()
     return deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+def join_skew_stats(df, key: str, top_n: int = 10):
+    """Join-key skew diagnostic: per-key degree, the SELF-JOIN pair
+    volume each key would produce (deg^2 — the quantity that explodes a
+    skewed shuffle join), and its share of the total pair volume in
+    exact micro-units — the planner read (alongside the degree
+    histogram) taken BEFORE choosing broadcast vs salted vs sort-merge
+    for a key at 100 TB.
+
+    All integers: deg and pairs are BIGINTs (deg <= 2^31 before deg^2
+    could overflow), the total comes back as a 1-row driver scalar and
+    is injected as a literal (the repo's scalar idiom — never a global
+    window, never a 1-row nested-loop join), share = pairs * 1e6 div
+    total. Returns the top ``top_n`` keys by (pairs DESC, key ASC) —
+    totally ordered — as (key, deg, pairs, share_micro).
+
+    Scale: one map-combinable groupBy(key) plus a scalar tree-aggregate;
+    the per-key frame is |distinct keys| rows, the output ``top_n`` via
+    TakeOrdered.
+    """
+    deg = df.groupBy(key).agg(F.count(F.lit(1)).alias("deg"))
+    pairs = deg.select(key, "deg", (F.col("deg") * F.col("deg")).alias("pairs"))
+    total = pairs.agg(F.sum("pairs")).collect()[0][0] or 1
+    return (
+        pairs.select(
+            key,
+            "deg",
+            "pairs",
+            F.expr(
+                f"(pairs * CAST(1000000 AS BIGINT)) div CAST({int(total)} AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy(F.desc("pairs"), F.col(key))
+        .limit(top_n)
+    )
+
+
+def join_skew_oracle_sql(table: str, key: str, top_n: int = 10) -> str:
+    """DuckDB replay of :func:`join_skew_stats`."""
+    return f"""
+WITH deg AS MATERIALIZED (
+  SELECT {key}, count(*) AS deg FROM {table} GROUP BY {key}
+), p AS MATERIALIZED (
+  SELECT {key}, deg, deg * deg AS pairs FROM deg
+)
+SELECT {key}, CAST(deg AS BIGINT) AS deg, CAST(pairs AS BIGINT) AS pairs,
+       CAST((pairs * 1000000) // (SELECT sum(pairs) FROM p) AS BIGINT)
+         AS share_micro
+FROM p
+ORDER BY pairs DESC, {key}
+LIMIT {top_n}
+"""

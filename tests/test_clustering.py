@@ -124,3 +124,62 @@ def test_cluster_stats_recovers_blobs(spark):
     stats = sorted(r.n_points for r in
                    kmeans_cluster_stats(df, k=4, max_iter=10).collect())
     assert stats == [30, 30, 30, 30]
+
+
+def test_silhouette_separated_blobs_high(spark):
+    """Well-separated blobs: every cluster's average simplified
+    silhouette should be strongly positive (near 1.0)."""
+    from reddit_etl_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    df = _blob_df(spark, n=200, dim=8, n_blobs=4)
+    rows = kmeans_silhouette(df, k=4, max_iter=8).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 800_000 <= r.avg_sil_micro <= 1_000_000
+        assert -1_000_000 <= r.min_sil_micro <= r.max_sil_micro <= 1_000_000
+        assert r.n_points > 0
+
+
+def test_silhouette_bounds_and_total(spark):
+    """Scores live in [-1e6, 1e6]; every point is scored exactly once."""
+    from reddit_etl_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    df = _blob_df(spark, n=150, dim=6, n_blobs=3)
+    rows = kmeans_silhouette(df, k=3, max_iter=5).collect()
+    assert sum(r.n_points for r in rows) == 150
+    for r in rows:
+        assert -1_000_000 <= r.min_sil_micro <= r.max_sil_micro <= 1_000_000
+
+
+def test_silhouette_requires_k_at_least_two(spark):
+    from reddit_etl_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    df = _blob_df(spark, n=20, dim=4, n_blobs=2)
+    with pytest.raises(ValueError):
+        kmeans_silhouette(df, k=1)
+
+
+def test_silhouette_point_on_two_centroids_scores_zero(spark):
+    """Duplicate points split across two identical centroid locations:
+    the both-zero guard yields s_micro = 0 instead of 0/0."""
+    from reddit_etl_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    # two distinct values only: with k=2 each becomes its own centroid
+    # and every point sits exactly ON its centroid (a=0, b>0), so every
+    # score is exactly +1.0 — pinning the a=0 branch of the division
+    rows = []
+    for i in range(10):
+        v = [0.0, 0.0] if i % 2 == 0 else [8.0, 8.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in kmeans_silhouette(df, k=2, max_iter=3).collect():
+        assert r.avg_sil_micro == 1_000_000
+        assert r.min_sil_micro == 1_000_000

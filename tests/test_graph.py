@@ -527,3 +527,76 @@ def test_modularity_matches_oracle_on_copurchase(spark, sf_dir):
         )
     )
     assert got == want
+
+
+class TestLinkPrediction:
+    def _lp(self, spark, pairs, **kw):
+        from reddit_etl_pipeline_spark.operators.graph import link_prediction
+
+        return link_prediction(_edges(spark, pairs), **kw).collect()
+
+    def test_path_graph_exact(self, spark):
+        # a-b-c: only non-adjacent pair (1,3), one common neighbor 2
+        rows = self._lp(spark, [(1, 2), (2, 3)], sample_num=1, sample_den=1)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.part_a, r.part_b) == (1, 3)
+        assert (r.cn_sampled, r.cn_est) == (1, 1)
+        assert (r.deg_a, r.deg_b) == (1, 1)
+
+    def test_square_diagonals(self, spark):
+        # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4), each cn=2
+        rows = self._lp(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 1)],
+            sample_num=1, sample_den=1,
+        )
+        got = {(r.part_a, r.part_b): r.cn_sampled for r in rows}
+        assert got == {(1, 3): 2, (2, 4): 2}
+        for r in rows:
+            assert r.deg_a == 2 and r.deg_b == 2
+
+    def test_adjacent_pairs_never_appear(self, spark):
+        # triangle + pendant: candidates exclude every existing edge
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        rows = self._lp(spark, pairs, sample_num=1, sample_den=1)
+        edges = {(min(a, b), max(a, b)) for a, b in pairs}
+        for r in rows:
+            assert (r.part_a, r.part_b) not in edges
+        got = {(r.part_a, r.part_b): r.cn_sampled for r in rows}
+        assert got == {(1, 4): 1, (2, 4): 1}
+
+    def test_sampled_counts_are_subset_and_scaled(self, spark):
+        # K5 minus one edge: the missing edge (4,5) has cn=3 exactly.
+        pairs = [
+            (a, b)
+            for a in range(1, 6)
+            for b in range(a + 1, 6)
+            if (a, b) != (4, 5)
+        ]
+        exact = {
+            (r.part_a, r.part_b): r.cn_sampled
+            for r in self._lp(spark, pairs, sample_num=1, sample_den=1)
+        }
+        assert exact == {(4, 5): 3}
+        sampled = self._lp(spark, pairs, sample_num=1, sample_den=2)
+        for r in sampled:
+            key = (r.part_a, r.part_b)
+            assert key in exact
+            assert r.cn_sampled <= exact[key]
+            assert r.cn_est == r.cn_sampled * 4  # den^2/num^2 = 4
+
+    def test_bad_sampling_params_raise(self, spark):
+        with pytest.raises(ValueError):
+            self._lp(spark, [(1, 2)], sample_num=1, sample_den=3)
+        with pytest.raises(ValueError):
+            self._lp(spark, [(1, 2)], sample_num=0, sample_den=4)
+
+    def test_total_order_and_limit(self, spark):
+        # star: center 0 with leaves 1..6 -> every leaf pair shares 0
+        pairs = [(0, i) for i in range(1, 7)]
+        rows = self._lp(
+            spark, pairs, sample_num=1, sample_den=1, top_n=5
+        )
+        assert len(rows) == 5
+        keys = [(r.part_a, r.part_b) for r in rows]
+        assert keys == sorted(keys)  # cn all equal -> (a, b) asc order
