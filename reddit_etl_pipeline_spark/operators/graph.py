@@ -958,10 +958,16 @@ def link_prediction(
         (cn["u"] == und["lo"]) & (cn["v"] == und["hi"]),
         "left_anti",
     )
+    # cut to the top-n FIRST (TakeOrdered over the pair frame), so the
+    # two degree lookups join a top_n-row broadcast side instead of the
+    # full candidate frame — the same join-after-cut discipline as the
+    # retrieval top-k family
+    top = nonadj.orderBy(F.desc("cn_sampled"), "u", "v").limit(top_n)
     scale, inv = sample_den * sample_den, sample_num * sample_num
     da, db = deg.alias("da"), deg.alias("db")
     return (
-        nonadj.join(da, F.col("u") == F.col("da.node"))
+        F.broadcast(top)
+        .join(da, F.col("u") == F.col("da.node"))
         .join(db, F.col("v") == F.col("db.node"))
         .select(
             F.col("u").alias("part_a"),
@@ -974,7 +980,6 @@ def link_prediction(
             ).alias("cn_est"),
         )
         .orderBy(F.desc("cn_sampled"), "part_a", "part_b")
-        .limit(top_n)
     )
 
 

@@ -183,3 +183,29 @@ def test_silhouette_point_on_two_centroids_scores_zero(spark):
     for r in kmeans_silhouette(df, k=2, max_iter=3).collect():
         assert r.avg_sil_micro == 1_000_000
         assert r.min_sil_micro == 1_000_000
+
+
+def test_silhouette_headroom_pins():
+    """Pin the documented overflow bounds (kmeans_silhouette docstring):
+    the int64 assignment statistic A = sum_d (n*q - s)^2 and the
+    DECIMAL(38) silhouette terms A*n^2*1e6 must fit at the driver
+    geometry (sf0.1 embeddings: 128k rows, dim 64, |x| <= 0.6,
+    scale=1000) — and the scale=100 lever must restore headroom at 10x
+    (1.28M rows), which is what DEPLOYMENT.md's 10x row runs."""
+    INT64 = 2**63
+    DEC38 = 10**38
+
+    def a_bound(n_rows, dim, xmax, scale):
+        q = scale * xmax
+        return dim * (2 * n_rows * q) ** 2
+
+    # driver geometry (scale=1000)
+    a1 = a_bound(128_000, 64, 0.6, 1000)
+    assert a1 < INT64
+    assert a1 * 128_000**2 * 10**6 < DEC38
+    # 10x at scale=1000 would overflow int64 -> the lever is real
+    assert a_bound(1_280_000, 64, 0.6, 1000) > INT64
+    # ... and scale=100 restores it
+    a10 = a_bound(1_280_000, 64, 0.6, 100)
+    assert a10 < INT64
+    assert a10 * 1_280_000**2 * 10**6 < DEC38
