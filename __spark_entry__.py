@@ -311,6 +311,30 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.rfm_segments(Q.load(spark, sf_dir, "orders"))
 
 
+_FK_RELATIONS = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+_NUMERIC_COLS = [
+    ("customer.c_acctbal", "customer", "c_acctbal"),
+    ("events.value", "events", "value"),
+    ("lineitem.l_discount", "lineitem", "l_discount"),
+    ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+    ("orders.o_totalprice", "orders", "o_totalprice"),
+    ("part.p_retailprice", "part", "p_retailprice"),
+]
+
 _PROFILE_COLS = [
     ("customer.c_mktsegment", "customer", "c_mktsegment"),
     ("documents.lang", "documents", "lang"),
@@ -341,6 +365,99 @@ def _categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for label, table, col in _PROFILE_COLS
         ]
     )
+
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition of the curation chain (the observability
+    face of plans/curation.curate_corpus, as a driver-gated frame):
+    survivor counts after exact dedup, near-dup keep-one and the
+    quality/language gate, each with its retained share in exact
+    micros against the input count (a 1-row driver scalar literal).
+    Stage semantics match curate_corpus defaults (exact near-dup pairs,
+    threshold 0.9, keep=first, min_quality 0.45)."""
+    from reddit_etl_pipeline_spark.functions.text import (
+        detect_language,
+        quality_score,
+    )
+    from reddit_etl_pipeline_spark.plans.star import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_input = docs.count()
+    exact = docs.join(
+        D.dedup_exact(docs).select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    reps = D.neardup_clusters(exact, "text", "doc_id", threshold=0.9)
+    neard = (
+        exact.join(reps, "doc_id")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .drop("rep_id")
+        .localCheckpoint()
+    )
+    gated = (
+        neard.withColumn("lang_pred", detect_language("text"))
+        .withColumn("quality", quality_score("text"))
+        .filter(
+            (F.col("quality") >= 0.45) & (F.col("lang_pred") != "und")
+        )
+    )
+    stages = [
+        ("1_input", docs),
+        ("2_exact_dedup", exact),
+        ("3_neardup", neard),
+        ("4_quality_gate", gated),
+    ]
+    out = None
+    for label, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(label).alias("stage"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                f"(n_docs * CAST(1000000 AS BIGINT))"
+                f" div CAST({n_input} AS BIGINT)"
+            ).alias("retained_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+def _fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/quality.fk_integrity_audit):
+    orphan counts for every declared star-schema FK — the ingest gate
+    against truncated dim loads; NULL FKs count as orphans."""
+    return QL.fk_integrity_audit(
+        [
+            (label, Q.load(spark, sf_dir, ct), cc,
+             Q.load(spark, sf_dir, pt), pc)
+            for label, ct, cc, pt, pc in _FK_RELATIONS
+        ]
+    )
+
+
+def _numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-column profile (operators/quality.numeric_profile):
+    null/zero/negative counts + min/max/sum in exact integer micros —
+    the numeric complement of the categorical profile."""
+    return QL.numeric_profile(
+        [
+            (label, Q.load(spark, sf_dir, table), col)
+            for label, table, col in _NUMERIC_COLS
+        ]
+    )
+
+
+def _source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (operators/text_quality.
+    source_vocab_overlap): cross-source comparability in exact integers,
+    join bounded by |sources|^2 per shared token — the read before
+    mixing sources into one training corpus."""
+    return TQ.source_vocab_overlap(Q.load(spark, sf_dir, "documents"))
+
+
+def _zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency curve at power-of-two ranks
+    (operators/text_quality.zipf_curve): the Zipf diagnostic as a
+    handful of exact points — no float regression."""
+    return TQ.zipf_curve(Q.load(spark, sf_dir, "documents"))
 
 
 def _readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +843,16 @@ def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return triangle_estimate(
         _copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+    )
+
+
+def _copurchase_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month co-purchase edge churn (operators/snapshot.
+    edge_churn_by_month): kept/added/removed edges between consecutive
+    order months with an exact micro churn rate — the
+    recommendation-staleness read, snapshot-diff applied to the graph."""
+    return SNAP.edge_churn_by_month(
+        Q.load(spark, sf_dir, "lineitem"), Q.load(spark, sf_dir, "orders")
     )
 
 
@@ -1356,6 +1483,15 @@ def _value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.value_drift_by_type(spark, sf_dir)
 
 
+def _stream_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous categorical profile twin (streaming/stream.
+    streamed_categorical_profile): per-value counts as ONE streaming
+    SUM-law aggregate (state = |distinct values| counters), the
+    cardinality/Gini fold batch-side — shares the batch oracle
+    restricted to events.event_type."""
+    return ST.streamed_categorical_profile(spark, sf_dir)
+
+
 def _stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous drift monitor: one streaming (type, side, bin)
     counter-sum grid for both populations, TV distance batch-side from
@@ -1741,6 +1877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # profiling / planning diagnostics
         "lineitem_partkey_skew": _lineitem_partkey_skew,
         "categorical_profile": _categorical_profile,
+        "fk_integrity_audit": _fk_integrity_audit,
+        "curation_funnel": _curation_funnel,
+        "numeric_profile": _numeric_profile,
+        "source_vocab_overlap": _source_vocab_overlap,
+        "zipf_curve": _zipf_curve,
         "lm_perplexity_buckets": _lm_perplexity_buckets,
         "dsir_selection": _dsir_selection,
         "bpe_vocab_stats": _bpe_vocab_stats,
@@ -1798,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": _part_triangles,
         "part_triangles_approx": _part_triangles_approx,
         "part_link_prediction": _part_link_prediction,
+        "copurchase_edge_churn": _copurchase_edge_churn,
         "part_communities": _part_communities,
         "part_components": _part_components,
         "part_degree_hist": _part_degree_hist,
@@ -1828,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": _hll_user_overlap,
         "value_drift_by_type": _value_drift_by_type,
         "stream_value_drift": _stream_value_drift,
+        "stream_categorical_profile": _stream_categorical_profile,
         "sketch_store_distinct_users": _sketch_store_distinct_users,
         "sketch_store_quantiles": _sketch_store_quantiles,
         "sketch_store_heavy_users": _sketch_store_heavy_users,
@@ -1871,6 +2014,54 @@ _TOKENS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
 )
+
+# The curation chain's CTE body (near-dup pair graph -> CC star reps ->
+# lang/quality scoring) — shared by the curated_corpus survivor replay
+# and the curation_funnel per-stage counts so the two can never drift.
+# Callers prepend "WITH RECURSIVE " (the CC star walk needs it).
+_CURATION_CTES = f"""tok AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS did, t.tok
+              FROM documents, UNNEST({_TOKENS}) AS t(tok)
+              WHERE t.tok <> ''
+            ), sizes AS MATERIALIZED (
+              SELECT did, count(*) AS sz FROM tok GROUP BY did
+            ), inter AS MATERIALIZED (
+              SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
+              GROUP BY a.did, b.did
+            ), pairs AS MATERIALIZED (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.did = doc_a
+              JOIN sizes sb ON sb.did = doc_b
+              WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+            ), {NO_CC_STAR}, reps AS (
+              SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+              FROM documents d
+              LEFT JOIN rep c ON c.doc_id = d.doc_id
+            ), scored AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN h_es >= 2 AND h_es > h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
+                       WHEN h_fr >= 2 AND h_fr > h_de AND h_fr > h_en THEN 'fr'
+                       WHEN h_de >= 2 AND h_de > h_en THEN 'de'
+                       WHEN h_en >= 2 THEN 'en'
+                       ELSE 'und'
+                     END AS lang_pred,
+                     {NO.QUALITY_EXPR_SQL} AS quality
+              FROM (
+                SELECT doc_id, text,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['the','and','of','to','in','is','that','for','with','was'], t))) AS h_en,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], t))) AS h_de,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['le','la','les','et','des','est','pour','que','dans','une'], t))) AS h_fr,
+                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
+                           t -> list_contains(['el','la','los','que','de','es','por','con','para','una'], t))) AS h_es
+                FROM documents)
+            )"""
+
 
 def _copurchase_ctes(alias: str = "e") -> str:
     """The co-purchase edge CTE chain (li + ``alias``(lo, hi)) shared by
@@ -2757,6 +2948,12 @@ def oracle_sql() -> dict[str, str]:
         "categorical_profile": QL.categorical_profile_oracle_sql(
             _PROFILE_COLS
         ),
+        "fk_integrity_audit": QL.fk_integrity_oracle_sql(
+            [(l, ct, cc, pt, pc) for l, ct, cc, pt, pc in _FK_RELATIONS]
+        ),
+        "numeric_profile": QL.numeric_profile_oracle_sql(_NUMERIC_COLS),
+        "source_vocab_overlap": TQ.source_vocab_overlap_oracle_sql(_TOKENS),
+        "zipf_curve": TQ.zipf_curve_oracle_sql(_TOKENS),
         # first/last-touch attribution: the sessionize gap chain +
         # row_number endpoints; session values in exact integer micros
         "session_attribution": """
@@ -3665,52 +3862,40 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "curated_corpus": f"""
-            WITH RECURSIVE tok AS MATERIALIZED (
-              SELECT DISTINCT doc_id AS did, t.tok
-              FROM documents, UNNEST({_TOKENS}) AS t(tok)
-              WHERE t.tok <> ''
-            ), sizes AS MATERIALIZED (
-              SELECT did, count(*) AS sz FROM tok GROUP BY did
-            ), inter AS MATERIALIZED (
-              SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS n_inter
-              FROM tok a JOIN tok b ON a.tok = b.tok AND a.did < b.did
-              GROUP BY a.did, b.did
-            ), pairs AS MATERIALIZED (
-              SELECT doc_a, doc_b
-              FROM inter
-              JOIN sizes sa ON sa.did = doc_a
-              JOIN sizes sb ON sb.did = doc_b
-              WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
-            ), {NO_CC_STAR}, reps AS (
-              SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
-              FROM documents d
-              LEFT JOIN rep c ON c.doc_id = d.doc_id
-            ), scored AS (
-              SELECT doc_id,
-                     CASE
-                       WHEN h_es >= 2 AND h_es > h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
-                       WHEN h_fr >= 2 AND h_fr > h_de AND h_fr > h_en THEN 'fr'
-                       WHEN h_de >= 2 AND h_de > h_en THEN 'de'
-                       WHEN h_en >= 2 THEN 'en'
-                       ELSE 'und'
-                     END AS lang_pred,
-                     {NO.QUALITY_EXPR_SQL} AS quality
-              FROM (
-                SELECT doc_id, text,
-                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
-                           t -> list_contains(['the','and','of','to','in','is','that','for','with','was'], t))) AS h_en,
-                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
-                           t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], t))) AS h_de,
-                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
-                           t -> list_contains(['le','la','les','et','des','est','pour','que','dans','une'], t))) AS h_fr,
-                       len(list_filter(list_transform({_TOKENS}, t -> lower(t)),
-                           t -> list_contains(['el','la','los','que','de','es','por','con','para','una'], t))) AS h_es
-                FROM documents)
-            )
+            WITH RECURSIVE {_CURATION_CTES}
             SELECT s.doc_id, s.lang_pred, s.quality
             FROM scored s
             JOIN reps r ON r.doc_id = s.doc_id AND r.rep_id = s.doc_id
             WHERE s.quality >= 0.45 AND s.lang_pred <> 'und'
+        """,
+        # per-stage attrition over the SAME chain (counts coincide with
+        # the engine's exact-then-neardup order because whitespace-norm
+        # twins share token sets: removed dup nodes never carry unique
+        # connectivity, so component reps and counts are identical)
+        "curation_funnel": f"""
+            WITH RECURSIVE {_CURATION_CTES},
+            n0 AS (SELECT count(*) AS c FROM documents),
+            n1 AS (SELECT count(*) AS c FROM (
+              SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+              FROM documents)),
+            n2 AS (SELECT count(*) AS c FROM reps WHERE rep_id = doc_id),
+            n3 AS (SELECT count(*) AS c
+                   FROM scored s
+                   JOIN reps r ON r.doc_id = s.doc_id AND r.rep_id = s.doc_id
+                   WHERE s.quality >= 0.45 AND s.lang_pred <> 'und')
+            SELECT stage, n_docs,
+                   CAST((n_docs * 1000000) // (SELECT c FROM n0) AS BIGINT)
+                     AS retained_micro
+            FROM (
+              SELECT '1_input' AS stage, CAST(c AS BIGINT) AS n_docs FROM n0
+              UNION ALL
+              SELECT '2_exact_dedup', CAST(c AS BIGINT) FROM n1
+              UNION ALL
+              SELECT '3_neardup', CAST(c AS BIGINT) FROM n2
+              UNION ALL
+              SELECT '4_quality_gate', CAST(c AS BIGINT) FROM n3
+            )
+            ORDER BY stage
         """,
         "knn_label_confusion": """
             WITH q AS (
@@ -4609,6 +4794,11 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # streaming twin shares the replay (counter SUM merge law)
         "value_drift_by_type": SK.value_drift_oracle_sql(),
         "stream_value_drift": SK.value_drift_oracle_sql(),
+        # categorical-profile twin: counts obey the SUM law, so the
+        # stream shares the batch replay restricted to its column
+        "stream_categorical_profile": QL.categorical_profile_oracle_sql(
+            [("events.event_type", "events", "event_type")]
+        ),
         # persisted sketch store: merging per-batch_date partials under
         # each sketch's merge law (HLL MAX, CMS/grid SUM) equals the
         # sketch of the union of days, so the FULL-SCAN replays serve
@@ -4757,6 +4947,8 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
             sample_num=1,
             sample_den=4,
         ),
+        # edge churn: month-keyed co-purchase snapshots, one kept join
+        "copurchase_edge_churn": SNAP.edge_churn_oracle_sql(),
         # link prediction: same DOULION sampling replay over the same
         # co-purchase e; non-adjacency + degrees exact on the full graph
         "part_link_prediction": GR.link_prediction_oracle_sql(

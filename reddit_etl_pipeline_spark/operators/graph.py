@@ -911,8 +911,12 @@ def link_prediction(
     samples), and the context degrees are full-graph degrees.
 
     Deterministic and oracle-replayable end to end; the top-``top_n``
-    is totally ordered by (cn_sampled DESC, part_a, part_b). Returns
-    (part_a, part_b, deg_a, deg_b, cn_sampled, cn_est).
+    is totally ordered by (cn_sampled DESC, part_a, part_b). Beside the
+    raw count, ``ra_micro`` is the resource-allocation index
+    sum_m 1e6 div deg_sampled(m) over the shared middles — Adamic-Adar's
+    rare-shared-neighbor weighting with an integer floor per term
+    instead of a float log, so the sum stays order-independent. Returns
+    (part_a, part_b, deg_a, deg_b, cn_sampled, cn_est, ra_micro).
 
     Scale: wedge generation is the p²-discounted Σ deg² equi-join; the
     candidate anti-join and the two degree joins are key equi-joins.
@@ -944,14 +948,25 @@ def link_prediction(
     adj = sampled.select(
         F.col("lo").alias("m"), F.col("hi").alias("n")
     ).unionAll(sampled.select(F.col("hi").alias("m"), F.col("lo").alias("n")))
-    a, b = adj.alias("a"), adj.alias("b")
+    # middle-node degrees ON THE SAMPLED GRAPH feed the resource-
+    # allocation score: each wedge contributes 1e6 div deg(m) — an exact
+    # integer term, so the sum is order-independent (Adamic-Adar's
+    # rare-shared-neighbor idea without a float log)
+    sdeg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("dm"))
+    adj_d = adj.join(sdeg, "m")
+    a, b = adj_d.alias("a"), adj_d.alias("b")
     cn = (
         a.join(
             b,
             (F.col("a.m") == F.col("b.m")) & (F.col("a.n") < F.col("b.n")),
         )
         .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cn_sampled"))
+        .agg(
+            F.count(F.lit(1)).alias("cn_sampled"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) div a.dm")).alias(
+                "ra_micro"
+            ),
+        )
     )
     nonadj = cn.join(
         und,
@@ -978,6 +993,7 @@ def link_prediction(
             F.expr(
                 f"(cn_sampled * CAST({scale} AS BIGINT)) div {inv}"
             ).alias("cn_est"),
+            "ra_micro",
         )
         .orderBy(F.desc("cn_sampled"), "part_a", "part_b")
     )
@@ -1012,13 +1028,20 @@ se AS MATERIALIZED (
 adj AS MATERIALIZED (
   SELECT lo AS m, hi AS n FROM se UNION ALL SELECT hi, lo FROM se
 ),
+sdeg AS MATERIALIZED (
+  SELECT m, count(*) AS dm FROM adj GROUP BY m
+),
+adj_d AS MATERIALIZED (
+  SELECT adj.m, adj.n, sdeg.dm FROM adj JOIN sdeg USING (m)
+),
 cn AS MATERIALIZED (
-  SELECT a.n AS u, b.n AS v, count(*) AS cn_sampled
-  FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+  SELECT a.n AS u, b.n AS v, count(*) AS cn_sampled,
+         sum(1000000 // a.dm) AS ra_micro
+  FROM adj_d a JOIN adj_d b ON a.m = b.m AND a.n < b.n
   GROUP BY a.n, b.n
 ),
 nonadj AS MATERIALIZED (
-  SELECT u, v, cn_sampled FROM cn
+  SELECT u, v, cn_sampled, ra_micro FROM cn
   WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = cn.u AND e.hi = cn.v)
 ),
 deg AS MATERIALIZED (
@@ -1028,7 +1051,8 @@ deg AS MATERIALIZED (
 SELECT u AS part_a, v AS part_b,
        CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
        CAST(cn_sampled AS BIGINT) AS cn_sampled,
-       CAST((cn_sampled * {scale}) // {inv} AS BIGINT) AS cn_est
+       CAST((cn_sampled * {scale}) // {inv} AS BIGINT) AS cn_est,
+       CAST(ra_micro AS BIGINT) AS ra_micro
 FROM nonadj
 JOIN deg da ON da.node = nonadj.u
 JOIN deg db ON db.node = nonadj.v

@@ -138,7 +138,17 @@ def categorical_profile(named_cols) -> DataFrame:
         counts = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        prof = counts.agg(
+        prof = profile_from_counts(counts, label)
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("column")
+
+
+def profile_from_counts(counts: DataFrame, label: str) -> DataFrame:
+    """The one-row profile fold over a finished (v, c) per-value count
+    table — shared by :func:`categorical_profile` and the streaming twin
+    (per-value counts obey the SUM merge law, so micro-batch partials
+    sum to the counts of the union and the fold is batch-side)."""
+    return counts.agg(
             F.sum("c").alias("n"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.max("c").alias("top1_n"),
@@ -158,8 +168,6 @@ def categorical_profile(named_cols) -> DataFrame:
                 " AS BIGINT)"
             ).alias("gini_micro"),
         )
-        out = prof if out is None else out.unionByName(prof)
-    return out.orderBy("column")
 
 
 def categorical_profile_oracle_sql(named_cols) -> str:
@@ -177,5 +185,125 @@ SELECT '{label}' AS "column",
              * 1000000) // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
          AS gini_micro
 FROM (SELECT {col} AS v, count(*) AS c FROM {table} GROUP BY {col})
+""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def fk_integrity_audit(relations) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared FK (child table/col -> parent table/col), the child row
+    count and the ORPHAN count (child keys with no parent) — the ingest
+    gate that catches a truncated dim load before every downstream join
+    silently drops rows.
+
+    ``relations`` is a list of (label, child_df, child_col, parent_df,
+    parent_col). NULL child keys count as orphans (a NULL FK never
+    joins). Each audit is one distinct-parent anti-join; counts are
+    exact BIGINTs. Returns (relation, n_child, n_orphans) ordered by
+    label.
+
+    Scale: the anti-join shuffles on the key; the parent side collapses
+    to distinct keys first (dims broadcast when small)."""
+    out = None
+    for label, child, ccol, parent, pcol in relations:
+        keys = parent.select(F.col(pcol).alias("__pk")).distinct()
+        c = child.select(F.col(ccol).alias("__fk"))
+        # ONE pass: left-join against the distinct parent keys and count
+        # rows + unmatched rows in the same aggregate (a NULL FK never
+        # joins, so it lands in the orphan count by construction)
+        prof = (
+            c.join(keys, c["__fk"] == keys["__pk"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(label).alias("relation"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("relation")
+
+
+def fk_integrity_oracle_sql(relations) -> str:
+    """DuckDB replay of :func:`fk_integrity_audit`; ``relations`` is a
+    list of (label, child_table, child_col, parent_table, parent_col)."""
+    parts = []
+    for label, ct, cc, pt, pc in relations:
+        parts.append(f"""
+SELECT '{label}' AS relation,
+       CAST((SELECT count(*) FROM {ct}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {ct}
+             WHERE {cc} IS NULL
+                OR {cc} NOT IN (SELECT {pc} FROM {pt}
+                                WHERE {pc} IS NOT NULL))
+            AS BIGINT) AS n_orphans
+""")
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+def numeric_profile(named_cols) -> DataFrame:
+    """Numeric-column profile in exact integer micros — the numeric
+    complement of :func:`categorical_profile`: row/null/zero/negative
+    counts plus min/max/sum of round(x * 1e6) (one double product +
+    half-away-from-zero round per row, identical in both engines; the
+    sums are then order-independent BIGINTs).
+
+    ``named_cols`` is a list of (label, df, col). Returns
+    (column, n, n_null, n_zero, n_negative, min_micro, max_micro,
+    sum_micro) ordered by label. One map-combinable aggregate per
+    column."""
+    out = None
+    for label, df, col in named_cols:
+        micro = F.expr(f"CAST(round({col} * 1000000) AS BIGINT)")
+        prof = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(col).isNull(), 1).otherwise(0)
+            ).alias("n_null"),
+            F.sum(F.when(F.col(col) == 0, 1).otherwise(0)).alias("n_zero"),
+            F.sum(F.when(F.col(col) < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+            F.min(micro).alias("min_micro"),
+            F.max(micro).alias("max_micro"),
+            F.coalesce(F.sum(micro), F.lit(0)).alias("sum_micro"),
+        ).select(
+            F.lit(label).alias("column"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_zero").cast("long").alias("n_zero"),
+            F.col("n_negative").cast("long").alias("n_negative"),
+            "min_micro",
+            "max_micro",
+            F.col("sum_micro").cast("long").alias("sum_micro"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("column")
+
+
+def numeric_profile_oracle_sql(named_cols) -> str:
+    """DuckDB replay of :func:`numeric_profile`; ``named_cols`` is a
+    list of (label, table, col)."""
+    parts = []
+    for label, table, col in named_cols:
+        micro = f"CAST(round({col} * 1000000) AS BIGINT)"
+        parts.append(f"""
+SELECT '{label}' AS "column",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(CASE WHEN {col} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(sum(CASE WHEN {col} < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       min({micro}) AS min_micro,
+       max({micro}) AS max_micro,
+       CAST(coalesce(sum({micro}), 0) AS BIGINT) AS sum_micro
+FROM {table}
 """)
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'

@@ -123,3 +123,123 @@ SELECT source,
          AS n_unchanged
 FROM tagged GROUP BY source
 """
+
+
+def edge_churn_by_month(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """Month-over-month churn of the co-purchase graph: how much of the
+    relationship structure ("bought together") survives from one order
+    month to the next — the snapshot-diff idea applied to EDGES instead
+    of documents, and the staleness read behind recommendation-model
+    refresh cadence (a graph whose edges churn 40%/month needs monthly
+    retrains; one that keeps 95% doesn't).
+
+    Months are the linear index year*12 + month - 1 of o_orderdate
+    (exact integer, identical both engines); a month's edge set is the
+    distinct co-purchase (lo, hi) pairs of orders placed that month.
+    For each consecutive present month pair: kept = |E_m intersect
+    E_{m+1}| via ONE (lo, hi) equi-join with the m+1 shift, and added /
+    removed fall out of the totals arithmetically (no second join);
+    churn_micro = removed * 1e6 div total_m.
+
+    Scale: the per-month pair generation is the same orderkey-keyed
+    self-join as the co-purchase builder (month rides along); the kept
+    join and totals are key equi-shuffles. Returns (month_idx,
+    total_m, total_next, kept, added, removed, churn_micro) ordered by
+    month."""
+    mcol = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+        "long"
+    )
+    lim = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(
+            orders.select(
+                F.col("o_orderkey"), mcol.alias("m")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey", "m")
+    )
+    a, b = lim.alias("a"), lim.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.m").alias("m"),
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    totals = edges.groupBy("m").agg(F.count(F.lit(1)).alias("total"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    kept = (
+        e1.join(
+            e2,
+            (F.col("e1.lo") == F.col("e2.lo"))
+            & (F.col("e1.hi") == F.col("e2.hi"))
+            & (F.col("e2.m") == F.col("e1.m") + 1),
+        )
+        .groupBy(F.col("e1.m").alias("m"))
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    t1, t2 = totals.alias("t1"), totals.alias("t2")
+    return (
+        t1.join(t2, F.col("t2.m") == F.col("t1.m") + 1)
+        .join(kept, F.col("t1.m") == kept["m"], "left")
+        .select(
+            F.col("t1.m").alias("month_idx"),
+            F.col("t1.total").alias("total_m"),
+            F.col("t2.total").alias("total_next"),
+            F.coalesce(kept["kept"], F.lit(0)).alias("kept"),
+            (F.col("t2.total") - F.coalesce(kept["kept"], F.lit(0))).alias(
+                "added"
+            ),
+            (F.col("t1.total") - F.coalesce(kept["kept"], F.lit(0))).alias(
+                "removed"
+            ),
+        )
+        .withColumn(
+            "churn_micro",
+            F.expr("(removed * CAST(1000000 AS BIGINT)) div total_m"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+def edge_churn_oracle_sql() -> str:
+    """DuckDB replay of :func:`edge_churn_by_month`."""
+    return """
+WITH lim AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS m
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.m, a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lim a JOIN lim b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), totals AS MATERIALIZED (
+  SELECT m, count(*) AS total FROM edges GROUP BY m
+), kept AS MATERIALIZED (
+  SELECT e1.m, count(*) AS kept
+  FROM edges e1 JOIN edges e2
+    ON e2.lo = e1.lo AND e2.hi = e1.hi AND e2.m = e1.m + 1
+  GROUP BY e1.m
+)
+SELECT CAST(t1.m AS BIGINT) AS month_idx,
+       CAST(t1.total AS BIGINT) AS total_m,
+       CAST(t2.total AS BIGINT) AS total_next,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS kept,
+       CAST(t2.total - coalesce(k.kept, 0) AS BIGINT) AS added,
+       CAST(t1.total - coalesce(k.kept, 0) AS BIGINT) AS removed,
+       CAST(((t1.total - coalesce(k.kept, 0)) * 1000000) // t1.total
+            AS BIGINT) AS churn_micro
+FROM totals t1
+JOIN totals t2 ON t2.m = t1.m + 1
+LEFT JOIN kept k ON k.m = t1.m
+ORDER BY month_idx
+"""

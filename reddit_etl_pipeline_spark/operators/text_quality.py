@@ -467,3 +467,148 @@ SELECT p.doc_id,
             - {FK_OFF} AS BIGINT) AS fk_grade_micro
 FROM per_doc p JOIN sents s ON s.doc_id = p.doc_id
 """
+
+
+def source_vocab_overlap(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    cross-source comparability read (is src7 the same register as src3,
+    or a different domain?) taken before mixing sources into one
+    training corpus.
+
+    The per-token source set drives pair generation, so the join is
+    bounded by |sources|^2 per SHARED token (never |vocab|^2): distinct
+    (source, token) -> self-join on token with source_a < source_b ->
+    intersection counts; union = |A| + |B| - common by
+    inclusion-exclusion, jaccard = common * 1e6 div union in exact
+    integers. Returns (source_a, source_b, vocab_a, vocab_b, common,
+    jaccard_micro), totally ordered.
+
+    Scale: one token-keyed shuffle over the distinct (source, token)
+    frame; a pathological token shared by EVERY source costs
+    C(|sources|, 2) rows — quadratic in the (small) source count, not
+    the corpus."""
+    from ..functions.text import tokens
+
+    st = (
+        docs.select(
+            F.col(group_col).alias("s"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = st.groupBy("s").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = st.alias("a"), st.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("source_a") == F.col("sa.s"))
+        .join(sb, F.col("source_b") == F.col("sb.s"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("sa.vocab").alias("vocab_a"),
+            F.col("sb.vocab").alias("vocab_b"),
+            "common",
+            F.expr(
+                "(common * CAST(1000000 AS BIGINT))"
+                " div (sa.vocab + sb.vocab - common)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_vocab_overlap_oracle_sql(tokens_expr: str) -> str:
+    """DuckDB replay of :func:`source_vocab_overlap`."""
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT DISTINCT source AS s, t.tok
+  FROM documents, unnest({tokens_expr}) AS t(tok)
+  WHERE t.tok <> ''
+), sizes AS MATERIALIZED (
+  SELECT s, count(*) AS vocab FROM st GROUP BY s
+), common AS MATERIALIZED (
+  SELECT a.s AS source_a, b.s AS source_b, count(*) AS common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT source_a, source_b,
+       CAST(sa.vocab AS BIGINT) AS vocab_a,
+       CAST(sb.vocab AS BIGINT) AS vocab_b,
+       CAST(common AS BIGINT) AS common,
+       CAST((common * 1000000) // (sa.vocab + sb.vocab - common)
+            AS BIGINT) AS jaccard_micro
+FROM common
+JOIN sizes sa ON sa.s = source_a
+JOIN sizes sb ON sb.s = source_b
+ORDER BY source_a, source_b
+"""
+
+
+def zipf_curve(
+    docs: DataFrame, text_col: str = "text", max_rank: int = 4096
+) -> DataFrame:
+    """The corpus frequency curve probed at power-of-two ranks — the
+    Zipf diagnostic (is the rank-frequency slope ~-1? does the tail
+    collapse?) read off a handful of exact points instead of a float
+    regression.
+
+    The top ``max_rank`` terms by (freq DESC, token ASC) come back via
+    TakeOrdered; ranks are re-derived on that bounded frame and only
+    ranks with a single set bit survive (rank & (rank-1) = 0 — exact
+    integer, no log). Returns (rank, token, freq) at ranks 1, 2, 4, ...
+
+    Scale: one map-combinable term count + a top-``max_rank`` cut; the
+    window runs over max_rank rows only."""
+    from ..functions.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(max_rank)
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.expr("(rank & (rank - 1)) = 0"))
+        .select("rank", F.col("tok").alias("token"), "freq")
+        .orderBy("rank")
+    )
+
+
+def zipf_curve_oracle_sql(tokens_expr: str, max_rank: int = 4096) -> str:
+    """DuckDB replay of :func:`zipf_curve`."""
+    return f"""
+WITH tf AS MATERIALIZED (
+  SELECT t.tok, count(*) AS freq
+  FROM documents, unnest({tokens_expr}) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY t.tok
+  ORDER BY freq DESC, tok
+  LIMIT {max_rank}
+), ranked AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rank, tok, freq
+  FROM tf
+)
+SELECT CAST(rank AS BIGINT) AS rank, tok AS token,
+       CAST(freq AS BIGINT) AS freq
+FROM ranked WHERE (rank & (rank - 1)) = 0
+ORDER BY rank
+"""

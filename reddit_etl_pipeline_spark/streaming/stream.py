@@ -2009,3 +2009,22 @@ def streamed_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
     )
     return run_stream_to_batch(enriched, spark, output_mode="append")
+
+
+def streamed_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous categorical profile of the event-type column: the
+    per-value counts are ONE streaming count aggregate — the SUM merge
+    law yet again, so per-micro-batch partials sum to the counts of the
+    union and the cardinality/Gini fold runs batch-side on the finished
+    table (quality.profile_from_counts). Streaming state = |distinct
+    values| counters (a CATEGORICAL column — bounded by construction),
+    never rows. Shares the batch oracle restricted to this column;
+    stream == batch pinned in tests/test_profiling.py."""
+    from ..operators import quality as QL
+
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy(F.col("event_type").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    finished = run_stream_to_batch(counts, spark, output_mode="complete")
+    return QL.profile_from_counts(finished, "events.event_type")

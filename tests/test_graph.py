@@ -600,3 +600,17 @@ class TestLinkPrediction:
         assert len(rows) == 5
         keys = [(r.part_a, r.part_b) for r in rows]
         assert keys == sorted(keys)  # cn all equal -> (a, b) asc order
+
+    def test_resource_allocation_hand_computed(self, spark):
+        # path a-b-c at p=1: middle b has sampled degree 2
+        rows = self._lp(spark, [(1, 2), (2, 3)], sample_num=1, sample_den=1)
+        assert rows[0].ra_micro == 500_000
+        # K5 minus (4,5): middles 1,2,3 each deg 4 -> ra = 3 * 250000
+        pairs = [
+            (a, b)
+            for a in range(1, 6)
+            for b in range(a + 1, 6)
+            if (a, b) != (4, 5)
+        ]
+        rows = self._lp(spark, pairs, sample_num=1, sample_den=1)
+        assert rows[0].ra_micro == 750_000

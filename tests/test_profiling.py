@@ -60,3 +60,66 @@ class TestCategoricalProfile:
             [("z.col", d1, "v"), ("a.col", d2, "w")]
         ).collect()
         assert [r["column"] for r in rows] == ["a.col", "z.col"]
+
+
+class TestStreamCategoricalProfile:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """Per-value counts obey the SUM merge law, so the continuous
+        profile must equal the batch profile of the same column."""
+        from reddit_etl_pipeline_spark.plans.star import load
+        from reddit_etl_pipeline_spark.streaming.stream import (
+            streamed_categorical_profile,
+        )
+
+        batch = QL.categorical_profile(
+            [("events.event_type", load(spark, sf_dir, "events"),
+              "event_type")]
+        ).collect()
+        stream = streamed_categorical_profile(spark, sf_dir).collect()
+        assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+class TestFkIntegrityAudit:
+    def test_engineered_orphans(self, spark):
+        child = spark.createDataFrame(
+            [(1,), (2,), (3,), (None,), (9,)], "fk long"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        r = QL.fk_integrity_audit(
+            [("c.fk->p", child, "fk", parent, "pk")]
+        ).collect()[0]
+        assert (r.n_child, r.n_orphans) == (5, 2)  # NULL + 9
+
+    def test_clean_relation_zero_orphans(self, spark):
+        child = spark.createDataFrame([(1,), (1,), (2,)], "fk long")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        r = QL.fk_integrity_audit(
+            [("c.fk->p", child, "fk", parent, "pk")]
+        ).collect()[0]
+        assert (r.n_child, r.n_orphans) == (3, 0)
+
+    def test_duplicate_parent_keys_do_not_inflate_child_count(self, spark):
+        child = spark.createDataFrame([(1,), (2,)], "fk long")
+        parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
+        r = QL.fk_integrity_audit(
+            [("c.fk->p", child, "fk", parent, "pk")]
+        ).collect()[0]
+        assert (r.n_child, r.n_orphans) == (2, 0)
+
+
+class TestNumericProfile:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [(1.5,), (-2.25,), (0.0,), (None,)], "x double"
+        )
+        r = QL.numeric_profile([("t.x", df, "x")]).collect()[0]
+        assert (r.n, r.n_null, r.n_zero, r.n_negative) == (4, 1, 1, 1)
+        assert r.min_micro == -2_250_000
+        assert r.max_micro == 1_500_000
+        assert r.sum_micro == -750_000
+
+    def test_all_null_column(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        r = QL.numeric_profile([("t.x", df, "x")]).collect()[0]
+        assert (r.n, r.n_null, r.sum_micro) == (2, 2, 0)
+        assert r.min_micro is None and r.max_micro is None

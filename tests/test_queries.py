@@ -147,3 +147,20 @@ def test_session_attribution_conserves_value(spark, sf_dir):
     assert total_first == corpus_micro
     n_sessions = Q.sessionize(spark, sf_dir).count()
     assert n_first == n_sessions
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Funnel counts never increase stage over stage; stage 1 equals the
+    raw document count; shares are exact floors of n/input."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["curation_funnel"](spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [
+        "1_input", "2_exact_dedup", "3_neardup", "4_quality_gate",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n0 = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert counts[0] == n0
+    for r in rows:
+        assert r.retained_micro == r.n_docs * 1_000_000 // n0

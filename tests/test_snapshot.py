@@ -86,3 +86,90 @@ def test_daily_anomaly_constant_counts_define_z_zero(spark, tmp_path):
     df.coalesce(1).write.parquet(p)
     out = daily_count_anomalies(spark, str(tmp_path)).collect()
     assert len(out) == 3 and all(r.z_score == 0.0 and r.is_anomaly == 0 for r in out)
+
+
+class TestEdgeChurn:
+    def _tables(self, spark, orders_rows, li_rows):
+        import datetime as dt
+
+        orders = spark.createDataFrame(
+            [
+                (ok, 1, "O", 10.0, dt.datetime(y, m, 15), "1-URGENT")
+                for (ok, y, m) in orders_rows
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        li = spark.createDataFrame(
+            [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1)) for (ok, pk) in li_rows],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        )
+        return li, orders
+
+    def test_hand_computed_churn(self, spark):
+        from reddit_etl_pipeline_spark.operators.snapshot import (
+            edge_churn_by_month,
+        )
+
+        # month 1 (2024-01): orders 1 {A,B,C} -> edges AB AC BC
+        # month 2 (2024-02): order 2 {A,B}, order 3 {B,D} -> edges AB BD
+        # kept AB; removed AC BC; added BD
+        li, orders = self._tables(
+            spark,
+            [(1, 2024, 1), (2, 2024, 2), (3, 2024, 2)],
+            [(1, 101), (1, 102), (1, 103), (2, 101), (2, 102),
+             (3, 102), (3, 104)],
+        )
+        rows = edge_churn_by_month(li, orders).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.total_m, r.total_next, r.kept, r.added, r.removed) == (
+            3, 2, 1, 1, 2,
+        )
+        assert r.churn_micro == 2 * 1_000_000 // 3
+
+    def test_disjoint_months_full_churn(self, spark):
+        from reddit_etl_pipeline_spark.operators.snapshot import (
+            edge_churn_by_month,
+        )
+
+        li, orders = self._tables(
+            spark,
+            [(1, 2024, 1), (2, 2024, 2)],
+            [(1, 101), (1, 102), (2, 103), (2, 104)],
+        )
+        r = edge_churn_by_month(li, orders).collect()[0]
+        assert (r.kept, r.added, r.removed) == (0, 1, 1)
+        assert r.churn_micro == 1_000_000
+
+    def test_gap_months_skipped(self, spark):
+        from reddit_etl_pipeline_spark.operators.snapshot import (
+            edge_churn_by_month,
+        )
+
+        # months jan and MARCH: no consecutive pair -> empty result
+        li, orders = self._tables(
+            spark,
+            [(1, 2024, 1), (2, 2024, 3)],
+            [(1, 101), (1, 102), (2, 101), (2, 102)],
+        )
+        assert edge_churn_by_month(li, orders).count() == 0
+
+    def test_year_boundary_is_consecutive(self, spark):
+        from reddit_etl_pipeline_spark.operators.snapshot import (
+            edge_churn_by_month,
+        )
+
+        # dec 2023 -> jan 2024 must count as consecutive months
+        li, orders = self._tables(
+            spark,
+            [(1, 2023, 12), (2, 2024, 1)],
+            [(1, 101), (1, 102), (2, 101), (2, 102)],
+        )
+        r = edge_churn_by_month(li, orders).collect()[0]
+        assert (r.kept, r.churn_micro) == (1, 0)

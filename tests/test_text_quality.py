@@ -224,3 +224,81 @@ def test_readability_hand_computed(spark):
         assert r.fk_grade_micro == expect, (did, r.fk_grade_micro, expect)
     # doc 1 is genuinely below grade 0; doc 2 far above doc 1
     assert got[1].fk_grade_micro < 0 < got[2].fk_grade_micro
+
+
+class TestSourceVocabOverlap:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    def test_hand_computed_jaccard(self, spark):
+        from reddit_etl_pipeline_spark.operators.text_quality import (
+            source_vocab_overlap,
+        )
+
+        docs = self._docs(
+            spark,
+            [
+                ("A", "the cat sat"),        # vocab A: the cat sat
+                ("B", "the dog sat down"),   # vocab B: the dog sat down
+            ],
+        )
+        r = source_vocab_overlap(docs).collect()[0]
+        # common {the, sat}=2; union = 3 + 4 - 2 = 5
+        assert (r.source_a, r.source_b) == ("A", "B")
+        assert (r.vocab_a, r.vocab_b, r.common) == (3, 4, 2)
+        assert r.jaccard_micro == 2 * 1_000_000 // 5
+
+    def test_disjoint_sources_missing_pair(self, spark):
+        from reddit_etl_pipeline_spark.operators.text_quality import (
+            source_vocab_overlap,
+        )
+
+        # no shared token -> the pair never materializes (join-generated)
+        docs = self._docs(spark, [("A", "alpha beta"), ("B", "gamma")])
+        assert source_vocab_overlap(docs).count() == 0
+
+    def test_case_folding_dedup(self, spark):
+        from reddit_etl_pipeline_spark.operators.text_quality import (
+            source_vocab_overlap,
+        )
+
+        docs = self._docs(spark, [("A", "The THE the"), ("B", "the")])
+        r = source_vocab_overlap(docs).collect()[0]
+        assert (r.vocab_a, r.vocab_b, r.common) == (1, 1, 1)
+        assert r.jaccard_micro == 1_000_000
+
+
+class TestZipfCurve:
+    def test_power_of_two_ranks_and_values(self, spark):
+        from reddit_etl_pipeline_spark.operators.text_quality import (
+            zipf_curve,
+        )
+
+        # frequencies: w1 x8, w2 x4, w3 x2, w4 x1
+        text = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"])
+        docs = spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        rows = zipf_curve(docs).collect()
+        got = {r.rank: (r.token, r.freq) for r in rows}
+        assert got == {1: ("w1", 8), 2: ("w2", 4), 4: ("w4", 1)}
+        assert [r.rank for r in rows] == [1, 2, 4]
+
+    def test_rank_tiebreak_is_token_order(self, spark):
+        from reddit_etl_pipeline_spark.operators.text_quality import (
+            zipf_curve,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "b a c", "en", "s", 5)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        rows = zipf_curve(docs).collect()
+        assert [(r.rank, r.token) for r in rows] == [(1, "a"), (2, "b")]
