@@ -367,6 +367,44 @@ def _categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative users (operators/behavior.
+    user_growth_curve): the product-growth triple in exact integers."""
+    return BH.user_growth_curve(Q.load(spark, sf_dir, "events"))
+
+
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operators/quality.
+    k_anonymity_audit): groups under the k floor and rows at
+    re-identification risk for two customer QI combinations, with the
+    worst l-diversity of the account-balance attribute."""
+    cust = Q.load(spark, sf_dir, "customer")
+    return QL.k_anonymity_audit(
+        [
+            ("nation+segment", cust,
+             ["c_nationkey", "c_mktsegment"], "c_acctbal"),
+            ("segment", cust, ["c_mktsegment"], "c_acctbal"),
+        ],
+        k=5,
+    )
+
+
+def _benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts (operators/quality.
+    benford_profile): observed leading-digit shares vs log10(1+1/d)
+    from ONE shared integer table — the fraud/synthetic-data screen."""
+    return QL.benford_profile(
+        Q.load(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def _dup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction screen (operators/quality.dup_order_audit):
+    same customer, same exact cents, same day — the double-charge
+    audit, totally-ordered top-20."""
+    return QL.dup_order_audit(Q.load(spark, sf_dir, "orders"))
+
+
 def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage attrition of the curation chain (the observability
     face of plans/curation.curate_corpus, as a driver-gated frame):
@@ -1879,6 +1917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_profile": _categorical_profile,
         "fk_integrity_audit": _fk_integrity_audit,
         "curation_funnel": _curation_funnel,
+        "user_growth_curve": _user_growth_curve,
+        "k_anonymity_audit": _k_anonymity_audit,
+        "benford_profile": _benford_profile,
+        "dup_order_audit": _dup_order_audit,
         "numeric_profile": _numeric_profile,
         "source_vocab_overlap": _source_vocab_overlap,
         "zipf_curve": _zipf_curve,
@@ -2952,6 +2994,17 @@ def oracle_sql() -> dict[str, str]:
             [(l, ct, cc, pt, pc) for l, ct, cc, pt, pc in _FK_RELATIONS]
         ),
         "numeric_profile": QL.numeric_profile_oracle_sql(_NUMERIC_COLS),
+        "user_growth_curve": BH.user_growth_oracle_sql(),
+        "k_anonymity_audit": QL.k_anonymity_oracle_sql(
+            [
+                ("nation+segment", "customer",
+                 ["c_nationkey", "c_mktsegment"], "c_acctbal"),
+                ("segment", "customer", ["c_mktsegment"], "c_acctbal"),
+            ],
+            k=5,
+        ),
+        "benford_profile": QL.benford_oracle_sql("orders", "o_totalprice"),
+        "dup_order_audit": QL.dup_order_oracle_sql(),
         "source_vocab_overlap": TQ.source_vocab_overlap_oracle_sql(_TOKENS),
         "zipf_curve": TQ.zipf_curve_oracle_sql(_TOKENS),
         # first/last-touch attribution: the sessionize gap chain +

@@ -487,3 +487,71 @@ SELECT CAST(length(bin(gap_s + 1)) AS BIGINT) AS gap_bucket,
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# 6. User growth curve
+# ---------------------------------------------------------------------------
+
+def user_growth_curve(events: DataFrame) -> DataFrame:
+    """Daily active / new / cumulative users — the product-growth
+    triple: per epoch day (exact integer, identical both engines), the
+    distinct active users, the users whose FIRST-ever event lands that
+    day, and the running total of users acquired so far.
+
+    All exact BIGINTs: DAU is a per-day distinct count, new-users come
+    off the per-user min-day aggregate, and the cumulative curve is one
+    window sum over the tiny per-day frame. Days with activity but no
+    new users report new_users = 0 (left join). Returns
+    (day, dau, new_users, cum_users) ordered by day.
+
+    Scale: one (day, user) distinct + one user groupBy, both
+    map-combinable; windows over #days rows.
+    """
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    )
+    du = events.select(day, "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    first = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    joined = dau.join(new, "day", "left").select(
+        "day",
+        "dau",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+def user_growth_oracle_sql() -> str:
+    """DuckDB replay of :func:`user_growth_curve`."""
+    return """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events
+), dau AS MATERIALIZED (
+  SELECT day, count(*) AS dau FROM du GROUP BY day
+), firsts AS MATERIALIZED (
+  SELECT user_id, min(day) AS day FROM du GROUP BY user_id
+), newu AS MATERIALIZED (
+  SELECT day, count(*) AS new_users FROM firsts GROUP BY day
+)
+SELECT CAST(dau.day AS BIGINT) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(coalesce(newu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(newu.new_users, 0))
+            OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM dau LEFT JOIN newu ON newu.day = dau.day
+ORDER BY day
+"""

@@ -307,3 +307,201 @@ SELECT '{label}' AS "column",
 FROM {table}
 """)
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def k_anonymity_audit(configs, k: int = 5) -> DataFrame:
+    """Privacy-risk audit before a data release: for each
+    quasi-identifier (QI) combination, how many equivalence groups fall
+    under the k-anonymity floor, how many ROWS sit in those re-
+    identifiable groups, and the worst l-diversity (distinct sensitive
+    values in a group — a group can be k-large yet reveal the sensitive
+    attribute if all members share it).
+
+    ``configs`` is a list of (label, df, [qi_cols], sensitive_col);
+    all outputs are exact BIGINTs from one groupBy + one fold per
+    config. Returns (qi, n_groups, n_rows, n_groups_lt_k,
+    n_rows_at_risk, min_group_size, min_l_diversity) ordered by label.
+
+    Scale: the QI groupBy is map-combinable; the fold is one row per
+    config. The audit never materializes the groups themselves."""
+    out = None
+    for label, df, qi_cols, sensitive in configs:
+        g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct(F.col(sensitive)).alias("ldiv"),
+        )
+        prof = g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0)).alias(
+                "n_groups_lt_k"
+            ),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.min("sz").alias("min_group_size"),
+            F.min("ldiv").alias("min_l_diversity"),
+        ).select(
+            F.lit(label).alias("qi"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_groups_lt_k").cast("long").alias("n_groups_lt_k"),
+            F.col("n_rows_at_risk").cast("long").alias("n_rows_at_risk"),
+            F.col("min_group_size").cast("long").alias("min_group_size"),
+            F.col("min_l_diversity").cast("long").alias("min_l_diversity"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("qi")
+
+
+def k_anonymity_oracle_sql(configs, k: int = 5) -> str:
+    """DuckDB replay of :func:`k_anonymity_audit`; ``configs`` is a
+    list of (label, table, [qi_cols], sensitive_col)."""
+    parts = []
+    for label, table, qi_cols, sensitive in configs:
+        qis = ", ".join(qi_cols)
+        parts.append(f"""
+SELECT '{label}' AS qi,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_lt_k,
+       CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       CAST(min(ldiv) AS BIGINT) AS min_l_diversity
+FROM (SELECT count(*) AS sz, count(DISTINCT {sensitive}) AS ldiv
+      FROM {table} GROUP BY {qis})
+""")
+    return " UNION ALL ".join(parts) + " ORDER BY qi"
+
+
+# Benford's-law expected first-digit shares, log10(1 + 1/d) in exact
+# micro-units — ONE Python-generated integer table embedded verbatim in
+# both engines (the linear-counting-table pattern), so no float log ever
+# runs in either plan.
+BENFORD_MICRO = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-digit (Benford's-law) audit of a monetary column — the
+    classic fraud/synthetic-data screen: compare the observed leading-
+    digit distribution of positive amounts against log10(1 + 1/d).
+
+    Amounts clear to exact integer cents (round(x*100), the house money
+    idiom); the leading digit is the first character of the cent
+    integer's decimal string (identical in both engines — no float
+    log10); shares and deviations are exact micro-units
+    (dev = share - expected may be negative: plain BIGINT subtraction,
+    no division). Returns (digit, n, share_micro, benford_micro,
+    dev_micro) for digits 1-9, ordered.
+
+    Scale: one map-combinable 9-group aggregate over the scan; the
+    expected table is a 9-entry literal."""
+    cents = F.expr(f"CAST(round({col} * 100) AS BIGINT)")
+    digits = (
+        df.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n")).collect()[0][0] or 1
+    bm = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in sorted(BENFORD_MICRO.items())
+    )
+    return (
+        digits.select(
+            "digit",
+            "n",
+            F.expr(
+                f"(n * CAST(1000000 AS BIGINT)) div CAST({int(total)} AS BIGINT)"
+            ).alias("share_micro"),
+            F.expr(f"CAST(CASE digit {bm} END AS BIGINT)").alias(
+                "benford_micro"
+            ),
+        )
+        .withColumn(
+            "dev_micro", F.col("share_micro") - F.col("benford_micro")
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_oracle_sql(table: str, col: str) -> str:
+    """DuckDB replay of :func:`benford_profile`."""
+    bm = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in sorted(BENFORD_MICRO.items())
+    )
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT CAST(round({col} * 100) AS BIGINT) AS c FROM {table}
+  WHERE CAST(round({col} * 100) AS BIGINT) > 0
+), digits AS MATERIALIZED (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM cents GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // (SELECT sum(n) FROM digits) AS BIGINT)
+         AS share_micro,
+       CAST(CASE digit {bm} END AS BIGINT) AS benford_micro,
+       CAST((n * 1000000) // (SELECT sum(n) FROM digits)
+            - CASE digit {bm} END AS BIGINT) AS dev_micro
+FROM digits ORDER BY digit
+"""
+
+
+def dup_order_audit(orders: DataFrame, top_n: int = 20) -> DataFrame:
+    """Possible duplicate-transaction detection: orders by the same
+    customer with the identical amount on the same day — the standard
+    finance/ops double-charge screen. Amounts in exact integer cents,
+    the day as exact epoch days; only groups with more than one order
+    survive. Returns the top ``top_n`` groups by (n_orders DESC,
+    o_custkey, total_cents, order_day) — totally ordered — as
+    (o_custkey, total_cents, order_day, n_orders).
+
+    Scale: one map-combinable groupBy over the scan + TakeOrdered."""
+    return (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "total_cents"
+            ),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("order_day"),
+        )
+        .groupBy("o_custkey", "total_cents", "order_day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+        .orderBy(
+            F.desc("n_orders"), "o_custkey", "total_cents", "order_day"
+        )
+        .limit(top_n)
+    )
+
+
+def dup_order_oracle_sql(top_n: int = 20) -> str:
+    """DuckDB replay of :func:`dup_order_audit`."""
+    return f"""
+SELECT o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS order_day,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+HAVING count(*) > 1
+ORDER BY n_orders DESC, o_custkey, total_cents, order_day
+LIMIT {top_n}
+"""

@@ -259,3 +259,30 @@ class TestInterpurchaseIntervals:
     def test_single_purchase_users_emit_nothing(self, spark):
         ev = _ev(spark, [(1, _at(), 1, "purchase", 0), (2, _at(), 2, "purchase", 0)])
         assert BH.interpurchase_intervals(ev).count() == 0
+
+
+class TestUserGrowthCurve:
+    def test_hand_computed(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, _at(days=0), 1, "A", 0),
+                (2, _at(days=0), 2, "A", 0),
+                (3, _at(days=1), 1, "A", 0),   # active, not new
+                (4, _at(days=1), 3, "A", 0),   # new on day 1
+                (5, _at(days=3), 1, "A", 0),   # day 2 empty, day 3: only u1
+            ],
+        )
+        rows = BH.user_growth_curve(ev).collect()
+        day0 = rows[0].day
+        got = {r.day - day0: (r.dau, r.new_users, r.cum_users) for r in rows}
+        assert got == {0: (2, 2, 2), 1: (2, 1, 3), 3: (1, 0, 3)}
+
+    def test_cum_users_equals_total_distinct(self, spark):
+        ev = _ev(
+            spark,
+            [(i, _at(days=i % 4, secs=i), i % 5, "A", 0) for i in range(25)],
+        )
+        rows = BH.user_growth_curve(ev).collect()
+        assert rows[-1].cum_users == 5
+        assert sum(r.new_users for r in rows) == 5

@@ -123,3 +123,86 @@ class TestNumericProfile:
         r = QL.numeric_profile([("t.x", df, "x")]).collect()[0]
         assert (r.n, r.n_null, r.sum_micro) == (2, 2, 0)
         assert r.min_micro is None and r.max_micro is None
+
+
+class TestKAnonymityAudit:
+    def test_hand_computed(self, spark):
+        # QI = city: A has 6 rows, B has 2 -> with k=5, B is at risk;
+        # sensitive diversity: A has 2 distinct, B has 1 (worst)
+        rows = [("A", i % 2) for i in range(6)] + [("B", 7), ("B", 7)]
+        df = spark.createDataFrame(rows, "city string, salary long")
+        r = QL.k_anonymity_audit(
+            [("city", df, ["city"], "salary")], k=5
+        ).collect()[0]
+        assert (r.n_groups, r.n_rows) == (2, 8)
+        assert (r.n_groups_lt_k, r.n_rows_at_risk) == (1, 2)
+        assert (r.min_group_size, r.min_l_diversity) == (2, 1)
+
+    def test_all_groups_pass_k(self, spark):
+        df = spark.createDataFrame(
+            [("A", i) for i in range(5)] + [("B", i) for i in range(5)],
+            "city string, salary long",
+        )
+        r = QL.k_anonymity_audit(
+            [("city", df, ["city"], "salary")], k=5
+        ).collect()[0]
+        assert (r.n_groups_lt_k, r.n_rows_at_risk) == (0, 0)
+        assert r.min_l_diversity == 5
+
+
+class TestBenfordProfile:
+    def test_shares_and_deviation(self, spark):
+        # 30 amounts leading 1, 10 leading 2 -> shares 750000 / 250000
+        rows = [(1.23,)] * 30 + [(2.5,)] * 10
+        df = spark.createDataFrame(rows, "x double")
+        got = {r.digit: r for r in QL.benford_profile(df, "x").collect()}
+        assert set(got) == {1, 2}
+        assert got[1].share_micro == 750_000
+        assert got[2].share_micro == 250_000
+        assert got[1].benford_micro == 301_030
+        assert got[1].dev_micro == 750_000 - 301_030
+        assert got[2].dev_micro == 250_000 - 176_091
+
+    def test_nonpositive_amounts_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0.0,), (-5.0,), (9.99,)], "x double"
+        )
+        rows = QL.benford_profile(df, "x").collect()
+        assert len(rows) == 1 and rows[0].digit == 9 and rows[0].n == 1
+
+    def test_digit_comes_from_cents(self, spark):
+        # 0.05 -> 5 cents -> digit 5 (cent-integer leading digit)
+        df = spark.createDataFrame([(0.05,)], "x double")
+        assert QL.benford_profile(df, "x").collect()[0].digit == 5
+
+
+class TestDupOrderAudit:
+    def _orders(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(i, ck, "O", float(tp),
+              dt.datetime(2024, 1, d, h), "1-URGENT")
+             for i, (ck, tp, d, h) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+
+    def test_same_day_same_amount_flagged(self, spark):
+        orders = self._orders(
+            spark,
+            [(1, 99.99, 5, 9), (1, 99.99, 5, 17),   # dup pair
+             (1, 99.99, 6, 9),                        # different day
+             (2, 50.0, 5, 9)],                        # singleton
+        )
+        rows = QL.dup_order_audit(orders).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.o_custkey, r.total_cents, r.n_orders) == (1, 9999, 2)
+
+    def test_cent_precision_separates(self, spark):
+        orders = self._orders(
+            spark, [(1, 10.01, 5, 9), (1, 10.02, 5, 10)]
+        )
+        assert QL.dup_order_audit(orders).count() == 0
