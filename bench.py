@@ -28,6 +28,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixed-work CPU calibration probe: 50M xxhash64 folds on all worker
+# threads — constant cost regardless of SF, pure JVM codegen, no I/O.
+# PROBE_FLOOR_S is the best-of-3 measured on a healthy host (round 9,
+# loadavg ~2); a run whose probe exceeds 2x this floor ran on a degraded
+# host (the round-8 failure mode: both committed r8 bench artifacts were
+# 2-12x inflated by host steal with identical plans) and must not be
+# used as a regression baseline. The probe runs before AND after the
+# query loop so degradation that starts mid-run is also visible.
+PROBE_ROWS = 50_000_000
+PROBE_FLOOR_S = 0.40
+
+
+def calibration_probe(spark, reps: int = 3) -> float:
+    """Best-of-``reps`` wall seconds for the fixed xxhash64 fold."""
+    from pyspark.sql import functions as F
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # bit_xor fold: overflow-free under ANSI mode, uncollapsible by
+        # the optimizer, and the hash work dominates the aggregate
+        spark.range(PROBE_ROWS, numPartitions=n_workers).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
 
 def main() -> None:
     from reddit_etl_pipeline_spark.session import get_spark
@@ -218,6 +246,8 @@ def main() -> None:
     # mushy; the min of two cold-cache runs strips scheduler/GC spikes
     # while still measuring full computation (clearCache between reps, so
     # rep 2 is not a cache readback)
+    probe_before = calibration_probe(spark)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in headline:
@@ -234,6 +264,18 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    probe_after = calibration_probe(spark)
+    # self-diagnosis: >2x the committed healthy-host floor on either
+    # side of the run marks the whole artifact untrustworthy for
+    # regression comparison (see PROBE_FLOOR_S)
+    degraded = max(probe_before, probe_after) > 2 * PROBE_FLOOR_S
+    probe = {
+        "before_s": probe_before,
+        "after_s": probe_after,
+        "floor_s": PROBE_FLOOR_S,
+        "degraded": degraded,
+    }
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -249,6 +291,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n": len(timings),
+        "probe": probe,
         "queries": timings,
         "sf": sf,
     }
@@ -274,6 +317,7 @@ def main() -> None:
                 "unit": "sec",
                 "n": len(timings),
                 "sf": sf,
+                "probe": probe,
                 "queries": slowest,
             },
             separators=(",", ":"),

@@ -470,6 +470,25 @@ def test_token_budget_sample_two_phase_no_serial_window(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_rfm_segments_two_phase_no_serial_window(spark, sf_dir):
+    """RFM quartile ranks are the two-phase bucketed rank: all three
+    row_number windows partition by the axis bucket (never the
+    whole-customer-dim global sort the round-8 shape had), offsets
+    broadcast back as tiny literal frames, and no stage funnels the
+    customer dimension through one task."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["rfm_segments"](spark, sf_dir))
+    assert "SinglePartition" not in p, p
+    windows = [
+        l for l in p.splitlines() if l.startswith("(") and "Window" in l
+    ]
+    assert len(windows) == 3, p  # one bucket-partitioned window per axis
+    assert "_bkt" in p  # windows carry the bucket partition key
+    assert "BroadcastHashJoin" in p  # offset tables broadcast in
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
 def test_media_decode_stats_is_map_only(spark, sf_dir):
     """The real-codec decode path must never shuffle blobs: zero
     Exchanges — one scan feeding one Arrow mapInPandas."""
