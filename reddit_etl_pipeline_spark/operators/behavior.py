@@ -315,6 +315,38 @@ FROM cells
 # 4. RFM customer segmentation
 # ---------------------------------------------------------------------------
 
+# bucket expressions for the two-phase rank: each is a MONOTONE
+# NON-DECREASING integer function of its axis's sort order (ascending
+# bucket id == ascending rank), so offset-of-earlier-buckets + in-bucket
+# row_number == the exact global row_number and the DuckDB oracle (a
+# plain global row_number) is replayed bit-identically.
+_RFM_BUCKETS = {
+    # recency asc: 8-day cells — #buckets = observed-day-span/8
+    "r_q": "recency_days div 8",
+    # frequency desc: one bucket per distinct order count (bounded by
+    # max orders per customer, not by customers)
+    "f_q": "-frequency",
+    # monetary desc: octave x top-5-bits grid (<= 32*64 cells over the
+    # full BIGINT range) — monotone because bit length rises with value
+    # and the top-5-bit slice is order-preserving within an octave.
+    # Assumes non-negative cents (o_totalprice > 0).
+    "m_q": (
+        "-(CAST(length(bin(monetary_cents)) AS BIGINT) * 32"
+        " + shiftrightunsigned(monetary_cents,"
+        "     greatest(CAST(length(bin(monetary_cents)) AS INT) - 5, 0)))"
+    ),
+}
+
+_RFM_SORT = {
+    "r_q": lambda: [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+    "f_q": lambda: [F.col("frequency").desc(), F.col("o_custkey").asc()],
+    "m_q": lambda: [
+        F.col("monetary_cents").desc(),
+        F.col("o_custkey").asc(),
+    ],
+}
+
+
 def rfm_segments(orders: DataFrame) -> DataFrame:
     """Classic RFM (recency / frequency / monetary) segmentation of the
     customer base, quartile-scored with the DETERMINISTIC rank formula
@@ -328,54 +360,91 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     engines — then order-independent BIGINT sums). Recency is measured
     against the dataset's max order date, in whole days.
 
-    Scale: one customer groupBy over orders, then three row_number
-    windows over the CUSTOMER dimension (each a total order with
-    custkey tie-break). A global window sort of the customer dim is
-    ~1e8 rows at 100 TB — a single sortable column; if that ever
-    dominates, the formula converts directly to a two-phase
-    range-partitioned rank. Returns
-    (r_q, f_q, m_q, n_customers, total_orders, total_monetary_cents).
+    Scale — two-phase bucketed rank, NEVER a whole-customer-dim global
+    window (the ``packing.py`` cumsum pattern): the per-customer frame
+    is aggregated once and localCheckpointed (one orders scan shared by
+    every downstream action), the as-of date and customer count come
+    back as driver scalars off that checkpoint, and each axis's global
+    row_number is offset-of-earlier-buckets + an in-bucket row_number
+    whose window partitions by the bucket. Bucket histograms for all
+    three axes collect in ONE stacked driver job, bounded by bucket
+    GEOMETRY (day-span/8 + distinct frequencies + a <=2k-cell monetary
+    grid), never by customer count; offsets broadcast back as tiny
+    literal frames. The three axis frames re-join on o_custkey — keyed
+    customer-grain shuffles that scale horizontally, where the previous
+    shape moved the whole dimension through one task three times.
+    Returns (r_q, f_q, m_q, n_customers, total_orders,
+    total_monetary_cents).
     """
-    # the as-of date comes back as a 1-row driver scalar injected as a
-    # literal (the repo's scalar idiom — no 1-row nested-loop join)
-    asof_day = orders.agg(
-        F.max(F.col("o_orderdate").cast("date"))
-    ).collect()[0][0]
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit(asof_day), F.max(F.col("o_orderdate").cast("date"))
-        )
-        .cast("long")
-        .alias("recency_days"),
+    spark = orders.sparkSession
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
             "monetary_cents"
         ),
-    )
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-    scored = per_cust.select(
+    ).localCheckpoint()
+    # driver scalars off the customer-grain checkpoint (the repo's
+    # scalar-literal idiom — no empty-partitionBy count window, no
+    # second orders scan for the as-of date)
+    asof_day, n_cust = base.agg(
+        F.max("_last_day"), F.count(F.lit(1))
+    ).collect()[0]
+    per_cust = base.select(
         "o_custkey",
+        F.datediff(F.lit(asof_day), F.col("_last_day"))
+        .cast("long")
+        .alias("recency_days"),
         "frequency",
         "monetary_cents",
-        F.row_number()
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_rn"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("frequency"), F.col("o_custkey")))
-        .alias("f_rn"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("monetary_cents"), F.col("o_custkey")))
-        .alias("m_rn"),
-        n.alias("n_cust"),
     )
-    return (
-        scored.select(
-            F.expr("((r_rn - 1) * 4) div n_cust + 1").alias("r_q"),
-            F.expr("((f_rn - 1) * 4) div n_cust + 1").alias("f_q"),
-            F.expr("((m_rn - 1) * 4) div n_cust + 1").alias("m_q"),
-            "frequency",
-            "monetary_cents",
+    # one stacked job: per-(axis, bucket) counts for all three axes
+    hist = (
+        per_cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(axis).alias("axis"),
+                            F.expr(bkt).cast("long").alias("bkt"),
+                        )
+                        for axis, bkt in _RFM_BUCKETS.items()
+                    ]
+                )
+            ).alias("x")
         )
+        .groupBy("x.axis", "x.bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_axis: dict[str, list] = {a: [] for a in _RFM_BUCKETS}
+    for row in hist:
+        per_axis[row["axis"]].append((row["bkt"], row["n"]))
+    axes = {}
+    for axis, bkt_expr in _RFM_BUCKETS.items():
+        off, offsets = 0, []
+        for bkt, cnt in sorted(per_axis[axis]):
+            offsets.append((bkt, off))
+            off += cnt
+        off_df = spark.createDataFrame(
+            offsets, "_bkt bigint, _off bigint"
+        )
+        w = Window.partitionBy("_bkt").orderBy(*_RFM_SORT[axis]())
+        axes[axis] = (
+            per_cust.withColumn("_bkt", F.expr(bkt_expr).cast("long"))
+            .join(F.broadcast(off_df), "_bkt")
+            .withColumn("_rn", F.row_number().over(w))
+            .select(
+                "o_custkey",
+                F.expr(f"((_off + _rn - 1) * 4) div {max(n_cust, 1)} + 1")
+                .alias(axis),
+            )
+        )
+    return (
+        per_cust.select("o_custkey", "frequency", "monetary_cents")
+        .join(axes["r_q"], "o_custkey")
+        .join(axes["f_q"], "o_custkey")
+        .join(axes["m_q"], "o_custkey")
         .groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
