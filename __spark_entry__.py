@@ -37,6 +37,7 @@ from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
+from reddit_etl_pipeline_spark.operators import ann_store as ANS
 from reddit_etl_pipeline_spark.operators import sketches as SK
 from reddit_etl_pipeline_spark.operators import sketch_store as SS
 from reddit_etl_pipeline_spark.operators import snapshot as SNAP
@@ -1389,6 +1390,47 @@ def _cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index store (operators/ann_store.py): the coarse
+    quantizer is trained once and FROZEN into the store, per-batch cell
+    assignments append at ingest (idempotent dynamic-overwrite
+    partitions), and the query answers from the merged stored partials
+    — the only per-query Arrow work is assigning the 5 query vectors.
+    Bit-identical to the cosine_topk_ivf rebuild twin because per-row
+    assignment under a frozen quantizer makes a union of batch partials
+    equal the full scan, so it shares ann_oracles.ivf_topk_oracle."""
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    emb = Q.load(spark, sf_dir, "embeddings")
+    store = scratch_dir("ann_store_")
+    ANS.build_ann_store(emb, store)
+    return ANS.store_topk(
+        spark, store, emb, emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+def _ann_store_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index store, LSH leg: the bucket GEOMETRY is pinned
+    at store init (the plane family is already deterministic), per-batch
+    (tbl, bucket, ext) projections append at ingest, and the query
+    probes the stored bucket table — no corpus re-projection per query.
+    Bucket assignment is a pure per-row function, so merged batch
+    partials == the full-scan table and the store answer is
+    bit-identical to cosine_topk_lsh, sharing
+    ann_oracles.lsh_topk_oracle (operators/ann_store.py)."""
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    emb = Q.load(spark, sf_dir, "embeddings")
+    n_planes = max(
+        S.auto_planes(_parquet_rows(sf_dir, "embeddings")) - 2, 4
+    )
+    store = scratch_dir("ann_lsh_store_")
+    ANS.build_lsh_store(emb, store, dim=64, n_planes=n_planes)
+    return ANS.store_lsh_topk(
+        spark, store, emb, emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
 def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality scoreboard: recall@5 and top-1 MRR of every
     approximate index (LSH / IVF / PQ / IVF-PQ) against the exact
@@ -1689,6 +1731,18 @@ def _stream_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.streamed_purchase_state_pit(spark, sf_dir)
 
 
+def _stream_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous connected components of the co-purchase graph — the
+    graph family's incremental twin: order-keyed lineitem micro-batches
+    fold new edges into a node-cardinality (node, rep) star state by
+    re-running min-label CC over (state stars ∪ new edges), which
+    equals the full-union labeling because the stars preserve the seen
+    graph's connectivity classes exactly. Shares the batch
+    part_components star-rounds oracle; stream == batch pinned in
+    tests/test_stream_graph.py (streaming/stream.streamed_part_components)."""
+    return ST.streamed_part_components(spark, sf_dir)
+
+
 def _stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous KMV bottom-k sketch: per-micro-batch bottom-k states
     merge under the idempotent MIN-SET law (replay-safe by idempotence,
@@ -1969,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_confusion_ivf": _knn_label_confusion_ivf,
         "cosine_topk_lsh": _cosine_topk_lsh,
         "cosine_topk_ivf": _cosine_topk_ivf,
+        "ann_store_topk": _ann_store_topk,
+        "ann_store_topk_lsh": _ann_store_topk_lsh,
         "cosine_topk_pq": _cosine_topk_pq,
         "cosine_topk_ivfpq": _cosine_topk_ivfpq,
         "embedding_neardup": _embedding_neardup,
@@ -2026,10 +2082,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_store_revenue": _rollup_store_revenue,
         "supplier_blame_report": Q.supplier_blame_report,
         "kmv_distinct_users": SK.kmv_distinct_users,
+        "kmv_value_quantiles": SK.kmv_value_quantiles,
         "kmv_user_jaccard": SK.kmv_user_jaccard,
         "kmv_sample_users": SK.kmv_sample_users,
         "weighted_sample_by_lang": _weighted_sample_by_lang,
         "stream_kmv_distinct": _stream_kmv_distinct,
+        "stream_part_components": _stream_part_components,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -2521,6 +2579,31 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
         SELECT node, round(pr, 6) AS rank FROM r{iters}"""
     )
     return "".join(parts)
+
+
+def _part_components_oracle() -> str:
+    """Star-rounds CC replay over the co-purchase graph + component-size
+    rollup — shared by the batch query and its streaming fold twin."""
+    return f"""
+        WITH {_copurchase_ctes()},
+        pairs AS MATERIALIZED (SELECT lo AS doc_a, hi AS doc_b FROM e),
+        {NO_CC_STAR},
+        nodes AS MATERIALIZED (
+          SELECT lo AS part_id FROM e UNION SELECT hi FROM e
+        ),
+        memb AS MATERIALIZED (
+          SELECT n.part_id, coalesce(r.rep_id, n.part_id) AS component_id
+          FROM nodes n LEFT JOIN rep r ON r.doc_id = n.part_id
+        ),
+        csizes AS MATERIALIZED (
+          SELECT component_id, count(*) AS component_size
+          FROM memb GROUP BY component_id
+        )
+        SELECT CAST(m.part_id AS BIGINT) AS part_id,
+               CAST(m.component_id AS BIGINT) AS component_id,
+               CAST(s.component_size AS BIGINT) AS component_size
+        FROM memb m JOIN csizes s USING (component_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4748,6 +4831,12 @@ def oracle_sql() -> dict[str, str]:
         # Lloyd centroids, integer distances — unrolled per-iteration
         # CTEs like the kmeans_cluster_stats lift.
         "cosine_topk_ivf": AO.ivf_topk_oracle(k=5),
+        # the persisted-index twin shares the rebuild oracle verbatim:
+        # per-row assignment under the frozen quantizer makes merged
+        # per-batch store partials == the full-scan assignment
+        # (operators/ann_store.py, tests/test_ann_store.py)
+        "ann_store_topk": AO.ivf_topk_oracle(k=5),
+        "ann_store_topk_lsh": AO.lsh_topk_oracle(k=5),
         "knn_label_confusion_ivf": AO.ivf_knn_confusion_oracle(k=5),
         # PQ / IVF-PQ replayed exactly (ann_oracles): per-subspace
         # rounded-centroid codebooks on the unit grid, integer ADC
@@ -4863,6 +4952,10 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # KMV bottom-k: the distinct sketch that doubles as a uniform
         # distinct SAMPLE; batch and stream share the replay (min-set law)
         "kmv_distinct_users": SK.kmv_oracle_sql(),
+        # sampled-rank quantiles: bottom-k rows by event hash, the
+        # shared integer rank-pick formula — rank error O(1/sqrt(k))
+        # at unbounded value ranges (the grid sketch's complement)
+        "kmv_value_quantiles": SK.kmv_value_quantiles_oracle_sql(),
         "kmv_user_jaccard": SK.kmv_jaccard_oracle_sql(),
         "kmv_sample_users": SK.kmv_sample_oracle_sql(n=5),
         # stratified PPS: per-lang thresholds, same integer arithmetic
@@ -4973,26 +5066,12 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # star-rounds replay the near-dup cluster oracles use, plus the
         # per-component size rollup; isolated-in-pairs handling via the
         # nodes/coalesce shape (rep may omit self-rows)
-        "part_components": f"""
-            WITH {_copurchase_ctes()},
-            pairs AS MATERIALIZED (SELECT lo AS doc_a, hi AS doc_b FROM e),
-            {NO_CC_STAR},
-            nodes AS MATERIALIZED (
-              SELECT lo AS part_id FROM e UNION SELECT hi FROM e
-            ),
-            memb AS MATERIALIZED (
-              SELECT n.part_id, coalesce(r.rep_id, n.part_id) AS component_id
-              FROM nodes n LEFT JOIN rep r ON r.doc_id = n.part_id
-            ),
-            csizes AS MATERIALIZED (
-              SELECT component_id, count(*) AS component_size
-              FROM memb GROUP BY component_id
-            )
-            SELECT CAST(m.part_id AS BIGINT) AS part_id,
-                   CAST(m.component_id AS BIGINT) AS component_id,
-                   CAST(s.component_size AS BIGINT) AS component_size
-            FROM memb m JOIN csizes s USING (component_id)
-        """,
+        "part_components": _part_components_oracle(),
+        # the streaming fold shares the batch oracle VERBATIM: state
+        # rows are star edges preserving the seen graph's connectivity
+        # classes, so min-label CC over (stars ∪ new edges) == the
+        # full-union labeling (streaming/stream.streamed_part_components)
+        "stream_part_components": _part_components_oracle(),
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(

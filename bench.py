@@ -232,6 +232,10 @@ def main() -> None:
         "kmv_sample_users",
         "weighted_sample_by_lang",
         "part_degree_hist",
+        "ann_store_topk",
+        "ann_store_topk_lsh",
+        "stream_part_components",
+        "kmv_value_quantiles",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -1,0 +1,279 @@
+"""Persisted ANN index store: per-``batch_id`` IVF cell-assignment
+partials written at ingest, queries answered from the stored index —
+never re-deriving the quantizer or re-assigning the corpus per query.
+
+The 100 TB pattern (the ``sketch_store`` discipline applied to the
+similarity family): a production vector pipeline trains its coarse
+quantizer ONCE (``init_store`` — frozen k x dim integer-grid centroids,
+the FAISS deployment convention), then every ingest batch appends only
+its OWN rows' cell assignments (``append_batch`` — a map-only Arrow
+projection over the new vectors, written as one idempotent partition).
+An ANN query (``store_topk``) reads the merged assignment relation —
+bounded by corpus CARDINALITY (one (id, cid) row per vector), not by
+query count — probes nprobe cells via an equi-join, and reranks exactly
+against the vector table. Re-running ``cosine_topk_ivf`` instead would
+re-collect the training sample, re-run 5 Lloyd iterations, and
+re-assign the WHOLE corpus on every query.
+
+Why merged partials equal a full rebuild (the store's oracle-sharing
+law, like the sketch store's MAX/SUM laws): cell assignment under a
+frozen quantizer is PER-ROW — argmin over exact integer distances with
+(distance, cid) tie order — so the union of per-batch assignment
+partials is bit-identical to assigning the union in one scan. That is
+why ``store_topk`` hash-matches the ``ivf_topk`` rebuild twin and
+shares its DuckDB replay (``ann_oracles.ivf_topk_oracle``) verbatim,
+provided the stored centroids come from the same deterministic
+lowest-id sample (`similarity.train_ivf_grid_centroids`).
+
+Integer-grid contract (CLAUDE.md): centroids are integer-valued
+float64 on the 1/2^17 unit grid — they round-trip through parquet
+DOUBLE exactly, so a store written on one host and read on another
+probes identical cells.
+
+The LSH leg (below) carries the same contract with even less state:
+the plane family is deterministic by seed, so only the bucket GEOMETRY
+is frozen at init and the partials are per-batch (tbl, bucket, ext)
+projections — merged partials == the full-scan bucket table because
+projection is per-row, and ``store_lsh_topk`` shares
+``ann_oracles.lsh_topk_oracle`` with the ``cosine_topk_lsh`` rebuild
+twin.
+
+Reference parity: the reference has no vector surface; this is part of
+the beyond-reference large-scale family (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import write_table
+from . import similarity as S
+
+#: synthetic ingest batches for tables without an ingest-date column:
+#: batch_id = vec_id % N_BATCHES (deterministic, disjoint, replayable)
+N_BATCHES = 8
+
+
+def batch_of(id_col: str = "vec_id") -> F.Column:
+    """The synthetic ingest-batch key for an embeddings relation."""
+    return (F.col(id_col) % N_BATCHES).alias("batch_id")
+
+
+def init_store(
+    corpus: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train the coarse quantizer on the deterministic lowest-id sample
+    and FREEZE it into the store (``centroids`` table: cid, vec). Run
+    once at index creation; every later ``append_batch`` assigns against
+    these centroids, which is what makes incremental ingest equal a
+    full rebuild. Returns the k x dim centroid matrix."""
+    cents = S.train_ivf_grid_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(rows, "cid bigint, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    return cents
+
+
+def load_centroids(spark: SparkSession, store_dir: str) -> "np.ndarray":
+    """The frozen quantizer back as a k x dim float64 matrix (a
+    k-bounded driver collect; integer-valued doubles round-trip parquet
+    exactly)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{store_dir}/centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    return np.array([list(r["vec"]) for r in rows], dtype="float64")
+
+
+def append_batch(
+    vectors: DataFrame,
+    store_dir: str,
+    batch_id: int | None = None,
+    cents: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest: assign ONE batch of new vectors to their
+    cells under the frozen quantizer and write the (batch_id, vec_id,
+    cid) partition with dynamic overwrite — re-running a batch replaces
+    only itself; no other batch's partial (and no raw history) is read
+    or touched. ``batch_id=None`` derives each row's batch from
+    ``batch_of`` (multi-batch input); pass it explicitly when the
+    caller already isolated one ingest batch."""
+    spark = vectors.sparkSession
+    if cents is None:
+        cents = load_centroids(spark, store_dir)
+    assign = S.ivf_assign_cells(vectors, cents, 1, id_col, vec_col)
+    keyed = assign.withColumn(
+        "batch_id",
+        F.lit(int(batch_id)) if batch_id is not None else (F.col(id_col) % N_BATCHES),
+    )
+    # one file per batch partition: assignment partials are
+    # corpus-cardinality rows of two BIGINTs — a 32-task write would
+    # scatter each batch into KB-sized files (the sketch-store lesson)
+    write_table(
+        keyed.repartition("batch_id"),
+        f"{store_dir}/ivf_assign",
+        mode="overwrite",
+        partition_by=["batch_id"],
+    )
+
+
+def build_ann_store(
+    corpus: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Full-corpus store build: train + freeze the quantizer, then
+    write every batch's assignment partial in one scan (equal, by the
+    per-row assignment law, to appending each batch separately — pinned
+    in tests/test_ann_store.py)."""
+    cents = init_store(corpus, store_dir, n_centroids, id_col, vec_col)
+    append_batch(corpus, store_dir, None, cents, id_col, vec_col)
+
+
+def store_assignments(spark: SparkSession, store_dir: str, id_col: str = "vec_id") -> DataFrame:
+    """The merged inverted-list membership relation (id, cid) — the
+    union of per-batch partials, read with partition pruning available
+    on batch_id for selective rebuilds/audits."""
+    return spark.read.parquet(f"{store_dir}/ivf_assign").select(id_col, "cid")
+
+
+# ---------------------------------------------------------------------------
+# LSH leg: persisted bucket-table partials
+# ---------------------------------------------------------------------------
+
+
+def init_lsh_store(
+    spark: SparkSession,
+    store_dir: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int = 8,
+    split_bits: int = 16,
+) -> None:
+    """Freeze the LSH index GEOMETRY into the store (the plane family
+    itself is already deterministic from ``similarity._table_planes`` —
+    only the shape parameters need pinning, or a corpus that grew past
+    an auto_planes threshold would probe a different bucket space than
+    it was indexed under)."""
+    spark.createDataFrame(
+        [(int(dim), int(n_planes), int(n_tables), int(split_bits))],
+        "dim int, n_planes int, n_tables int, split_bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/lsh_meta")
+
+
+def load_lsh_meta(spark: SparkSession, store_dir: str) -> tuple:
+    r = spark.read.parquet(f"{store_dir}/lsh_meta").collect()[0]
+    return r["dim"], r["n_planes"], r["n_tables"], r["split_bits"]
+
+
+def append_lsh_batch(
+    vectors: DataFrame,
+    store_dir: str,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH ingest: project ONE batch of new vectors to
+    their (tbl, bucket, ext) rows under the frozen geometry and write
+    the partition idempotently. Bucket projection is per-row (a pure
+    function of the deterministic planes), so merged partials == the
+    full-scan bucket table — the same law as the IVF leg, with no
+    trained state at all."""
+    spark = vectors.sparkSession
+    dim, n_planes, n_tables, split_bits = load_lsh_meta(spark, store_dir)
+    cb = S.lsh_bucket_table(
+        vectors, dim, n_planes, n_tables, id_col, vec_col,
+        extra_bits=split_bits,
+    )
+    keyed = cb.withColumn(
+        "batch_id",
+        F.lit(int(batch_id)) if batch_id is not None else (F.col("did") % N_BATCHES),
+    )
+    write_table(
+        keyed.repartition("batch_id"),
+        f"{store_dir}/lsh_buckets",
+        mode="overwrite",
+        partition_by=["batch_id"],
+    )
+
+
+def build_lsh_store(
+    corpus: DataFrame,
+    store_dir: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int = 8,
+    split_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Full-corpus LSH store build: pin the geometry, then write every
+    batch's bucket partial in one projection pass."""
+    init_lsh_store(
+        corpus.sparkSession, store_dir, dim, n_planes, n_tables, split_bits
+    )
+    append_lsh_batch(corpus, store_dir, None, id_col, vec_col)
+
+
+def store_lsh_topk(
+    spark: SparkSession,
+    store_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_cap: int | None = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH top-k answered FROM THE STORE: the corpus bucket table comes
+    off the persisted partials (no corpus re-projection — the dominant
+    per-query Arrow cost in the rebuild twin), hot-bucket splitting and
+    the probe/rerank tail run unchanged (``similarity.lsh_probe``).
+    Bit-identical to ``cosine_topk_lsh`` under the stored geometry, so
+    it shares ``ann_oracles.lsh_topk_oracle``."""
+    dim, n_planes, n_tables, split_bits = load_lsh_meta(spark, store_dir)
+    cb = spark.read.parquet(f"{store_dir}/lsh_buckets").select(
+        "did", "tbl", "bucket", "ext"
+    )
+    return S.lsh_probe(
+        corpus, queries, cb, dim, k, n_planes, n_tables,
+        id_col, vec_col, bucket_cap, split_bits,
+    )
+
+
+def store_topk(
+    spark: SparkSession,
+    store_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k answered FROM THE STORE: corpus-side cell membership
+    comes from the persisted partials (no corpus re-assignment, no
+    quantizer retraining — the only per-query Arrow work is assigning
+    the handful of QUERY vectors), then the shared probe/rerank tail.
+    Bit-identical to the ``ivf_topk`` rebuild twin under the frozen
+    quantizer, so it shares ``ann_oracles.ivf_topk_oracle``."""
+    cents = load_centroids(spark, store_dir)
+    c_assign = store_assignments(spark, store_dir, id_col)
+    q_assign = S.ivf_assign_cells(queries, cents, nprobe, id_col, vec_col)
+    return S.ivf_probe(corpus, queries, c_assign, q_assign, k, id_col, vec_col)

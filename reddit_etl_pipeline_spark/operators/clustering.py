@@ -319,6 +319,33 @@ def _lloyd_fit_int(qdf: DataFrame, k: int, max_iter: int, id_col: str):
             break
     if not seen:
         raise ValueError("cannot seed k-means from an empty corpus")
+    # Runtime int64 headroom guard (round-9 ADVICE): the A statistic is
+    # exact only while dim*(2*n*qmax)^2 < 2^63 with n the worst-case
+    # cluster size (all rows) and qmax the MEASURED quantized magnitude
+    # — numpy int64 wraps SILENTLY past that, corrupting every
+    # downstream statistic, so measure and raise instead of relying on
+    # the static pins alone. One codegen explode-aggregate over the
+    # already-checkpointed frame. (The silhouette's DECIMAL(38) bound
+    # A*n^2*1e6 < 1e38 has ~25x more row headroom than this one at any
+    # scale >= 100, so int64 is always the binding check there.)
+    dim = len(seen[0])
+    g = (
+        qdf.select(F.explode("q").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.max(F.abs(F.col("v"))).alias("qmax"),
+        )
+        .collect()[0]
+    )
+    n_rows, qmax = g["nv"] // dim, max(int(g["qmax"] or 0), 1)
+    if dim * (2 * n_rows * qmax) ** 2 >= 2**63:
+        max_rows = int((((2**63 - 1) // dim) ** 0.5) // (2 * qmax))
+        raise ValueError(
+            f"integerized Lloyd int64 headroom exceeded: {n_rows} rows at"
+            f" measured |q|max={qmax} (dim {dim}) allows <= ~{max_rows}"
+            " rows; lower `scale` (halving it quarters the A bound) or"
+            " shard the fit"
+        )
     s = np.array([list(v) for v in seen], dtype="int64")  # component sums
     n = np.ones(len(s), dtype="int64")  # member counts (seed: the vector itself)
     kk = len(s)

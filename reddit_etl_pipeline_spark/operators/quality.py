@@ -412,6 +412,10 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        # ≤ 9 rows; checkpoint so the scalar action below and the main
+        # plan share ONE source scan (round-9 ADVICE: the construction-
+        # time collect must not cost a second pass over the column)
+        .localCheckpoint()
     )
     total = digits.agg(F.sum("n")).collect()[0][0] or 1
     bm = " ".join(

@@ -214,6 +214,34 @@ def cosine_topk_lsh(
     cb = lsh_bucket_table(
         corpus, dim, n_planes, n_tables, id_col, vec_col, extra_bits=extra
     )
+    return lsh_probe(
+        corpus, queries, cb, dim, k, n_planes, n_tables,
+        id_col, vec_col, bucket_cap, split_bits,
+    )
+
+
+def lsh_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = 256,
+    split_bits: int = 16,
+) -> DataFrame:
+    """The LSH query tail given a PREBUILT corpus bucket table ``cb``
+    (with the ``ext`` refinement column when ``bucket_cap`` is set) —
+    split from :func:`cosine_topk_lsh` so the corpus-side projection can
+    come from the persisted index store (operators/ann_store.py) instead
+    of a per-query rebuild. Bucket projection is a pure per-row function
+    of the deterministic plane family, so a stored table probes
+    identically to a fresh one under the same (dim, planes, tables,
+    split) geometry."""
+    extra = split_bits if bucket_cap is not None else 0
     qb = lsh_bucket_table(
         queries, dim, n_planes, n_tables, id_col, vec_col, extra_bits=extra
     ).withColumnRenamed("did", "query_id")
@@ -411,6 +439,71 @@ def _grid_assign_topn(u: "np.ndarray", cents: "np.ndarray", topn: int):
     return np.argsort(d2, axis=1, kind="stable")[:, :topn]
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    cents: "np.ndarray",
+    topn: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only Arrow assignment of each vector to its ``topn`` nearest
+    integer-grid centroids — the IVF inverted-list membership relation
+    (id, cid). Exact integer distances and the (distance, cid) total
+    order make the assignment engine-independent, which is what lets
+    assignments be PERSISTED (operators/ann_store.py) and merged across
+    ingest batches: assignment is per-row, so a union of per-batch
+    assignments under a frozen quantizer equals the full-scan
+    assignment. A duplicate-heavy sample can train fewer centroids than
+    ``topn``; the effective column count then shrinks to len(cents) and
+    the id repeat matches (a ragged Arrow batch otherwise)."""
+    import numpy as np
+    import pandas as pd
+
+    eff = min(topn, len(cents))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
+            order = _grid_assign_topn(u, cents, eff)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(eff),
+                    "cid": order.ravel(),
+                }
+            )
+
+    return df.mapInPandas(run, f"{id_col} long, cid long")
+
+
+def ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    c_assign: DataFrame,
+    q_assign: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF query tail: candidates = corpus ids sharing a probed cell
+    (equi-join on cid — candidate cost ~ nprobe/n_centroids of the
+    corpus), exact cosine rerank inside the candidate set. Split from
+    :func:`ivf_topk` so the corpus-side assignment can come from the
+    persisted index store instead of an ingest-time rebuild."""
+    cand = (
+        q_assign.withColumnRenamed(id_col, "query_id")
+        .join(c_assign.withColumnRenamed(id_col, "neighbor_id"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -425,9 +518,10 @@ def ivf_topk(
     nearest lists and reranks exactly inside them.
 
     Spark shape: centroid assignment is an Arrow-batched numpy projection
-    (map-only); the probe is an equi-join on the centroid id — candidate
-    cost ~ nprobe/n_centroids of the corpus instead of all of it. The
-    other classic ANN layout besides LSH; prefer IVF when the corpus is
+    (map-only, :func:`ivf_assign_cells`); the probe is an equi-join on
+    the centroid id (:func:`ivf_probe`) — candidate cost ~
+    nprobe/n_centroids of the corpus instead of all of it. The other
+    classic ANN layout besides LSH; prefer IVF when the corpus is
     clusterable, LSH when it isn't.
 
     The coarse quantizer is the integer-grid trainer
@@ -435,48 +529,12 @@ def ivf_topk(
     centroids, exact integer distances — which makes the whole query
     value-hash oracle-checkable (ann_oracles.ivf replay) instead of
     rows-only."""
-    import numpy as np
-    import pandas as pd
-
     cents = train_ivf_grid_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
-
-    def assigner(topn: int, out_name: str):
-        # a duplicate-heavy sample can train fewer centroids than nprobe;
-        # _grid_assign_topn then returns min(topn, len(cents)) columns,
-        # and the id repeat must match or the Arrow batch is ragged
-        eff = min(topn, len(cents))
-
-        def run(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                u = _unit_grid(np.stack(pdf[vec_col].to_numpy()))
-                order = _grid_assign_topn(u, cents, eff)
-                out = pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy().repeat(eff),
-                        out_name: order.ravel(),
-                    }
-                )
-                yield out
-
-        return run
-
-    c_assign = corpus.mapInPandas(assigner(1, "cid"), f"{id_col} long, cid long")
-    q_assign = queries.mapInPandas(assigner(nprobe, "cid"), f"{id_col} long, cid long")
-    cand = (
-        q_assign.withColumnRenamed(id_col, "query_id")
-        .join(c_assign.withColumnRenamed(id_col, "neighbor_id"), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
-    return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
+    c_assign = ivf_assign_cells(corpus, cents, 1, id_col, vec_col)
+    q_assign = ivf_assign_cells(queries, cents, nprobe, id_col, vec_col)
+    return ivf_probe(corpus, queries, c_assign, q_assign, k, id_col, vec_col)
 
 
 def train_pq_codebooks(

@@ -1372,3 +1372,113 @@ FROM state s
 JOIN uhash h ON h.uh = s.uh
 JOIN tu t ON t.user_id = h.user_id AND t.event_type = s.event_type
 """
+
+
+def kmv_value_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 256,
+    pcts: tuple = (25, 50, 75, 90),
+) -> DataFrame:
+    """Sampled-rank quantiles with a PROVEN rank-error bound — the
+    unbounded-range complement of the fixed-grid quantile sketch: the
+    grid's error is VALUE-resolution (bin width, unbounded tails
+    saturate), while a bottom-k-by-hash uniform row sample gives
+    RANK-error ε = O(1/sqrt(k)) at any value range (classic sampling
+    bound: the sample q-quantile's true rank deviates from q·N with
+    s.d. sqrt(q(1-q)/k); tests pin 4σ at k=64). Per event_type: keep
+    the k rows with the smallest xxhash64(event_id) (exchangeable ⇒
+    uniform over rows, deterministic ⇒ hash-replayable), then pick the
+    sample's deterministic-rank quantiles
+    ``vrn == ((n-1)·pct) div 100 + 1`` over the (value, hash) total
+    order — the same integer rank formula as rfm/exact percentiles,
+    never an engine-dependent interpolation. n ≤ k means the sample IS
+    the population and the answer is exact.
+
+    Scale: the bottom-k window is rank-limit-pushed (Spark's
+    WindowGroupLimit inserts per-map-partition top-k before the
+    shuffle, so state is k rows per task, never a type's full rows);
+    everything after runs on ≤ |types|·k rows. NULL event_id/value rows
+    are excluded on both engines (a null hash has no sample position;
+    a null value has no rank). Returns
+    (event_type, pct, q_value, sample_n), totally ordered.
+    """
+    from ..plans.star import load
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        "event_type",
+        "value",
+        F.expr(f"xxhash64(event_id) ^ {_SIGN_FLIP}").alias("flipped"),
+    )
+    w = Window.partitionBy("event_type").orderBy("flipped")
+    sample = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "flipped")
+    wn = Window.partitionBy("event_type")
+    ranked = sample.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("vrn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.withColumn(
+            "pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+        )
+        .filter(F.expr("vrn = ((n - 1) * pct) div 100 + 1"))
+        .select(
+            "event_type",
+            F.col("pct").cast("long").alias("pct"),
+            F.round("value", 6).alias("q_value"),
+            F.col("n").alias("sample_n"),
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+def kmv_value_quantiles_oracle_sql(
+    k: int = 256, pcts: tuple = (25, 50, 75, 90)
+) -> str:
+    """DuckDB replay of :func:`kmv_value_quantiles`: xxh64 of event_id
+    (unsigned — natively ordered like the engine's sign-flipped
+    BIGINT), per-type bottom-k rows, the same (value, hash) rank order
+    and integer pick formula."""
+    hash_sql = X.render_select(
+        X.hash_long_cols("eh", _u64_sql("event_id"), X._lit(X.SEED)),
+        ["eh"],
+        "(SELECT event_id, event_type, value FROM events"
+        " WHERE event_id IS NOT NULL AND value IS NOT NULL)",
+        passthrough=["event_type", "value"],
+    )
+    pct_rows = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+WITH ehash AS MATERIALIZED ({hash_sql}),
+samp AS MATERIALIZED (
+  SELECT event_type, value, eh FROM (
+    SELECT event_type, value, eh,
+           row_number() OVER (PARTITION BY event_type ORDER BY eh) AS rn
+    FROM ehash
+  ) WHERE rn <= {k}
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, eh) AS vrn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp
+)
+SELECT r.event_type,
+       CAST(p.pct AS BIGINT) AS pct,
+       round(r.value, 6) AS q_value,
+       CAST(r.n AS BIGINT) AS sample_n
+FROM ranked r
+JOIN (VALUES {pct_rows}) AS p(pct)
+  ON r.vrn = ((r.n - 1) * p.pct) // 100 + 1
+ORDER BY r.event_type, p.pct
+"""

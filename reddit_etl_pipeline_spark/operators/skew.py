@@ -110,7 +110,12 @@ def join_skew_stats(df, key: str, top_n: int = 10):
     TakeOrdered.
     """
     deg = df.groupBy(key).agg(F.count(F.lit(1)).alias("deg"))
-    pairs = deg.select(key, "deg", (F.col("deg") * F.col("deg")).alias("pairs"))
+    # |distinct keys| rows; checkpoint so the scalar tree-aggregate and
+    # the TakeOrdered main plan share ONE scan+groupBy instead of
+    # re-running the degree aggregate per action (round-9 ADVICE)
+    pairs = deg.select(
+        key, "deg", (F.col("deg") * F.col("deg")).alias("pairs")
+    ).localCheckpoint()
     total = pairs.agg(F.sum("pairs")).collect()[0][0] or 1
     return (
         pairs.select(

@@ -302,7 +302,12 @@ def run_backfill(
     is order-dependent, so skipping a failed day silently would reorder
     last-write-wins history. Completed days stay durable (each day's lake
     partition + warehouse swap commits independently), so a fixed rerun
-    resumes from the failed date. Returns {batch_date: audit dict}."""
+    resumes from the failed date. Returns {batch_date: audit dict}.
+
+    ``run_kwargs`` forward to every day's ``run_daily_batch`` — in
+    particular ``sketch_store_path``, so a backfilled/rebuilt lake
+    arrives WITH its per-day sketch partials (retried days included;
+    pinned in tests/test_pipeline.test_backfill_carries_sketch_store)."""
     import time as _time
 
     _sleep = sleep if sleep is not None else _time.sleep

@@ -2028,3 +2028,110 @@ def streamed_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     finished = run_stream_to_batch(counts, spark, output_mode="complete")
     return QL.profile_from_counts(finished, "events.event_type")
+
+
+def streamed_part_components(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
+    """Continuous connected components of the part co-purchase graph —
+    the graph family's incremental twin: lineitem arrives in ORDER-keyed
+    micro-batches (slice = l_orderkey % n_slices, so each order's
+    co-purchase clique lands whole in one batch), and every batch folds
+    its new edges into a persisted (node, rep) membership state by
+    re-running min-label CC over ``state-as-star-edges UNION new edges``.
+
+    Why the fold is exact (the family's merge law, like register MAX /
+    counter SUM): the state rows (node, rep) are STAR EDGES that
+    preserve precisely the connectivity classes of every edge seen so
+    far — each class is a star centered on its min node — so min-label
+    CC over (stars ∪ new edges) returns the min-node labeling of the
+    FULL union graph. Hence the final state equals the batch
+    ``part_components`` answer and shares its star-rounds DuckDB oracle
+    (neardup_oracles.cc_star_member_ctes) verbatim. The fold is also
+    idempotent under at-least-once replay: re-merging already-seen
+    edges cannot move a min label.
+
+    Scale: state is node-cardinality (|parts|, two BIGINTs per row —
+    never edges, which at 100 TB dwarf the node set); per batch the CC
+    loop runs O(diameter of NEW structure) rounds because prior
+    components are already depth-1 stars. State swaps through the
+    two-move crash-safe rewrite (the kmv/upsert discipline). Returns
+    (part_id, component_id, component_size).
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup import connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    slices = [
+        li.filter(F.col("l_orderkey") % n_slices == i)
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="cc_stream_")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state_path = scratch_dir("cc_state_") + "/state"
+
+    def merge(b: DataFrame, _batch_id: int) -> None:
+        old_dir = state_path + "__old"
+        if os.path.exists(old_dir) and not os.path.exists(state_path):
+            shutil.move(old_dir, state_path)  # crash between the moves
+        elif os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        lo = b.select("l_orderkey", "l_partkey").distinct()
+        a, c = lo.alias("a"), lo.alias("b")
+        new_edges = (
+            a.join(
+                c,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        old = _read_index_or_none(spark, state_path)
+        edges = (
+            new_edges
+            if old is None
+            else new_edges.unionByName(
+                old.select(
+                    F.col("node").alias("src"),
+                    F.col("component").alias("dst"),
+                )
+            )
+        )
+        cc = connected_components(edges, src="src", dst="dst")
+        cc.write.mode("overwrite").parquet(state_path + "__next")
+        if os.path.exists(state_path):
+            shutil.move(state_path, old_dir)
+        shutil.move(state_path + "__next", state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    chk = scratch_dir("cc_chk_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.parquet(state_path)
+    sizes = state.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return state.join(sizes, "component").select(
+        F.col("node").alias("part_id"),
+        F.col("component").alias("component_id"),
+        "component_size",
+    )

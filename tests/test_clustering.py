@@ -209,3 +209,26 @@ def test_silhouette_headroom_pins():
     a10 = a_bound(1_280_000, 64, 0.6, 100)
     assert a10 < INT64
     assert a10 * 1_280_000**2 * 10**6 < DEC38
+
+
+def test_lloyd_runtime_headroom_guard_raises(spark):
+    """The integer kernel must REFUSE to run past the measured int64
+    bound instead of silently wrapping numpy int64 (round-9 ADVICE): an
+    absurd quantization scale pushes dim*(2*n*qmax)^2 past 2^63 on a
+    tiny frame."""
+    from reddit_etl_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    df = _blob_df(spark, n=200, dim=8)
+    with pytest.raises(ValueError, match="headroom"):
+        kmeans_cluster_stats(df, k=4, max_iter=1, scale=10**9)
+    with pytest.raises(ValueError, match="headroom"):
+        kmeans_silhouette(df, k=4, max_iter=1, scale=10**9)
+
+
+def test_lloyd_runtime_headroom_guard_passes_in_bounds(spark):
+    """Same frame at the default scale: well inside the measured bound,
+    the guard must not fire."""
+    assert kmeans_cluster_stats(_blob_df(spark, n=200, dim=8), k=4,
+                                max_iter=1).count() > 0

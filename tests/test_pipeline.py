@@ -214,3 +214,68 @@ def test_daily_batch_maintains_sketch_store(spark, tmp_path):
     assert sorted(
         map(tuple, post_sketch_distinct_authors(spark, store).collect())
     ) == got_users
+
+
+def test_backfill_carries_sketch_store(spark, tmp_path):
+    """A rebuilt lake must arrive WITH its store: run_backfill forwards
+    sketch_store_path to every replayed day (retried days included), so
+    each batch_date lands its partial partitions and the merged store
+    answers equal direct full-lake computation."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import sketches as SK
+    from reddit_etl_pipeline_spark.plans.pipeline import (
+        post_sketch_distinct_authors,
+        run_backfill,
+    )
+    from reddit_etl_pipeline_spark.sources import FakeRedditSource
+
+    dates = ["20250318", "20250319", "20250320"]
+    failures = {"20250319": 1}  # the retried day must still write partials
+
+    def fetcher_for_date(date):
+        src = FakeRedditSource(n=100 + int(date[-2:]), day=int(date[-2:]) % 7)
+
+        def fetch():
+            if failures.get(date, 0) > 0:
+                failures[date] -= 1
+                raise ConnectionError("transient fetch failure")
+            return src()
+
+        return fetch
+
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "sketches")
+    run_backfill(
+        spark,
+        fetcher_for_date,
+        lake_path=lake,
+        warehouse_path=str(tmp_path / "wh"),
+        batch_dates=dates,
+        sleep=lambda s: None,
+        sketch_store_path=store,
+    )
+    # one partial partition per replayed day, both store tables
+    for table in ("author_hll", "score_grid"):
+        parts = sorted(
+            p.rsplit("batch_date=", 1)[-1]
+            for p in glob.glob(f"{store}/{table}/batch_date=*")
+        )
+        assert parts == dates
+    # merged store answers == direct full-lake scan
+    lake_df = spark.read.parquet(lake)
+    direct = sorted(
+        map(
+            tuple,
+            SK.hll_estimate(
+                SK.hll_registers(lake_df, "subreddit", F.xxhash64("author")),
+                "subreddit",
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, post_sketch_distinct_authors(spark, store).collect())
+    )
+    assert got == direct

@@ -206,3 +206,48 @@ class TestDupOrderAudit:
             spark, [(1, 10.01, 5, 9), (1, 10.02, 5, 10)]
         )
         assert QL.dup_order_audit(orders).count() == 0
+
+
+class TestDupOrderOracleParity:
+    def test_oracle_matches_on_nonempty_output(self, spark):
+        """The sf0.01 gate sees 0 duplicate groups (trivially hash-equal
+        empty frames), so pin Spark-vs-DuckDB parity on data that DOES
+        produce output: synthetic duplicates incl. a cent-boundary
+        amount and a 3-way group (round-8 ADVICE)."""
+        import datetime as dt
+
+        import duckdb
+
+        rows = [
+            (1, 99.99, 5), (1, 99.99, 5),            # 2-way dup
+            (2, 10.005, 6), (2, 10.005, 6), (2, 10.005, 6),  # 3-way, half-cent
+            (2, 10.01, 6),                            # near-miss amount
+            (3, 50.0, 7),                             # singleton
+        ]
+        orders = spark.createDataFrame(
+            [
+                (i, ck, "O", float(tp), dt.datetime(2024, 1, d), "1-URGENT")
+                for i, (ck, tp, d) in enumerate(rows)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        got = sorted(
+            tuple(r) for r in QL.dup_order_audit(orders).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({ck}, {tp!r}, TIMESTAMP '2024-01-{d:02d} 00:00:00')"
+            for (ck, tp, d) in rows
+        )
+        con.execute(
+            "CREATE VIEW orders AS SELECT CAST(c AS BIGINT) AS o_custkey,"
+            " CAST(p AS DOUBLE) AS o_totalprice, t AS o_orderdate"
+            f" FROM (VALUES {vals}) v(c, p, t)"
+        )
+        want = sorted(
+            map(tuple, con.execute(QL.dup_order_oracle_sql()).fetchall())
+        )
+        assert len(got) == 2  # non-empty: the parity check has teeth
+        assert got == want

@@ -543,3 +543,47 @@ def test_kmv_sample_users_shape_and_determinism(spark, sf_dir):
         .collect()
     }
     assert all(truth[(t, u)] == n for t, u, n in a)
+
+
+class TestKmvValueQuantiles:
+    """Sampled-rank quantiles: exact when the sample covers the
+    population, and within the advertised O(1/sqrt(k)) rank-error bound
+    when it doesn't."""
+
+    def _truth(self, sf_dir):
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = ev[ev.event_id.notna() & ev.value.notna()]
+        return {t: g.value.sort_values().to_numpy() for t, g in ev.groupby("event_type")}
+
+    def test_exact_when_sample_covers_population(self, spark, sf_dir):
+        # k >= rows-per-type: the sample IS the population, so each pick
+        # equals the deterministic-rank quantile of the full value list
+        # (tie order between equal values cannot change the value picked)
+        truth = self._truth(sf_dir)
+        res = SK.kmv_value_quantiles(spark, sf_dir, k=10**6).collect()
+        assert len(res) == 4 * len(truth)
+        for r in res:
+            vals = truth[r.event_type]
+            n = len(vals)
+            assert r.sample_n == n
+            want = round(float(vals[((n - 1) * r.pct) // 100]), 6)
+            assert r.q_value == want
+
+    def test_rank_error_bound_small_k(self, spark, sf_dir):
+        # k=64: true rank fraction of each picked value must sit within
+        # 4*sqrt(p(1-p)/k) of the target percentile (4 s.d. of the
+        # uniform-sample rank distribution; deterministic hash => stable)
+        truth = self._truth(sf_dir)
+        res = SK.kmv_value_quantiles(spark, sf_dir, k=64).collect()
+        assert len(res) == 4 * len(truth)
+        for r in res:
+            vals = truth[r.event_type]
+            n = len(vals)
+            p = r.pct / 100.0
+            bound = 4.0 * (p * (1 - p) / 64) ** 0.5
+            lo = (vals < r.q_value - 5e-7).sum() / n
+            hi = (vals <= r.q_value + 5e-7).sum() / n
+            err = max(lo - p, p - hi, 0.0)
+            assert err <= bound, (r.event_type, r.pct, err, bound)
