@@ -35,6 +35,7 @@ from reddit_etl_pipeline_spark.operators import dsir as DS
 from reddit_etl_pipeline_spark.operators import bpe as BP
 from reddit_etl_pipeline_spark.operators import similarity as S
 from reddit_etl_pipeline_spark.functions import pii as PII
+from reddit_etl_pipeline_spark.functions import urls as URL
 from reddit_etl_pipeline_spark.functions import text as TX
 from reddit_etl_pipeline_spark.operators import packing as PK
 from reddit_etl_pipeline_spark.operators import ann_store as ANS
@@ -43,6 +44,7 @@ from reddit_etl_pipeline_spark.operators import sketch_store as SS
 from reddit_etl_pipeline_spark.operators import snapshot as SNAP
 from reddit_etl_pipeline_spark.operators import retrieval as RV
 from reddit_etl_pipeline_spark.operators import graph as GR
+from reddit_etl_pipeline_spark.operators import graph_store as GS
 from reddit_etl_pipeline_spark.operators import basket as BK
 from reddit_etl_pipeline_spark.operators import text_quality as TQ
 from reddit_etl_pipeline_spark.operators import behavior as BH
@@ -287,6 +289,66 @@ def _churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn_hazard): per-week hazard = churned/at-risk from exact tenure
     integers — the survival view of the same event stream."""
     return BH.churn_hazard(Q.load(spark, sf_dir, "events"))
+
+
+#: deterministic messy-URL fixture over the documents table — the test
+#: tables carry no URL column, so BOTH engines construct the identical
+#: URL string per doc (same SQL text via F.expr / DuckDB verbatim) and
+#: the queries exercise every canonicalization rule on it: scheme/host
+#: case, default ports (stripped) vs :8080 (kept), www. and tracking
+#: params, fragments, empty paths, surrounding whitespace. Variant 6 is
+#: intentionally doc-invariant per source so canonical-URL dedup
+#: (n_urls < n_docs) is observable in the rollup.
+_URL_FIXTURE_SQL = (
+    "CASE doc_id % 8 "
+    "WHEN 0 THEN 'http://' || source || '.example.com/a/' || CAST(doc_id AS STRING) "
+    "WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/a/' || CAST(doc_id AS STRING) "
+    "WHEN 2 THEN 'https://' || source || '.example.com:443/b?id=' || CAST(doc_id AS STRING) || '&utm_source=feed' "
+    "WHEN 3 THEN 'https://www.' || source || '.example.com/b?utm_campaign=c&id=' || CAST(doc_id AS STRING) "
+    "WHEN 4 THEN 'http://' || source || '.example.com/c/' || CAST(doc_id AS STRING) || '#frag' "
+    "WHEN 5 THEN 'http://' || source || '.example.com:8080/d/' || CAST(doc_id AS STRING) "
+    "WHEN 6 THEN 'https://' || source || '.example.com?gclid=z' "
+    "ELSE '  http://' || source || '.example.com/e/' || CAST(doc_id AS STRING) || '  ' END"
+)
+
+
+def _url_canonical_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization matrix, value-hash pinned cross-engine: the
+    canonical string and domain for every fixture variant over the
+    first 200 docs (functions/urls.canonicalize_url — pure map-side
+    regexp codegen, no UDFs; the oracle replays every rule via the
+    single-sourced canonical_url_sql/url_domain_sql mirrors)."""
+    docs = Q.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        URL.canonicalize_url(F.expr(_URL_FIXTURE_SQL)).alias("url_canonical"),
+        URL.url_domain(F.expr(_URL_FIXTURE_SQL)).alias("domain"),
+    )
+
+
+def _domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus profile (functions/urls.domain_rollup): docs,
+    DISTINCT canonical URLs (spelling variants collapse — the fixture's
+    doc-invariant variant makes n_urls < n_docs), token sum, and exact
+    integer mean quality micros — the read behind domain blocklists and
+    per-domain caps (C4/RefinedWeb-style domain curation)."""
+    docs = Q.load(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE_SQL)
+    )
+    return URL.domain_rollup(docs)
+
+
+def _churn_hazard_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-CENSORED churn hazard (operators/behavior.
+    churn_hazard_censored): users whose last activity falls inside the
+    final week of the observation window stay in the at-risk
+    denominator but leave the churned numerator — the Kaplan–Meier
+    censoring rule that fixes the uncensored twin's documented
+    tail-inflation bias; one-row horizon via constant-key broadcast
+    hash join."""
+    return BH.churn_hazard_censored(
+        Q.load(spark, sf_dir, "events"), censor_days=7
+    )
 
 
 def _ab_conversion_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,8 +773,14 @@ def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part co-purchase graph (parts co-occurring in an order are
-    adjacent) — shared by the triangle / k-core / clustering-coefficient
-    queries and their oracles' li/e0 CTEs."""
+    adjacent) — the REBUILD derivation the oracles' li/e0 CTEs mirror.
+    The graph queries themselves now read ``_graph_store`` instead:
+    the lineitem self-join + global edge distinct was the measured ~900 s
+    floor re-paid by every graph query at 100× (round-9 verdict), so it
+    runs once at ingest and the queries read edge partials. This rebuild
+    path remains the equality baseline (tests/test_graph_store.py pins
+    store == rebuild bit-for-bit, which is why the re-pointed queries
+    keep their oracles verbatim)."""
     li = (
         Q.load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -732,16 +800,54 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one persisted co-purchase graph store per (process, sf_dir) — built on
+#: first use, then EVERY graph query reads the stored edge/degree partials
+#: (the deployment shape: the store is written once at ingest and amortized
+#: across the whole graph family; operators/graph_store.py states the
+#: first-writer ledger law that makes the merged partials bit-equal the
+#: rebuild, so all oracles are unchanged)
+_GRAPH_STORES: dict[str, str] = {}
+
+
+def _graph_store(spark: SparkSession, sf_dir: str) -> str:
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    if sf_dir not in _GRAPH_STORES:
+        store = scratch_dir("graph_store_")
+        GS.build_graph_store(
+            Q.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            store,
+        )
+        _GRAPH_STORES[sf_dir] = store
+    return _GRAPH_STORES[sf_dir]
+
+
+def _store_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged (src, dst) edge relation off the graph store — already
+    the distinct normalized simple graph (ledger law), so consumers take
+    their assume_normalized fast paths."""
+    return GS.store_edges(spark, _graph_store(spark, sf_dir))
+
+
+def _store_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, deg) summed from the store's additive degree partials."""
+    return GS.store_degrees(spark, _graph_store(spark, sf_dir))
+
+
 def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-node triangle counts over the part co-purchase graph
     via degree-oriented wedge closure (operators/graph.triangle_counts)
     — the distributed triangle algorithm whose orientation bounds wedge
-    fan-out on skew."""
+    fan-out on skew. Edges AND degrees come off the persisted graph
+    store (normalize + degree build skipped — the store partials are
+    the materialization)."""
     from reddit_etl_pipeline_spark.operators.graph import triangle_counts
 
-    return triangle_counts(_copurchase_edges(spark, sf_dir)).select(
-        F.col("node").alias("part_key"), "n_triangles"
-    )
+    return triangle_counts(
+        _store_edges(spark, sf_dir),
+        assume_normalized=True,
+        degrees=_store_degrees(spark, sf_dir).localCheckpoint(eager=True),
+    ).select(F.col("node").alias("part_key"), "n_triangles")
 
 
 def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,9 +859,9 @@ def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-round replay (graph.lpa_oracle_sql)."""
     from reddit_etl_pipeline_spark.operators.graph import label_propagation
 
-    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4).select(
-        F.col("node").alias("part_key"), "community"
-    )
+    return label_propagation(
+        _store_edges(spark, sf_dir), rounds=4, assume_normalized=True
+    ).select(F.col("node").alias("part_key"), "community")
 
 
 def _part_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,14 +870,10 @@ def _part_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree — ``length(bin(deg))``, the exact integer trick the HLL rho
     uses, identical in both engines) with min/max degree per bucket —
     the power-law / hub-risk summary read before choosing broadcast,
-    salting, or orientation strategies for any graph operator. One
-    degree aggregate + one bucket aggregate; no joins."""
-    deg = (
-        _copurchase_edges(spark, sf_dir)
-        .select(F.explode(F.array("src", "dst")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    salting, or orientation strategies for any graph operator. Degrees
+    come straight off the store's additive partials (no edge scan at
+    all); one bucket aggregate on top."""
+    deg = _store_degrees(spark, sf_dir)
     return deg.groupBy(
         F.length(F.bin("deg")).cast("long").alias("degree_bucket")
     ).agg(
@@ -793,7 +895,7 @@ def _part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_etl_pipeline_spark.operators.dedup import connected_components
 
     cc = connected_components(
-        _copurchase_edges(spark, sf_dir), src="src", dst="dst"
+        _store_edges(spark, sf_dir), src="src", dst="dst", pre_normalized=True
     )
     sizes = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("component_size")
@@ -866,7 +968,7 @@ def _part_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     return seed_distances(
-        _copurchase_edges(spark, sf_dir), seeds, max_hops=3
+        _store_edges(spark, sf_dir), seeds, max_hops=3, assume_normalized=True
     ).select(F.col("node").alias("part_key"), "dist")
 
 
@@ -881,7 +983,10 @@ def _part_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_etl_pipeline_spark.operators.graph import triangle_estimate
 
     return triangle_estimate(
-        _copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+        _store_edges(spark, sf_dir),
+        sample_num=1,
+        sample_den=4,
+        assume_normalized=True,
     )
 
 
@@ -905,7 +1010,11 @@ def _part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_etl_pipeline_spark.operators.graph import link_prediction
 
     return link_prediction(
-        _copurchase_edges(spark, sf_dir), sample_num=1, sample_den=4
+        _store_edges(spark, sf_dir),
+        sample_num=1,
+        sample_den=4,
+        assume_normalized=True,
+        degrees=_store_degrees(spark, sf_dir),
     )
 
 
@@ -917,9 +1026,9 @@ def _part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 rounds and the engine raises past the same bound."""
     from reddit_etl_pipeline_spark.operators.graph import kcore_members
 
-    return kcore_members(_copurchase_edges(spark, sf_dir), k=80).select(
-        F.col("node").alias("part_key"), "core_deg"
-    )
+    return kcore_members(
+        _store_edges(spark, sf_dir), k=80, assume_normalized=True
+    ).select(F.col("node").alias("part_key"), "core_deg")
 
 
 def _part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,9 +1039,11 @@ def _part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficients,
     )
 
-    return clustering_coefficients(_copurchase_edges(spark, sf_dir)).select(
-        F.col("node").alias("part_key"), "degree", "n_triangles", "coeff"
-    )
+    return clustering_coefficients(
+        _store_edges(spark, sf_dir),
+        assume_normalized=True,
+        degrees=_store_degrees(spark, sf_dir),
+    ).select(F.col("node").alias("part_key"), "degree", "n_triangles", "coeff")
 
 
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,9 +1788,9 @@ def _part_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    edges = _copurchase_edges(spark, sf_dir)
-    labels = label_propagation(edges, rounds=4)
-    return community_modularity(edges, labels)
+    edges = _store_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=4, assume_normalized=True)
+    return community_modularity(edges, labels, assume_normalized=True)
 
 
 def _rollup_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1852,30 @@ def _stream_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_components star-rounds oracle; stream == batch pinned in
     tests/test_stream_graph.py (streaming/stream.streamed_part_components)."""
     return ST.streamed_part_components(spark, sf_dir)
+
+
+def _stream_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous persisted-graph-store ingest: order-keyed lineitem
+    micro-batches append OWNED edge + degree partials via the ledger
+    anti-join (first writer owns, exactly-once per batch partition
+    under replay); connected components answered off the merged store.
+    Shares the batch part_components star-rounds oracle because the
+    ledger law makes merged partials == the distinct edge set of the
+    union (streaming/stream.streamed_graph_store; store laws in
+    operators/graph_store.py, equalities pinned in
+    tests/test_stream_graph.py)."""
+    return ST.streamed_graph_store(spark, sf_dir)
+
+
+def _stream_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous persisted-ANN-store ingest: quantizer trained once and
+    frozen at index creation, vector micro-batches append cell-
+    assignment partials exactly-once per ingest-batch partition, top-k
+    answered off the streamed store. Stream == batch-store == rebuild
+    (per-row assignment under frozen parameters), so it shares
+    ann_oracles.ivf_topk_oracle verbatim
+    (streaming/stream.streamed_ann_store)."""
+    return ST.streamed_ann_store(spark, sf_dir)
 
 
 def _stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,6 +2098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behavioral / experiment analytics
         "event_transitions": _event_transitions,
         "churn_hazard": _churn_hazard,
+        "churn_hazard_censored": _churn_hazard_censored,
+        "url_canonical_sample": _url_canonical_sample,
+        "domain_rollup": _domain_rollup,
         "ab_conversion_chisq": _ab_conversion_chisq,
         "rfm_segments": _rfm_segments,
         "interpurchase_intervals": _interpurchase_intervals,
@@ -2088,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_by_lang": _weighted_sample_by_lang,
         "stream_kmv_distinct": _stream_kmv_distinct,
         "stream_part_components": _stream_part_components,
+        "stream_graph_store": _stream_graph_store,
+        "stream_ann_store": _stream_ann_store,
         "ann_recall_eval": _ann_recall_eval,
         "stream_purchase_click_join": _stream_join,
         "stream_purchase_click_left_join": _stream_left_join,
@@ -3063,6 +3203,36 @@ def oracle_sql() -> dict[str, str]:
         # behavioral / experiment analytics: exact-integer replays
         "event_transitions": BH.event_transitions_oracle_sql(),
         "churn_hazard": BH.churn_hazard_oracle_sql(),
+        "churn_hazard_censored": BH.churn_hazard_censored_oracle_sql(
+            censor_days=7
+        ),
+        # URL canonicalization: both engines build the identical fixture
+        # string (the _URL_FIXTURE_SQL text runs verbatim in DuckDB) and
+        # the single-sourced SQL mirrors replay every rule; hash compare
+        # pins the exact canonical strings
+        "url_canonical_sample": f"""
+            SELECT doc_id,
+                   {URL.canonical_url_sql(_URL_FIXTURE_SQL)} AS url_canonical,
+                   {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain
+            FROM documents WHERE doc_id < 200
+        """,
+        "domain_rollup": f"""
+            WITH u AS MATERIALIZED (
+              SELECT {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain,
+                     {URL.canonical_url_sql(_URL_FIXTURE_SQL)} AS curl,
+                     len({_TOKENS}) AS n_toks,
+                     CAST(round(({NO.QUALITY_EXPR_SQL}) * 1000000) AS BIGINT)
+                       AS q_micro
+              FROM documents
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(q_micro) // count(*) AS BIGINT)
+                     AS mean_quality_micro
+            FROM u GROUP BY domain
+        """,
         "ab_conversion_chisq": BH.ab_conversion_chisq_oracle_sql(),
         "rfm_segments": BH.rfm_segments_oracle_sql(),
         "interpurchase_intervals": BH.interpurchase_intervals_oracle_sql(),
@@ -5072,6 +5242,16 @@ LEFT JOIN ndcg d ON d.method = m.method, nq
         # classes, so min-label CC over (stars ∪ new edges) == the
         # full-union labeling (streaming/stream.streamed_part_components)
         "stream_part_components": _part_components_oracle(),
+        # the streaming graph-store ingest ALSO shares the batch oracle:
+        # the ledger law (first writer owns, anti-join append) makes the
+        # merged per-batch edge partials == the distinct edge set of the
+        # union of slices (streaming/stream.streamed_graph_store,
+        # operators/graph_store.py)
+        "stream_graph_store": _part_components_oracle(),
+        # streaming ANN-store ingest: per-row assignment under the frozen
+        # quantizer makes streamed partials == batch store == rebuild, so
+        # the IVF top-k replay answers it verbatim
+        "stream_ann_store": AO.ivf_topk_oracle(k=5),
         # DOULION estimate: xxh64_sql replays the deterministic sampling
         # predicate; triple-enumeration on the SAMPLED graph stays small
         "part_triangles_approx": GR.triangle_estimate_oracle_sql(

@@ -60,6 +60,133 @@ def calibration_probe(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
+def _time_queries(spark, queries, names, reps) -> dict[str, float]:
+    """Best-of-``reps`` wall seconds per query, noop-sink forced,
+    clearCache isolation between reps/queries (the house policy)."""
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # operators may cache intermediates (multi-use subplans); drop
+            # them so reps and queries are measured in isolation, not
+            # under the previous run's memory pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    return timings
+
+
+def _chunk_key(i: int, names: list[str]) -> str:
+    import hashlib
+
+    h = hashlib.sha1("|".join(names).encode()).hexdigest()[:8]
+    return f"{i:03d}:{h}"
+
+
+def run_stitched(spark, queries, names, reps, state_path, out_path) -> None:
+    """PROBE-BRACKETED CHUNK STITCHING — how this host ever yields a
+    clean full-surface baseline (round-10; the round-9 finding was that
+    the host's hidden-steal windows oscillate faster than one ~17-minute
+    monolithic run, so a single-run probe bracket can never come back
+    clean). The surface is split into chunks of ~20 queries; each chunk
+    is bracketed by its OWN calibration probes and kept only when BOTH
+    probes are <= 2x the committed floor; dirty chunks re-run on later
+    invocations (state persists in ``state_path``) until every chunk is
+    clean, at which point the merged artifact — degraded=false BY
+    CONSTRUCTION, per-chunk probes recorded — is written to
+    ``out_path``. Chunk keys hash their query lists, so editing the
+    surface invalidates exactly the affected chunks."""
+    CHUNK = 20
+    chunks = [
+        (_chunk_key(i // CHUNK, names[i : i + CHUNK]), names[i : i + CHUNK])
+        for i in range(0, len(names), CHUNK)
+    ]
+    state: dict = {"chunks": {}}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+    live_keys = {k for k, _ in chunks}
+    state["chunks"] = {
+        k: v for k, v in state["chunks"].items() if k in live_keys
+    }
+    for key, chunk_names in chunks:
+        rec = state["chunks"].get(key)
+        if rec and rec.get("clean"):
+            continue
+        pb = calibration_probe(spark)
+        if pb > 2 * PROBE_FLOOR_S:
+            # host already degraded — don't burn minutes on a doomed
+            # bracket; a later invocation retries this chunk
+            print(json.dumps({"chunk": key, "skipped_probe_before": pb}))
+            continue
+        timings = _time_queries(spark, queries, chunk_names, reps)
+        pa = calibration_probe(spark)
+        clean = max(pb, pa) <= 2 * PROBE_FLOOR_S
+        state["chunks"][key] = {
+            "queries": timings,
+            "probe_before_s": pb,
+            "probe_after_s": pa,
+            "clean": clean,
+        }
+        with open(state_path, "w") as fh:
+            json.dump(state, fh, indent=1)
+        print(json.dumps({"chunk": key, "clean": clean,
+                          "probes": [pb, pa],
+                          "chunk_total": round(sum(timings.values()), 3)}))
+    done = [k for k, _ in chunks if state["chunks"].get(k, {}).get("clean")]
+    all_clean = len(done) == len(chunks)
+    merged: dict[str, float] = {}
+    for k, _ in chunks:
+        merged.update(state["chunks"].get(k, {}).get("queries", {}))
+    total = round(sum(merged.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = -1.0
+    artifact = {
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "n": len(merged),
+        "stitched": True,
+        "chunks_clean": len(done),
+        "chunks_total": len(chunks),
+        "stream_slices": os.environ.get("SPARK_GRAFT_STREAM_SLICES"),
+        "probe": {
+            "floor_s": PROBE_FLOOR_S,
+            "degraded": not all_clean,
+            "per_chunk": {
+                k: [
+                    state["chunks"][k]["probe_before_s"],
+                    state["chunks"][k]["probe_after_s"],
+                ]
+                for k, _ in chunks
+                if k in state["chunks"]
+            },
+        },
+        "queries": merged,
+        "sf": sf,
+    }
+    if all_clean and out_path:
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+            fh.write("\n")
+    print(json.dumps({
+        "metric": "stitch_progress",
+        "clean_chunks": len(done),
+        "total_chunks": len(chunks),
+        "complete": all_clean,
+        "value": total,
+        "unit": "sec",
+        "n": len(merged),
+    }))
+
+
 def main() -> None:
     from reddit_etl_pipeline_spark.session import get_spark
 
@@ -239,6 +366,11 @@ def main() -> None:
         "ann_store_topk_lsh",
         "stream_part_components",
         "kmv_value_quantiles",
+        "stream_graph_store",
+        "stream_ann_store",
+        "domain_rollup",
+        "url_canonical_sample",
+        "churn_hazard_censored",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the
@@ -248,6 +380,19 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         headline = headline + sorted(k for k in queries if k not in set(headline))
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+    # stitch mode: probe-bracketed chunks merged across invocations into
+    # a clean-by-construction committed artifact (see run_stitched)
+    stitch_state = os.environ.get("SPARK_GRAFT_BENCH_STITCH")
+    if stitch_state:
+        run_stitched(
+            spark, queries, headline, reps, stitch_state,
+            os.environ.get("SPARK_GRAFT_BENCH_JSON"),
+        )
+        spark.stop()
+        return
+
     # best-of-N (default 2): single-shot wall at sf0.1 swings within the
     # ±50% machine-noise policy, which makes round-over-round deltas
     # mushy; the min of two cold-cache runs strips scheduler/GC spikes
@@ -255,21 +400,7 @@ def main() -> None:
     # rep 2 is not a cache readback)
     probe_before = calibration_probe(spark)
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # operators may cache intermediates (multi-use subplans); drop
-            # them so reps and queries are measured in isolation, not
-            # under the previous run's memory pressure
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = _time_queries(spark, queries, headline, reps)
 
     probe_after = calibration_probe(spark)
     # self-diagnosis: >2x the committed healthy-host floor on either

@@ -106,6 +106,23 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also drop each language's worst-perplexity tercile",
     )
+    cur.add_argument(
+        "--url-col",
+        help="URL column enabling the domain gate (canonical-domain "
+        "blocklist + per-domain cap as the first curation stage)",
+    )
+    cur.add_argument(
+        "--block-domain",
+        action="append",
+        default=[],
+        metavar="DOMAIN",
+        help="canonical domain to drop entirely (repeatable)",
+    )
+    cur.add_argument(
+        "--domain-cap",
+        type=int,
+        help="keep at most this many (lowest-id) docs per domain",
+    )
 
     vac = sub.add_parser("vacuum", help="drop lake partitions past retention")
     vac.add_argument("--path", required=True)
@@ -187,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
             lm_tail_drop=args.lm_tail_drop,
             keep=args.keep,
             neardup_method=args.neardup,
+            url_col=args.url_col,
+            domain_blocklist=args.block_domain or None,
+            domain_cap=args.domain_cap,
         )
         print(json.dumps(report))
         return 0

@@ -158,6 +158,19 @@ def store_assignments(spark: SparkSession, store_dir: str, id_col: str = "vec_id
 # ---------------------------------------------------------------------------
 
 
+def _plane_family_crc(dim: int, n_planes: int) -> int:
+    """Fingerprint of the deterministic plane family at this geometry:
+    CRC32 of table-0's quantized plane integers (int64 little-endian
+    bytes). Any change to ``similarity._table_planes`` seeding or to
+    ``PLANE_SCALE`` changes this value, so a store written under an old
+    family refuses to answer queries projected under a new one — the
+    frozen-parameter law extended from shape to CONTENT."""
+    import zlib
+
+    q = S._quantize_grid(S._table_planes(0, n_planes, dim)).astype("int64")
+    return zlib.crc32(q.tobytes())
+
+
 def init_lsh_store(
     spark: SparkSession,
     store_dir: str,
@@ -167,18 +180,32 @@ def init_lsh_store(
     split_bits: int = 16,
 ) -> None:
     """Freeze the LSH index GEOMETRY into the store (the plane family
-    itself is already deterministic from ``similarity._table_planes`` —
-    only the shape parameters need pinning, or a corpus that grew past
-    an auto_planes threshold would probe a different bucket space than
-    it was indexed under)."""
+    itself is deterministic from ``similarity._table_planes``, so the
+    shape parameters pin the bucket space — without them a corpus that
+    grew past an auto_planes threshold would probe a different space
+    than it was indexed under) plus a CHECKSUM of the plane family
+    content (``_plane_family_crc``), so a future reseeding of the plane
+    generator can never silently make stored bucket partials and
+    query-side projections disagree."""
     spark.createDataFrame(
-        [(int(dim), int(n_planes), int(n_tables), int(split_bits))],
-        "dim int, n_planes int, n_tables int, split_bits int",
+        [(
+            int(dim), int(n_planes), int(n_tables), int(split_bits),
+            int(_plane_family_crc(dim, n_planes)),
+        )],
+        "dim int, n_planes int, n_tables int, split_bits int, plane_crc long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/lsh_meta")
 
 
 def load_lsh_meta(spark: SparkSession, store_dir: str) -> tuple:
     r = spark.read.parquet(f"{store_dir}/lsh_meta").collect()[0]
+    crc = _plane_family_crc(r["dim"], r["n_planes"])
+    if crc != r["plane_crc"]:
+        raise ValueError(
+            f"LSH store at {store_dir} was built under a different plane "
+            f"family (stored crc {r['plane_crc']}, current {crc}) — "
+            f"similarity._table_planes seeding or PLANE_SCALE changed "
+            f"since the index was written; rebuild the store."
+        )
     return r["dim"], r["n_planes"], r["n_tables"], r["split_bits"]
 
 

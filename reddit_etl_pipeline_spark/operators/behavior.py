@@ -177,6 +177,117 @@ ORDER BY tenure_weeks
 """
 
 
+def churn_hazard_censored(
+    events: DataFrame, censor_days: int = 7
+) -> DataFrame:
+    """RIGHT-CENSORED churn hazard — the bias fix for
+    :func:`churn_hazard`'s documented tail problem: treating
+    end-of-observed-activity as churn over-counts users who are simply
+    still active when the data ends. Here a user whose LAST activity
+    falls inside the final ``censor_days`` of the observation window
+    (``datediff(horizon, last_day) < censor_days`` with horizon = the
+    dataset's max active day) is CENSORED: they remain in the at-risk
+    denominator through their observed tenure but never enter the
+    churned numerator — the standard discrete-time survival treatment
+    (Kaplan–Meier's censoring rule on a weekly grid).
+
+        hazard(w) = churned(w) / at_risk(w)
+        at_risk(w) = #users (churned OR censored) with tenure >= w
+
+    All exact integers: tenure in epoch-day arithmetic, counts BIGINT,
+    one integer division to micro-units. Returns (tenure_weeks,
+    churned, n_censored, at_risk, hazard_micro) ordered by week; the
+    uncensored twin stays available as the upper-bound read.
+
+    Scale: one user_id groupBy (map-combinable min/max), the horizon as
+    a ONE-ROW aggregate attached via a constant-key broadcast HASH join
+    (never a BNL cross, never an unpartitioned window over the user
+    frame), then windows over the tiny per-week frame."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("horizon")).withColumn(
+        "one", F.lit(1)
+    )
+    pu = (
+        per_user.withColumn("one", F.lit(1))
+        .join(F.broadcast(horizon), "one")
+        .select(
+            F.expr(
+                "CAST(datediff(last_day, first_day) AS BIGINT) div 7"
+            ).alias("tenure_weeks"),
+            (
+                F.datediff(F.col("horizon"), F.col("last_day"))
+                < F.lit(censor_days)
+            ).alias("is_censored"),
+        )
+    )
+    weekly = pu.groupBy("tenure_weeks").agg(
+        F.sum(F.when(~F.col("is_censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("churned"),
+        F.sum(F.when(F.col("is_censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("tenure_weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn(
+            "at_risk",
+            F.sum(F.col("churned") + F.col("n_censored")).over(w_desc),
+        )
+        .select(
+            "tenure_weeks",
+            "churned",
+            "n_censored",
+            "at_risk",
+            F.expr(f"(churned * CAST({MICRO} AS BIGINT)) div at_risk").alias(
+                "hazard_micro"
+            ),
+        )
+        .orderBy("tenure_weeks")
+    )
+
+
+def churn_hazard_censored_oracle_sql(censor_days: int = 7) -> str:
+    """DuckDB replay of :func:`churn_hazard_censored`."""
+    return f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+), horizon AS MATERIALIZED (
+  SELECT max(last_day) AS horizon FROM per_user
+), pu AS MATERIALIZED (
+  SELECT date_diff('day', first_day, last_day) // 7 AS tenure_weeks,
+         date_diff('day', last_day, horizon) < {censor_days} AS is_censored
+  FROM per_user, horizon
+), weekly AS MATERIALIZED (
+  SELECT tenure_weeks,
+         sum(CASE WHEN NOT is_censored THEN 1 ELSE 0 END) AS churned,
+         sum(CASE WHEN is_censored THEN 1 ELSE 0 END) AS n_censored
+  FROM pu GROUP BY 1
+)
+SELECT CAST(tenure_weeks AS BIGINT) AS tenure_weeks,
+       CAST(churned AS BIGINT) AS churned,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(sum(churned + n_censored) OVER (ORDER BY tenure_weeks DESC
+                                            ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS at_risk,
+       CAST((churned * {MICRO})
+            // sum(churned + n_censored) OVER (ORDER BY tenure_weeks DESC
+                                               ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS hazard_micro
+FROM weekly
+ORDER BY tenure_weeks
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Exact-integer 2x2 chi-square A/B test
 # ---------------------------------------------------------------------------

@@ -266,6 +266,7 @@ def triangle_estimate(
     sample_num: int = 1,
     sample_den: int = 4,
     broadcast_edges: int = 2_000_000,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """DOULION-style (Tsourakakis et al., KDD'09) edge-sampled GLOBAL
     triangle estimate — the declared scale path past exact
@@ -292,15 +293,22 @@ def triangle_estimate(
             f"sample_den must be a power of two and 0 < num <= den, got "
             f"{sample_num}/{sample_den}"
         )
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        # input IS an already-materialized normalized (lo, hi) edge set
+        # (e.g. graph_store.store_edges — parquet-backed, so re-reads hit
+        # columnar storage, not a rebuild lineage): skip the normalize
+        # shuffle + re-materialization
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     n_edges = und.count()
     sampled = und.filter(
         F.expr(f"(xxhash64(lo, hi) & {sample_den - 1}) < {sample_num}")
@@ -326,6 +334,7 @@ def kcore_members(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 12,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """The k-core of an undirected simple graph: iteratively peel nodes
     of degree < k until fixpoint; return (node, core_deg) — each
@@ -350,15 +359,21 @@ def kcore_members(
     deeper than the bound and this raises — the oracle would be wrong
     there too, so divergence is loud, never silent).
     """
-    cur = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        # already-materialized normalized (lo, hi) set (graph_store):
+        # round 0 reads it straight off parquet; later rounds checkpoint
+        # their own shrunken edge sets as before
+        cur = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        cur = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     n_edges = cur.count()
     for r in range(max_rounds + 1):
         deg = (
@@ -395,7 +410,11 @@ def kcore_members(
 
 
 def clustering_coefficients(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_normalized: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node local clustering coefficient over an undirected simple
     graph: coeff = 2·triangles / (deg·(deg−1)), 0 for degree-1 nodes.
@@ -408,23 +427,34 @@ def clustering_coefficients(
     Plan: ONE normalize+materialize and ONE degree aggregate, both
     shared with triangle_counts via its assume_normalized / degrees
     fast path, + the oriented wedge closure + one left join on node.
+    ``assume_normalized``/``degrees``: the graph-store fast path —
+    skip both builds when the caller supplies the materialized
+    normalized edge set and its (node, deg) relation.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("lo").alias("node"))
-        .unionAll(und.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
-    )
+    if degrees is not None:
+        deg = degrees.select(
+            "node", F.col(degrees.columns[1]).alias("degree")
+        ).localCheckpoint(eager=True)
+    else:
+        deg = (
+            und.select(F.col("lo").alias("node"))
+            .unionAll(und.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
     tri = triangle_counts(
         und, src="lo", dst="hi", assume_normalized=True, degrees=deg
     )
@@ -453,6 +483,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan 2007)
     with a fully DETERMINISTIC spec so an unrolled-CTE oracle replays it
@@ -471,15 +502,20 @@ def label_propagation(
     Scale: per round one (2|E|+|V|)-row join against the |V|-row label
     table + two map-side-combinable aggregates — O(E) per round like the
     k-core peel; labels checkpoint each round (lineage discipline)."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        # materialized normalized (lo, hi) input (graph_store): the two
+        # adjacency selects re-read parquet instead of a rebuilt lineage
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     nodes = (
         und.select(F.col("lo").alias("node"))
         .unionAll(und.select(F.col("hi").alias("node")))
@@ -528,6 +564,7 @@ def seed_distances(
     dst: str = "dst",
     seed_col: str = "node",
     max_hops: int = 4,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Multi-source BFS over the undirected graph: (node, dist) for every
     node within ``max_hops`` of ANY seed, dist = hop count to the nearest
@@ -542,15 +579,18 @@ def seed_distances(
     (the oracle unrolls the same count; an exhausted frontier makes the
     remaining rounds no-ops on both engines). O(frontier-degree) work
     per round, all integer."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     adj = (
         und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
         .unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
@@ -742,6 +782,7 @@ def community_modularity(
     labels: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Per-community Newman modularity contributions — the QUALITY
     metric for a community labeling (Newman & Girvan 2004):
@@ -763,15 +804,18 @@ def community_modularity(
     micro-grid). Scale shape: two label joins over the edge set, three
     tiny per-community aggregates, the global m attached via a window
     over the per-community frame — no scalar collect, no cartesian."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     la = labels.select(F.col("node").alias("lo"), F.col("community").alias("ca"))
     lb = labels.select(F.col("node").alias("hi"), F.col("community").alias("cb"))
     el = und.join(la, "lo").join(lb, "hi").select("ca", "cb")
@@ -894,6 +938,8 @@ def link_prediction(
     sample_num: int = 1,
     sample_den: int = 4,
     top_n: int = 50,
+    assume_normalized: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction ("parts that SHOULD be
     co-purchased but aren't yet"): rank non-adjacent node pairs by how
@@ -927,21 +973,30 @@ def link_prediction(
             f"sample_den must be a power of two and 0 < num <= den, got "
             f"{sample_num}/{sample_den}"
         )
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if assume_normalized:
+        # graph-store fast path: und reads the materialized partials;
+        # full-graph degrees come from the store's additive degree
+        # partials when supplied (never re-aggregating the edge set)
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("lo").alias("node"))
-        .unionAll(und.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if degrees is not None:
+        deg = degrees.select("node", F.col(degrees.columns[1]).alias("deg"))
+    else:
+        deg = (
+            und.select(F.col("lo").alias("node"))
+            .unionAll(und.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     sampled = und.filter(
         F.expr(f"(xxhash64(lo, hi) & {sample_den - 1}) < {sample_num}")
     )

@@ -42,6 +42,9 @@ def curate_corpus(
     lm_tail_drop: bool = False,
     keep: str = "first",
     neardup_method: str = "exact",
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
+    domain_cap: int | None = None,
 ) -> dict:
     """Run the curation chain over a parquet documents table and write
     the surviving docs (PII-scrubbed text, plus ``lang_pred`` and
@@ -56,9 +59,38 @@ def curate_corpus(
     ``neardup_method`` picks the near-dup pair graph: ``"exact"``
     (exact-Jaccard PPJoin — the verification baseline) or ``"minhash"``
     (banded MinHash-LSH — bucket-bounded candidates, the corpus-scale
-    path; CLI flag ``--neardup minhash``)."""
+    path; CLI flag ``--neardup minhash``).
+
+    ``url_col`` + ``domain_blocklist`` / ``domain_cap`` enable the
+    DOMAIN gate (C4/RefinedWeb-style source curation) as the very first
+    stage — it is the cheapest reduction of all (a map-side canonical-
+    domain projection, one broadcast anti-join against the blocklist,
+    and a per-domain row_number cap keeping the ``domain_cap``
+    lowest-id docs per domain — deterministic, skew-bounded by the cap
+    itself), so it runs before any fingerprint shuffle."""
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
+
+    if url_col is not None and (domain_blocklist or domain_cap):
+        from ..functions.urls import url_domain
+
+        docs = docs.withColumn("_domain", url_domain(url_col))
+        if domain_blocklist:
+            bl = spark.createDataFrame(
+                [(d,) for d in domain_blocklist], "_domain string"
+            )
+            docs = docs.join(F.broadcast(bl), "_domain", "left_anti")
+        if domain_cap:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_domain").orderBy(id_col)
+            docs = (
+                docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= domain_cap)
+                .drop("_rn")
+            )
+        docs = docs.drop("_domain").localCheckpoint()
+        report["after_domain_gate"] = docs.count()
 
     kept_ids = D.dedup_exact(docs, text_col, id_col).select(id_col)
     # checkpoint before counting (like every later stage): the count

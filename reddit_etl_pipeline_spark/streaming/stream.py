@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bounded import (  # noqa: F401
+    resolve_slices,
     run_stream_to_batch,
     scratch_dir,
     stage_bounded_stream,
@@ -379,6 +380,7 @@ def streamed_sketch_store(
     the union, so the FULL-SCAN HLL oracle (hll_users_oracle_sql)
     replays the streamed store's answer. Returns (event_type,
     approx_users)."""
+    n_slices = resolve_slices(n_slices, 3)
     from ..operators import sketch_store as SS
     from ..operators import sketches as SK
 
@@ -426,6 +428,129 @@ def streamed_sketch_store(
     return SK.hll_estimate(regs, "event_type")
 
 
+def streamed_graph_store(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> DataFrame:
+    """Continuous PERSISTED-GRAPH-STORE ingest — the streaming twin of
+    ``operators/graph_store.py``: lineitem arrives in order-keyed
+    micro-batches (slice = l_orderkey % n_slices, so each order's
+    co-purchase clique lands whole in one batch) and ``foreachBatch``
+    appends that batch's OWNED edge + degree partials under the ingest
+    batch id via the ledger anti-join (first writer owns; an edge seen
+    by an earlier micro-batch is never re-written). Dynamic overwrite on
+    the batch partition makes each append exactly-once under
+    foreachBatch's at-least-once replay — re-running a batch anti-joins
+    against the OTHER partitions and reproduces exactly its own owned
+    set (the graph_store idempotency law, pinned batch-side in
+    tests/test_graph_store.py).
+
+    The read side is ``store_edges`` — by the ledger law the merged
+    partials ARE the distinct co-purchase edge set of the union of
+    slices, so connected components over the streamed store equals the
+    batch ``part_components`` answer and shares its star-rounds DuckDB
+    oracle (neardup_oracles.cc_star_member_ctes) verbatim. Returns
+    (part_id, component_id, component_size).
+
+    Scale: per micro-batch the self-join runs over ONE slice (orders
+    never span slices, so no cross-slice wedge exists to miss) plus one
+    anti-join against the stored edge relation; queries amortize the
+    edge derivation across the whole graph family instead of re-paying
+    it per query."""
+    n_slices = resolve_slices(n_slices, 3)
+    from ..operators import graph_store as GST
+    from ..operators.dedup import connected_components
+    from ..plans.star import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    slices = [
+        li.filter(F.col("l_orderkey") % n_slices == i)
+        for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="graph_store_stream_")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store = scratch_dir("stream_graph_store_")
+
+    def ingest(b: DataFrame, batch_id: int) -> None:
+        GST.append_batch(b, store, batch_id=batch_id)
+
+    chk = scratch_dir("graph_store_chk_")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cc = connected_components(
+        GST.store_edges(spark, store), src="src", dst="dst",
+        pre_normalized=True,
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("part_id"),
+        F.col("component").alias("component_id"),
+        "component_size",
+    )
+
+
+def streamed_ann_store(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3, k: int = 5
+) -> DataFrame:
+    """Continuous PERSISTED-ANN-STORE ingest — the streaming twin of
+    ``operators/ann_store.py``'s IVF leg: the coarse quantizer is
+    trained ONCE up front on the deterministic lowest-id sample and
+    frozen into the store (the production sequence — index creation
+    precedes ingest), then vectors stream in ``vec_id``-keyed
+    micro-batches and ``foreachBatch`` appends each batch's cell-
+    assignment partial under the ingest batch id. Dynamic overwrite on
+    that partition is exactly-once under replay (the
+    ``streamed_sketch_store`` discipline); assignment under a frozen
+    quantizer is per-row, so the streamed partials' union is
+    bit-identical to the batch store AND to a full rebuild — which is
+    why the final ``store_topk`` answer shares
+    ``ann_oracles.ivf_topk_oracle`` verbatim (stream == batch-store ==
+    rebuild, pinned in tests/test_stream_ann_store.py)."""
+    n_slices = resolve_slices(n_slices, 3)
+    from ..operators import ann_store as ANS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ANS.init_store(emb, (store := scratch_dir("stream_ann_store_")))
+    slices = [
+        emb.filter(F.col("vec_id") % n_slices == i) for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="ann_store_stream_")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(b: DataFrame, batch_id: int) -> None:
+        ANS.append_batch(b, store, batch_id=batch_id, cents=cents)
+
+    chk = scratch_dir("ann_store_chk_")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ANS.store_topk(
+        spark, store, emb, emb.filter(F.col("vec_id") < 5), k=k
+    )
+
+
 def streamed_kmv_distinct(
     spark: SparkSession, sf_dir: str, n_slices: int = 3, k: int = None
 ) -> DataFrame:
@@ -438,6 +563,7 @@ def streamed_kmv_distinct(
     is the batch estimator over the converged state; the full-scan KMV
     oracle replays it because bottom-k of the union == bottom-k of
     merged per-batch bottom-ks. Returns (event_type, n_kept, kmv_est)."""
+    n_slices = resolve_slices(n_slices, 3)
     from ..operators import sketches as SK
 
     if k is None:
@@ -557,6 +683,7 @@ def streamed_bloom_contamination(
     accounting runs batch-side against the finished table
     (sketches.bloom_probe_stats). Oracle: bloom_oracle_sql, identical to
     the batch twin's."""
+    n_slices = resolve_slices(n_slices, 4)
     from ..operators import sketches as SK
     from ..plans.star import load
 
@@ -990,6 +1117,7 @@ def streamed_upsert_latest(
     order-independent to pass, not just append-lucky. No watermark: the
     merge's order key is event data, so late arrival never changes the
     converged table."""
+    n_slices = resolve_slices(n_slices, 3)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1136,6 +1264,7 @@ def streamed_incremental_dedup(
     semantics). The property a replayable ingest pipeline needs (id is
     ingest order in production, so "first arrived" and "lowest id" agree
     there too)."""
+    n_slices = resolve_slices(n_slices, 3)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -1416,6 +1545,7 @@ def streamed_incremental_neardup(
     function, the streamed result equals a single sequential greedy pass
     over all candidates — reject iff est-Jaccard >= threshold against an
     already-accepted (seed or earlier-surviving) doc."""
+    n_slices = resolve_slices(n_slices, 3)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from ..operators.dedup import minhash_signatures
 
@@ -1632,6 +1762,7 @@ def streamed_incremental_embedding_neardup(
     cosine >= threshold (within an LSH bucket collision) against an
     already-accepted vector. The batch analog of the candidate graph is
     ``embedding_neardup_pairs(bucket_cap=None, n_planes=n_planes)``."""
+    n_slices = resolve_slices(n_slices, 3)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from ..operators.similarity import lsh_bucket_table
 
@@ -1762,6 +1893,7 @@ def streamed_bm25_doc_search(
     At 100 TB this is the shape of a production index refresh: per-batch
     map-side tokenize + bounded aggregate, append-only parquet postings
     partitionable by term, queries broadcast at score time."""
+    n_slices = resolve_slices(n_slices, 4)
     from ..operators import retrieval as RV
     from ..plans.star import load
 
@@ -1816,6 +1948,7 @@ def streamed_cdc_chunk_store(
     plain grouped SQL over the batch assignment, no recursive walk. The
     ledger accumulates in a driver dict keyed by batch_id (one row per
     batch; an at-least-once replay overwrites its own key)."""
+    n_slices = resolve_slices(n_slices, 3)
     from ..operators.cdc import gear_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -2058,14 +2191,14 @@ def streamed_part_components(
     two-move crash-safe rewrite (the kmv/upsert discipline). Returns
     (part_id, component_id, component_size).
     """
+    n_slices = resolve_slices(n_slices, 3)
     import os
     import shutil
 
     from ..operators.dedup import connected_components
+    from ..plans.star import load
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey"
-    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     slices = [
         li.filter(F.col("l_orderkey") % n_slices == i)
         for i in range(n_slices)

@@ -106,3 +106,26 @@ def test_lsh_incremental_appends_equal_full_build(spark, embeddings):
     assert _rows(A.store_lsh_topk(spark, full, embeddings, queries)) == _rows(
         A.store_lsh_topk(spark, inc, embeddings, queries)
     )
+
+
+def test_lsh_plane_family_checksum_trips(spark, embeddings, monkeypatch):
+    """A store written under one plane family must refuse queries under
+    another: corrupting the stored crc (standing in for a reseeded
+    _table_planes / changed PLANE_SCALE) makes load_lsh_meta raise
+    instead of silently probing a different bucket space."""
+    import pytest
+
+    store = scratch_dir("lsh_crc_")
+    A.build_lsh_store(embeddings, store, dim=64, n_planes=4)
+    # sanity: intact store loads
+    assert A.load_lsh_meta(spark, store)[0] == 64
+    meta = spark.read.parquet(f"{store}/lsh_meta")
+    meta.withColumn("plane_crc", F.col("plane_crc") + 1).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store}/lsh_meta_bad")
+    import shutil
+
+    shutil.rmtree(f"{store}/lsh_meta")
+    shutil.move(f"{store}/lsh_meta_bad", f"{store}/lsh_meta")
+    with pytest.raises(ValueError, match="different plane family"):
+        A.load_lsh_meta(spark, store)

@@ -105,6 +105,65 @@ class TestChurnHazard:
         assert rows[-1].hazard_micro == 1_000_000
 
 
+class TestChurnHazardCensored:
+    def test_tail_divergence_hand_computed(self, spark):
+        """The biased and censored curves diverge exactly where the
+        censoring rule says: users last active within 7 days of the
+        horizon leave the churned numerator but stay at risk."""
+        ev = _ev(
+            spark,
+            [
+                (1, _at(0), 1, "A", 0),
+                (2, _at(3), 1, "A", 0),   # tenure wk 0, last=3  -> churned
+                (3, _at(0), 2, "A", 0),   # tenure wk 0, last=0  -> churned
+                (4, _at(0), 3, "A", 0),
+                (5, _at(9), 3, "A", 0),   # tenure wk 1, last=9  -> churned
+                (6, _at(0), 4, "A", 0),
+                (7, _at(22), 4, "A", 0),  # tenure wk 3, last=22 = horizon -> CENSORED
+                (8, _at(0), 5, "A", 0),
+                (9, _at(17), 5, "A", 0),  # tenure wk 2, last=17, 5 d from horizon -> CENSORED
+            ],
+        )
+        rows = BH.churn_hazard_censored(ev, censor_days=7).collect()
+        got = {
+            r.tenure_weeks: (r.churned, r.n_censored, r.at_risk, r.hazard_micro)
+            for r in rows
+        }
+        assert got == {
+            0: (2, 0, 5, 400_000),
+            1: (1, 0, 3, 333_333),
+            2: (0, 1, 2, 0),
+            3: (0, 1, 1, 0),
+        }
+        # the uncensored twin reads the same tail as certain churn —
+        # the exact bias the censored variant removes
+        biased = {
+            r.tenure_weeks: r.hazard_micro
+            for r in BH.churn_hazard(ev).collect()
+        }
+        assert biased[3] == 1_000_000 and got[3][3] == 0
+        assert biased[2] == 500_000 and got[2][3] == 0
+
+    def test_no_censoring_when_window_zero(self, spark):
+        """censor_days=0 censors nobody — the censored curve collapses
+        to the uncensored twin (plus an all-zero n_censored column)."""
+        ev = _ev(
+            spark,
+            [
+                (1, _at(0), 1, "A", 0),
+                (2, _at(3), 1, "A", 0),
+                (3, _at(0), 2, "A", 0),
+                (4, _at(9), 2, "A", 0),
+            ],
+        )
+        cen = BH.churn_hazard_censored(ev, censor_days=0).collect()
+        unc = BH.churn_hazard(ev).collect()
+        assert [(r.tenure_weeks, r.churned, r.at_risk, r.hazard_micro) for r in cen] == [
+            (r.tenure_weeks, r.churned, r.at_risk, r.hazard_micro) for r in unc
+        ]
+        assert all(r.n_censored == 0 for r in cen)
+
+
 def _purchase_users(spark, converted_ids, unconverted_ids):
     rows = []
     eid = 0

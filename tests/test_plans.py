@@ -614,3 +614,31 @@ def test_triangle_estimate_sampling_pushed_to_filter(spark, sf_dir):
     p = plan_of(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_graph_queries_read_store_not_lineitem(spark, sf_dir):
+    """The re-pointed part_* graph queries must answer from the
+    persisted graph store: the plan scans the store's edge/degree
+    parquet and NEVER lineitem — the round-9 measured scale-killer was
+    exactly the per-query lineitem self-join + edge distinct."""
+    import __spark_entry__ as E
+
+    # link_prediction and degree_hist keep their full lineage (no
+    # terminal checkpoint), so the store scan is visible in the final
+    # plan; the iterative peels (kcore/LPA/CC) cut lineage per round —
+    # their store-read equality is pinned in tests/test_graph_store.py
+    for name in ("part_degree_hist", "part_link_prediction"):
+        p = plan_of(E.queries()[name](spark, sf_dir))
+        assert "lineitem" not in p, f"{name} still scans lineitem"
+        assert "graph_store_" in p, f"{name} does not read the store"
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_degree_hist_reads_degree_partials_only(spark, sf_dir):
+    """part_degree_hist must not even touch the EDGE relation — the
+    store's additive degree partials alone answer it."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["part_degree_hist"](spark, sf_dir))
+    assert "degrees" in p and "/edges" not in p

@@ -31,3 +31,24 @@ def test_streamed_components_multi_slice_invariant(spark, sf_dir):
     a = _rows(ST.streamed_part_components(spark, sf_dir, n_slices=2))
     b = _rows(ST.streamed_part_components(spark, sf_dir, n_slices=4))
     assert a == b
+
+
+def test_streamed_graph_store_equals_batch(spark, sf_dir):
+    """Streaming ledger-append graph-store ingest == the batch
+    part_components answer (merged owned partials are the distinct
+    edge set of the union of slices — the graph_store ledger law under
+    streaming delivery)."""
+    import __spark_entry__ as E
+
+    got = _rows(ST.streamed_graph_store(spark, sf_dir))
+    want = _rows(E.queries()["part_components"](spark, sf_dir))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_streamed_graph_store_slice_invariant(spark, sf_dir):
+    """Edge-set membership off the streamed store must not depend on
+    micro-batch slicing (ownership may move; membership may not)."""
+    a = _rows(ST.streamed_graph_store(spark, sf_dir, n_slices=2))
+    b = _rows(ST.streamed_graph_store(spark, sf_dir, n_slices=4))
+    assert a == b
