@@ -338,6 +338,36 @@ def _domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return URL.domain_rollup(docs)
 
 
+def _domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation domain-cap gate as a value-checked query: the docs
+    surviving a per-domain cap of 50 (lowest doc_id first — the same
+    bounded row_number window curate_corpus applies), with their
+    canonical domain. Deterministic total order inside each domain, so
+    the oracle replays the identical window."""
+    docs = Q.load(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_FIXTURE_SQL)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        docs.select("doc_id", URL.url_domain("url").alias("domain"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "domain")
+    )
+
+
+def _stream_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-domain rollup: additive partials (SUM law) beside
+    a canonical-URL LEDGER for the count-distinct (first writer owns —
+    the graph store's anti-join law applied to a string relation), both
+    exactly-once per micro-batch partition. Bit-identical to the batch
+    rollup, so it SHARES the domain_rollup oracle
+    (streaming/stream.streamed_domain_rollup)."""
+    return ST.streamed_domain_rollup(spark, sf_dir, _URL_FIXTURE_SQL)
+
+
 def _churn_hazard_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-CENSORED churn hazard (operators/behavior.
     churn_hazard_censored): users whose last activity falls inside the
@@ -2101,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_hazard_censored": _churn_hazard_censored,
         "url_canonical_sample": _url_canonical_sample,
         "domain_rollup": _domain_rollup,
+        "domain_capped_docs": _domain_capped_docs,
+        "stream_domain_rollup": _stream_domain_rollup,
         "ab_conversion_chisq": _ab_conversion_chisq,
         "rfm_segments": _rfm_segments,
         "interpurchase_intervals": _interpurchase_intervals,
@@ -2721,6 +2753,28 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _domain_rollup_oracle() -> str:
+    """Per-domain rollup replay over the shared URL fixture — used by
+    BOTH the batch query and its streaming ledger twin."""
+    return f"""
+        WITH u AS MATERIALIZED (
+          SELECT {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain,
+                 {URL.canonical_url_sql(_URL_FIXTURE_SQL)} AS curl,
+                 len({_TOKENS}) AS n_toks,
+                 CAST(round(({NO.QUALITY_EXPR_SQL}) * 1000000) AS BIGINT)
+                   AS q_micro
+          FROM documents
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(q_micro) // count(*) AS BIGINT)
+                 AS mean_quality_micro
+        FROM u GROUP BY domain
+    """
+
+
 def _part_components_oracle() -> str:
     """Star-rounds CC replay over the co-purchase graph + component-size
     rollup — shared by the batch query and its streaming fold twin."""
@@ -3216,22 +3270,21 @@ def oracle_sql() -> dict[str, str]:
                    {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain
             FROM documents WHERE doc_id < 200
         """,
-        "domain_rollup": f"""
-            WITH u AS MATERIALIZED (
-              SELECT {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain,
-                     {URL.canonical_url_sql(_URL_FIXTURE_SQL)} AS curl,
-                     len({_TOKENS}) AS n_toks,
-                     CAST(round(({NO.QUALITY_EXPR_SQL}) * 1000000) AS BIGINT)
-                       AS q_micro
+        "domain_rollup": _domain_rollup_oracle(),
+        # the streaming rollup shares the batch oracle VERBATIM: additive
+        # partials merge by SUM and the canonical-URL ledger (first
+        # writer owns) makes the merged URL relation the distinct set of
+        # the union (streaming/stream.streamed_domain_rollup)
+        "stream_domain_rollup": _domain_rollup_oracle(),
+        "domain_capped_docs": f"""
+            SELECT doc_id, domain FROM (
+              SELECT doc_id,
+                     {URL.url_domain_sql(_URL_FIXTURE_SQL)} AS domain,
+                     row_number() OVER (
+                       PARTITION BY {URL.url_domain_sql(_URL_FIXTURE_SQL)}
+                       ORDER BY doc_id) AS rn
               FROM documents
-            )
-            SELECT domain,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
-                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-                   CAST(sum(q_micro) // count(*) AS BIGINT)
-                     AS mean_quality_micro
-            FROM u GROUP BY domain
+            ) WHERE rn <= 50
         """,
         "ab_conversion_chisq": BH.ab_conversion_chisq_oracle_sql(),
         "rfm_segments": BH.rfm_segments_oracle_sql(),

@@ -371,6 +371,8 @@ def main() -> None:
         "domain_rollup",
         "url_canonical_sample",
         "churn_hazard_censored",
+        "stream_domain_rollup",
+        "domain_capped_docs",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

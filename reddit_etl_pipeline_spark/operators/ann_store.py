@@ -120,14 +120,20 @@ def append_batch(
         "batch_id",
         F.lit(int(batch_id)) if batch_id is not None else (F.col(id_col) % N_BATCHES),
     )
-    # one file per batch partition: assignment partials are
-    # corpus-cardinality rows of two BIGINTs — a 32-task write would
-    # scatter each batch into KB-sized files (the sketch-store lesson)
+    # INVERTED-LIST layout (round 10): partials partition by (batch_id,
+    # cid), not batch_id alone — each cell IS an inverted list, so a
+    # query's nprobe cells prune the scan to nprobe/k of the corpus at
+    # PLANNING time (the FAISS read pattern; round-9's batch-only layout
+    # read every list and, worse, packed the whole 66 MB relation into a
+    # handful of input splits, collapsing the candidate-expansion stage
+    # to ~8 tasks on 32 cores). One file per (batch, cell); dynamic
+    # overwrite still replaces exactly batch b's subtree because every
+    # written row carries batch_id = b.
     write_table(
-        keyed.repartition("batch_id"),
+        keyed.repartition("batch_id", "cid"),
         f"{store_dir}/ivf_assign",
         mode="overwrite",
-        partition_by=["batch_id"],
+        partition_by=["batch_id", "cid"],
     )
 
 
@@ -232,8 +238,12 @@ def append_lsh_batch(
         "batch_id",
         F.lit(int(batch_id)) if batch_id is not None else (F.col("did") % N_BATCHES),
     )
+    # one file per (batch, table): every query probes all tables, so
+    # there is no tbl-level pruning win (unlike the IVF cells) — but
+    # n_tables files per batch keep the read parallel instead of
+    # packing the whole bucket relation into one input split
     write_table(
-        keyed.repartition("batch_id"),
+        keyed.repartition("batch_id", "tbl"),
         f"{store_dir}/lsh_buckets",
         mode="overwrite",
         partition_by=["batch_id"],
@@ -275,8 +285,13 @@ def store_lsh_topk(
     Bit-identical to ``cosine_topk_lsh`` under the stored geometry, so
     it shares ``ann_oracles.lsh_topk_oracle``."""
     dim, n_planes, n_tables, split_bits = load_lsh_meta(spark, store_dir)
-    cb = spark.read.parquet(f"{store_dir}/lsh_buckets").select(
-        "did", "tbl", "bucket", "ext"
+    # rebalance the skinny bucket rows to full parallelism before the
+    # band self-join (the stored files are few; an unsplit scan would
+    # run the bucket-join stages on a handful of tasks)
+    cb = (
+        spark.read.parquet(f"{store_dir}/lsh_buckets")
+        .select("did", "tbl", "bucket", "ext")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return S.lsh_probe(
         corpus, queries, cb, dim, k, n_planes, n_tables,
@@ -297,10 +312,27 @@ def store_topk(
     """IVF top-k answered FROM THE STORE: corpus-side cell membership
     comes from the persisted partials (no corpus re-assignment, no
     quantizer retraining — the only per-query Arrow work is assigning
-    the handful of QUERY vectors), then the shared probe/rerank tail.
-    Bit-identical to the ``ivf_topk`` rebuild twin under the frozen
-    quantizer, so it shares ``ann_oracles.ivf_topk_oracle``."""
+    the handful of QUERY vectors), and ONLY THE PROBED LISTS are read:
+    the query batch's nprobe cells collect driver-side (bounded by
+    |queries| x nprobe <= n_centroids — the k-bounded-collect pattern)
+    and prune the (batch_id, cid)-partitioned partials at planning
+    time, so the scan cost is ~nprobe/k of the corpus regardless of
+    corpus size. The pruned skinny rows then rebalance to full
+    parallelism (a few-MB shuffle) before the candidate-expansion join
+    — without it the handful of pruned files would run the biggest
+    row-expansion stage on a handful of tasks. Filtering to probed
+    cells is a semantic no-op (the cid equi-join enforces it anyway),
+    so the result stays bit-identical to the ``ivf_topk`` rebuild twin
+    and shares ``ann_oracles.ivf_topk_oracle``."""
     cents = load_centroids(spark, store_dir)
-    c_assign = store_assignments(spark, store_dir, id_col)
     q_assign = S.ivf_assign_cells(queries, cents, nprobe, id_col, vec_col)
+    probed = sorted(
+        r["cid"] for r in q_assign.select("cid").distinct().collect()
+    )
+    c_assign = (
+        spark.read.parquet(f"{store_dir}/ivf_assign")
+        .filter(F.col("cid").isin(probed))
+        .select(id_col, "cid")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return S.ivf_probe(corpus, queries, c_assign, q_assign, k, id_col, vec_col)

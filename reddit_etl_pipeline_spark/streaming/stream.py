@@ -428,6 +428,126 @@ def streamed_sketch_store(
     return SK.hll_estimate(regs, "event_type")
 
 
+def streamed_domain_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    url_expr_sql: str,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Continuous per-domain corpus rollup — the streaming twin of
+    ``functions/urls.domain_rollup`` and the SECOND application of the
+    graph store's first-writer ledger law: the rollup mixes ADDITIVE
+    measures (doc count, token sum, quality-micro sum — plain per-batch
+    partials, SUM merge) with a COUNT DISTINCT (canonical URLs), and a
+    distinct is exactly the shape whose instances can repeat across
+    batches. So each micro-batch writes (a) its additive partial and
+    (b) its OWNED (domain, curl) rows — candidates anti-joined against
+    every other batch's stored URLs — making the merged URL relation the
+    distinct canonical-URL set of the union, and n_urls one plain count.
+    Both writes are exactly-once per batch partition under replay (the
+    stream_sketch_store discipline); the final frame is bit-identical to
+    the batch rollup, so it shares the ``domain_rollup`` oracle
+    verbatim. ``url_expr_sql`` is the caller's URL column expression
+    (the driver passes its fixture; production passes a real column).
+
+    Scale: additive partials are domain-cardinality; the URL ledger is
+    distinct-URL-cardinality (what any exact count-distinct must hold)
+    with per-batch appends touching only the new batch + one anti-join.
+    """
+    from ..functions.text import quality_score, token_count
+    from ..functions.urls import canonicalize_url, url_domain
+
+    n_slices = resolve_slices(n_slices, 3)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slices = [
+        docs.filter(F.col("doc_id") % n_slices == i) for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="domain_rollup_stream_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store = scratch_dir("domain_rollup_store_")
+
+    def ingest(b: DataFrame, batch_id: int) -> None:
+        url = F.expr(url_expr_sql)
+        base = b.select(
+            url_domain(url).alias("domain"),
+            canonicalize_url(url).alias("curl"),
+            token_count("text").cast("long").alias("n_toks"),
+            F.round(quality_score("text") * 1e6).cast("long").alias("q_micro"),
+        )
+        add = (
+            base.groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("n_tokens"),
+                F.sum("q_micro").alias("q_sum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            add.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{store}/additive")
+        )
+        cand = base.select("domain", "curl").distinct()
+        try:
+            others = (
+                spark.read.parquet(f"{store}/urls")
+                .filter(F.col("batch_id") != batch_id)
+                .select("domain", "curl")
+            )
+            cand = cand.join(others, ["domain", "curl"], "left_anti")
+        except AnalysisException:
+            pass  # first batch: no URLs owned yet
+        owned = cand.withColumn(
+            "batch_id", F.lit(batch_id)
+        ).localCheckpoint(eager=True)
+        (
+            owned.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{store}/urls")
+        )
+
+    chk = scratch_dir("domain_rollup_chk_")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    add = (
+        spark.read.parquet(f"{store}/additive")
+        .groupBy("domain")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("q_sum").alias("q_sum"),
+        )
+    )
+    urls = (
+        spark.read.parquet(f"{store}/urls")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    return add.join(urls, "domain").select(
+        "domain",
+        "n_docs",
+        "n_urls",
+        "n_tokens",
+        F.expr("q_sum div n_docs").alias("mean_quality_micro"),
+    )
+
+
 def streamed_graph_store(
     spark: SparkSession, sf_dir: str, n_slices: int = 3
 ) -> DataFrame:

@@ -642,3 +642,25 @@ def test_degree_hist_reads_degree_partials_only(spark, sf_dir):
 
     p = plan_of(E.queries()["part_degree_hist"](spark, sf_dir))
     assert "degrees" in p and "/edges" not in p
+
+
+def test_ann_store_probe_prunes_to_probed_cells(spark, sf_dir, embeddings):
+    """store_topk must read ONLY the probed inverted lists: the scan of
+    the (batch_id, cid)-partitioned partials carries a PartitionFilters
+    entry on cid (planning-time pruning), never a full-store scan."""
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import ann_store as A
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    store = scratch_dir("ann_prune_")
+    A.build_ann_store(embeddings, store)
+    df = A.store_topk(
+        spark, store, embeddings, embeddings.filter(F.col("vec_id") < 5), k=5
+    )
+    p = plan_of(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*(IN|in)[^\]]*\]", p)
+    assert m, "no cid partition filter in the store scan"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p

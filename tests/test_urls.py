@@ -135,3 +135,43 @@ def test_curation_domain_gate(spark, tmp_path):
     assert ids == [6, 7, 8, 9]
     assert report["after_domain_gate"] == 4
     assert report["input"] == 12
+
+
+def test_streamed_domain_rollup_equals_batch(spark, sf_dir):
+    """Streaming ledger twin == batch rollup (additive SUM partials +
+    first-writer canonical-URL ledger across micro-batches)."""
+    import __spark_entry__ as E
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    got = sorted(
+        tuple(r)
+        for r in ST.streamed_domain_rollup(
+            spark, sf_dir, E._URL_FIXTURE_SQL
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in E.queries()["domain_rollup"](spark, sf_dir).collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_streamed_domain_rollup_slice_invariant(spark, sf_dir):
+    """n_urls must not depend on how docs split into micro-batches —
+    the ledger law's membership invariance on a string relation."""
+    import __spark_entry__ as E
+    from reddit_etl_pipeline_spark.streaming import stream as ST
+
+    a = sorted(
+        tuple(r)
+        for r in ST.streamed_domain_rollup(
+            spark, sf_dir, E._URL_FIXTURE_SQL, n_slices=2
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ST.streamed_domain_rollup(
+            spark, sf_dir, E._URL_FIXTURE_SQL, n_slices=4
+        ).collect()
+    )
+    assert a == b
