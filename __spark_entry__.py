@@ -1572,6 +1572,57 @@ def _ann_store_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_store_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index store, IVF-PQ leg (operators/ann_store.py):
+    coarse centroids AND residual codebooks are trained once and FROZEN
+    into the store, per-batch (id, cid, codes) partials append at
+    ingest as (batch_id, cid)-partitioned inverted lists, and the query
+    reads ONLY the probed lists' m-byte code arrays — no training, no
+    corpus encode, no raw-vector scan outside the rerank-bounded tail.
+    Code assignment under the frozen model is per-row exact-integer
+    argmin, so merged partials == one full encode and the store answer
+    is bit-identical to the ivf_pq_topk rebuild twin, sharing
+    ann_oracles.ivfpq_topk_oracle verbatim."""
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    emb = Q.load(spark, sf_dir, "embeddings")
+    store = scratch_dir("ann_pq_store_")
+    ANS.build_pq_store(emb, store)
+    return ANS.store_pq_topk(
+        spark, store, emb, emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+def _neardup_store_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash SIGNATURE store
+    (operators/neardup_store.py): the signature family is frozen at
+    init (num_perm/shingle_n/bands + permutation-family CRC), per-batch
+    signature partials append at document ingest — the text-reading
+    shingle + min-agg pass paid once per document — and the near-dup
+    query runs banding + slot-agreement over the stored fixed-width
+    signatures, never touching text. Signatures are per-row under the
+    frozen family, so merged partials == a full signing pass and the
+    store answer is bit-identical to the minhash_neardup_pairs rebuild
+    twin, sharing neardup_oracles.minhash_neardup_oracle verbatim."""
+    from reddit_etl_pipeline_spark.operators import neardup_store as NS
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    docs = Q.load(spark, sf_dir, "documents")
+    store = scratch_dir("neardup_store_")
+    NS.build_store(docs, store)
+    return NS.store_pairs(spark, store, threshold=0.7)
+
+
+def _stream_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous minhash-signature-store ingest: foreachBatch signs
+    each micro-batch's new documents under the frozen family and
+    appends the partial exactly-once (dynamic overwrite per batch
+    partition); the final store query shares the minhash_neardup
+    oracle because streamed partials' union == batch store == inline
+    signing (streaming/stream.streamed_minhash_store)."""
+    return ST.streamed_minhash_store(spark, sf_dir, threshold=0.7)
+
+
 def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality scoreboard: recall@5 and top-1 MRR of every
     approximate index (LSH / IVF / PQ / IVF-PQ) against the exact
@@ -2195,6 +2246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _cosine_topk_ivf,
         "ann_store_topk": _ann_store_topk,
         "ann_store_topk_lsh": _ann_store_topk_lsh,
+        "ann_store_topk_pq": _ann_store_topk_pq,
+        "neardup_store_pairs": _neardup_store_pairs,
+        "stream_minhash_store": _stream_minhash_store,
         "cosine_topk_pq": _cosine_topk_pq,
         "cosine_topk_ivfpq": _cosine_topk_ivfpq,
         "embedding_neardup": _embedding_neardup,
@@ -5060,6 +5114,15 @@ def oracle_sql() -> dict[str, str]:
         # (operators/ann_store.py, tests/test_ann_store.py)
         "ann_store_topk": AO.ivf_topk_oracle(k=5),
         "ann_store_topk_lsh": AO.lsh_topk_oracle(k=5),
+        # the PQ store leg shares the ivf_pq rebuild twin's replay: code
+        # assignment under the frozen (centroids, codebooks) is per-row,
+        # so stored partials == one full encode (operators/ann_store.py)
+        "ann_store_topk_pq": AO.ivfpq_topk_oracle(k=5),
+        # the signature store shares the minhash rebuild twin's replay:
+        # signatures are per-row under the frozen permutation family
+        # (operators/neardup_store.py), as does its streaming ingest twin
+        "neardup_store_pairs": NO.minhash_neardup_oracle(threshold=0.7),
+        "stream_minhash_store": NO.minhash_neardup_oracle(threshold=0.7),
         "knn_label_confusion_ivf": AO.ivf_knn_confusion_oracle(k=5),
         # PQ / IVF-PQ replayed exactly (ann_oracles): per-subspace
         # rounded-centroid codebooks on the unit grid, integer ADC

@@ -373,6 +373,9 @@ def main() -> None:
         "churn_hazard_censored",
         "stream_domain_rollup",
         "domain_capped_docs",
+        "ann_store_topk_pq",
+        "neardup_store_pairs",
+        "stream_minhash_store",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -336,3 +336,184 @@ def store_topk(
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return S.ivf_probe(corpus, queries, c_assign, q_assign, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ leg: persisted code partials — the compressed 100 TB index
+# ---------------------------------------------------------------------------
+#
+# The IVF leg above persists cell MEMBERSHIP but still joins back to the
+# raw vector table to score candidates; at 100 TB that join rescans
+# full-width embeddings for every probed list. The FAISS production
+# answer is IVF-PQ: persist the m-byte PQ code of each vector's residual
+# alongside its cid, so the probed lists scan as code arrays (~16x
+# smaller) and only the final top-``rerank`` candidates per query ever
+# touch a raw vector. Frozen parameters here are the coarse centroids
+# AND the residual codebooks — both trained once at init, both persisted
+# IN the store (the persisted-index law: an auto-sized or retrained
+# parameter at query time would probe/score a different space than was
+# indexed). Code assignment under frozen (cents, books) is per-row
+# (exact-integer argmins, ties to the lowest code), so the union of
+# per-batch (id, cid, codes) partials is bit-identical to one full
+# encode pass — ``store_pq_topk`` therefore shares the ``ivf_pq_topk``
+# rebuild twin's DuckDB replay (``ann_oracles.ivfpq_topk_oracle``)
+# verbatim.
+
+
+def init_pq_store(
+    corpus: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Train the coarse quantizer + residual codebooks on the
+    deterministic lowest-id sample and FREEZE both into the store
+    (``centroids``: cid, vec; ``codebooks``: s, c, vec — integer-valued
+    doubles, exact through parquet). Returns (cents, books)."""
+    cents = S.train_ivf_grid_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = S._train_residual_codebooks(
+        corpus, cents, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    crows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(crows, "cid bigint, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    brows = [
+        (int(s), int(c), [float(v) for v in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        brows, "s bigint, c bigint, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/codebooks")
+    return cents, books
+
+
+def load_pq_model(spark: SparkSession, store_dir: str) -> tuple:
+    """The frozen (centroids, codebooks) back as float64 tensors — a
+    model-size-bounded driver collect (k x dim + m x n_codes x sub
+    integer-valued doubles)."""
+    import numpy as np
+
+    cents = load_centroids(spark, store_dir)
+    rows = (
+        spark.read.parquet(f"{store_dir}/codebooks")
+        .orderBy("s", "c")
+        .collect()
+    )
+    m = max(r["s"] for r in rows) + 1
+    n_codes = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["vec"])
+    books = np.zeros((m, n_codes, sub))
+    for r in rows:
+        books[r["s"], r["c"]] = list(r["vec"])
+    return cents, books
+
+
+def append_pq_batch(
+    vectors: DataFrame,
+    store_dir: str,
+    batch_id: int | None = None,
+    model: tuple | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ ingest: encode ONE batch of new vectors —
+    nearest frozen centroid + PQ codes of the residual — and write the
+    (batch_id, cid)-partitioned inverted-list partial with dynamic
+    overwrite (idempotent; re-running a batch replaces only itself).
+    One map-only Arrow pass over the new rows; the stored relation is
+    m+1 BIGINTs per vector, never the raw embedding."""
+    spark = vectors.sparkSession
+    cents, books = model if model is not None else load_pq_model(spark, store_dir)
+    layout = S.ivfpq_layout(vectors, cents, books, id_col, vec_col)
+    keyed = layout.withColumn(
+        "batch_id",
+        F.lit(int(batch_id)) if batch_id is not None else (F.col(id_col) % N_BATCHES),
+    )
+    write_table(
+        keyed.repartition("batch_id", "cid"),
+        f"{store_dir}/pq_codes",
+        mode="overwrite",
+        partition_by=["batch_id", "cid"],
+    )
+
+
+def build_pq_store(
+    corpus: DataFrame,
+    store_dir: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Full-corpus IVF-PQ store build: train + freeze the model, then
+    write every batch's code partial in one encode pass (equal, by the
+    per-row assignment law, to appending each batch separately)."""
+    model = init_pq_store(
+        corpus, store_dir, n_centroids, m, n_codes, id_col, vec_col
+    )
+    append_pq_batch(corpus, store_dir, None, model, id_col, vec_col)
+
+
+def store_pq_topk(
+    spark: SparkSession,
+    store_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
+) -> DataFrame:
+    """IVF-PQ top-k answered FROM THE STORE: no training, no corpus
+    encode — the query side assigns its own handful of vectors against
+    the frozen centroids driver-side, prunes the (batch_id, cid)-
+    partitioned code partials to the probed lists at PLANNING time
+    (PartitionFilters on cid, like ``store_topk``), rebalances the
+    pruned skinny code rows to full parallelism, and runs the shared
+    ADC scan + exact-rerank tail (``similarity._ivfpq_scan_rerank``).
+    Per-query cost is ~(nprobe/n_centroids) of the corpus read at
+    ~1/16 the bytes plus a rerank-bounded vector join — independent of
+    how many batches built the store. Bit-identical to the
+    ``ivf_pq_topk`` rebuild twin under the frozen model, so it shares
+    ``ann_oracles.ivfpq_topk_oracle`` verbatim."""
+    import numpy as np
+
+    cents, books = load_pq_model(spark, store_dir)
+    qrows = S._collect_queries_gated(
+        queries, id_col, vec_col, max_queries, "store_pq_topk"
+    )
+    if not qrows:
+        return S._rank_topk(
+            spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double"
+            ),
+            k,
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = S._unit_grid(np.array([list(r[1]) for r in qrows], dtype="float64"))
+    probes = S._grid_assign_topn(qm, cents, nprobe)
+    by_cid: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for cid in row:
+            by_cid.setdefault(int(cid), []).append(qi)
+    index = (
+        spark.read.parquet(f"{store_dir}/pq_codes")
+        .filter(F.col("cid").isin(sorted(by_cid)))
+        .select(id_col, "cid", "codes")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return S._ivfpq_scan_rerank(
+        corpus, queries, index, cents, books, qids, qm, by_cid, k, rerank,
+        id_col, vec_col,
+    )

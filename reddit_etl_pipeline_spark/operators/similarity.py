@@ -780,69 +780,24 @@ def _train_residual_codebooks(
     return _fit_subspace_codebooks(res, m, n_codes, iters)
 
 
-def ivf_pq_topk(
+def ivfpq_layout(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    m: int = 16,
-    n_codes: int = 16,
-    rerank: int = 32,
+    cents: "np.ndarray",
+    books: "np.ndarray",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_queries: int | None = 100_000,
 ) -> DataFrame:
-    """The full FAISS-style IVF-PQ composition: coarse-quantize the
-    corpus into inverted lists (IVF) AND PQ-encode every vector's
-    RESIDUAL (x − centroid[cid], the FAISS IndexIVFPQ layout — residuals
-    are much smaller than raw vectors, so the same code budget quantizes
-    them far more finely), so a query (a) touches only its ``nprobe``
-    nearest lists and (b) scans those lists as m-byte code arrays:
-    q·x ≈ q·centroid[cid] + Σ_s LUT[q,s,code_s] — the centroid term is
-    one scalar per (query, probed list) and the SAME query LUT serves
-    every list, because q·codeword is cid-independent. Multiplicative
-    savings: ~(nprobe/n_centroids) of the corpus read at ~1/16 the
-    bytes; top-``rerank`` candidates per query rerank exactly against
-    raw vectors.
-
-    Spark shape: ONE map-only Arrow pass builds the corpus layout
-    (cid + codes — at 100 TB this is the materialized index table,
-    partitioned by cid so a probe prunes partitions); the probed-list
-    restriction is a codegen ``isin`` filter on cid (partition-prunable),
-    the LUT scan is map-only, and only pruned candidate ids shuffle.
-    Query side is collected to build the LUT, gated by ``max_queries``
-    (clear error past the gate; opt out with ``max_queries=None``)."""
+    """The materialized IVF-PQ index relation (id, cid, codes): nearest
+    coarse centroid + PQ codes of the RESIDUAL against it, per row. One
+    map-only Arrow pass, no shuffle; every distance term is an exact
+    integer (unit-grid vectors, rounded-integer centroids/codewords, all
+    < 2^53) with ties to the lowest code — engine-independent, which is
+    what lets a persisted copy of this relation (ann_store's PQ leg)
+    answer queries bit-identically to an inline rebuild."""
     import numpy as np
     import pandas as pd
 
-    cents = train_ivf_grid_centroids(
-        corpus, n_centroids, id_col=id_col, vec_col=vec_col
-    )
-    books = _train_residual_codebooks(
-        corpus, cents, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
-    )
-    sub = books.shape[2]
-
-    qrows = _collect_queries_gated(
-        queries, id_col, vec_col, max_queries, "ivf_pq_topk"
-    )
-    if not qrows:
-        return _rank_topk(
-            corpus.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, sim double"
-            ),
-            k,
-        )
-    qids = np.array([r[0] for r in qrows], dtype="int64")
-    qm = _unit_grid(np.array([list(r[1]) for r in qrows], dtype="float64"))
-    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
-    # nprobe nearest lists per query -> cid -> query-index lists
-    probes = _grid_assign_topn(qm, cents, nprobe)
-    by_cid: dict[int, list[int]] = {}
-    for qi, row in enumerate(probes):
-        for cid in row:
-            by_cid.setdefault(int(cid), []).append(qi)
+    m, _n_codes, sub = books.shape
 
     def layout(batches):
         for pdf in batches:
@@ -864,9 +819,38 @@ def ivf_pq_topk(
                 }
             )
 
-    index = corpus.mapInPandas(
+    return corpus.mapInPandas(
         layout, f"{id_col} long, cid long, codes array<bigint>"
-    ).filter(F.col("cid").isin([int(c) for c in by_cid]))
+    )
+
+
+def _ivfpq_scan_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index: DataFrame,
+    cents: "np.ndarray",
+    books: "np.ndarray",
+    qids: "np.ndarray",
+    qm: "np.ndarray",
+    by_cid: dict,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ADC scan + exact-rerank tail shared by ``ivf_pq_topk`` and
+    the persisted-store path (``ann_store.store_pq_topk``): LUT-scan the
+    probed lists' code arrays (map-only), cut to a deterministic global
+    top-``rerank`` per query, then rerank only those candidates against
+    raw vectors. ``index`` must already be restricted to the probed
+    cids; both callers restrict with the same predicate, so the result
+    is independent of whether the codes came from an inline encode or
+    from stored per-batch partials."""
+    import numpy as np
+    import pandas as pd
+
+    m, _n_codes, sub = books.shape
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
 
     def scan(batches):
         for pdf in batches:
@@ -936,6 +920,76 @@ def ivf_pq_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     paired = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
     return _rank_topk(_pair_cosine_scored(paired, local_topk=k), k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ composition: coarse-quantize the
+    corpus into inverted lists (IVF) AND PQ-encode every vector's
+    RESIDUAL (x − centroid[cid], the FAISS IndexIVFPQ layout — residuals
+    are much smaller than raw vectors, so the same code budget quantizes
+    them far more finely), so a query (a) touches only its ``nprobe``
+    nearest lists and (b) scans those lists as m-byte code arrays:
+    q·x ≈ q·centroid[cid] + Σ_s LUT[q,s,code_s] — the centroid term is
+    one scalar per (query, probed list) and the SAME query LUT serves
+    every list, because q·codeword is cid-independent. Multiplicative
+    savings: ~(nprobe/n_centroids) of the corpus read at ~1/16 the
+    bytes; top-``rerank`` candidates per query rerank exactly against
+    raw vectors.
+
+    Spark shape: ONE map-only Arrow pass builds the corpus layout
+    (cid + codes — at 100 TB this is the materialized index table,
+    partitioned by cid so a probe prunes partitions); the probed-list
+    restriction is a codegen ``isin`` filter on cid (partition-prunable),
+    the LUT scan is map-only, and only pruned candidate ids shuffle.
+    Query side is collected to build the LUT, gated by ``max_queries``
+    (clear error past the gate; opt out with ``max_queries=None``)."""
+    import numpy as np
+
+    cents = train_ivf_grid_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = _train_residual_codebooks(
+        corpus, cents, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+
+    qrows = _collect_queries_gated(
+        queries, id_col, vec_col, max_queries, "ivf_pq_topk"
+    )
+    if not qrows:
+        return _rank_topk(
+            corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double"
+            ),
+            k,
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = _unit_grid(np.array([list(r[1]) for r in qrows], dtype="float64"))
+    # nprobe nearest lists per query -> cid -> query-index lists
+    probes = _grid_assign_topn(qm, cents, nprobe)
+    by_cid: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for cid in row:
+            by_cid.setdefault(int(cid), []).append(qi)
+
+    index = ivfpq_layout(corpus, cents, books, id_col, vec_col).filter(
+        F.col("cid").isin([int(c) for c in by_cid])
+    )
+    return _ivfpq_scan_rerank(
+        corpus, queries, index, cents, books, qids, qm, by_cid, k, rerank,
+        id_col, vec_col,
+    )
 
 
 def _table_planes(t: int, n: int, dim: int) -> "np.ndarray":

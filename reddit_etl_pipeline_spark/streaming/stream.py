@@ -671,6 +671,61 @@ def streamed_ann_store(
     )
 
 
+def streamed_minhash_store(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Continuous MinHash-SIGNATURE-STORE ingest — the streaming twin
+    of ``operators/neardup_store.py``: the signature family (num_perm /
+    shingle_n / bands + permutation CRC) is frozen into the store up
+    front (index creation precedes ingest), then documents stream in
+    ``doc_id``-keyed micro-batches and ``foreachBatch`` signs each
+    batch's NEW text and appends the signature partial under the ingest
+    batch id. Dynamic overwrite on that partition is exactly-once under
+    replay (the ``streamed_sketch_store`` discipline); signatures are
+    per-row under the frozen family, so the streamed partials' union is
+    bit-identical to the batch store AND to an inline full-corpus
+    signing — which is why the final ``store_pairs`` answer shares the
+    ``minhash_neardup`` oracle verbatim (stream == batch-store ==
+    rebuild, pinned in tests/test_neardup_store.py).
+
+    Scale: each trigger reads only its batch's text (the
+    text-proportional term paid exactly once per document, at arrival);
+    the query side never touches text at all."""
+    n_slices = resolve_slices(n_slices, 3)
+    from ..operators import neardup_store as NS
+    from ..plans.star import load
+
+    docs = load(spark, sf_dir, "documents")
+    NS.init_store(spark, (store := scratch_dir("stream_minhash_store_")))
+    slices = [
+        docs.filter(F.col("doc_id") % n_slices == i) for i in range(n_slices)
+    ]
+    src_dir = stage_bounded_stream(slices, prefix="minhash_store_stream_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(b: DataFrame, batch_id: int) -> None:
+        NS.append_batch(b, store, batch_id=batch_id)
+
+    chk = scratch_dir("minhash_store_chk_")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return NS.store_pairs(spark, store, threshold=threshold)
+
+
 def streamed_kmv_distinct(
     spark: SparkSession, sf_dir: str, n_slices: int = 3, k: int = None
 ) -> DataFrame:

@@ -129,3 +129,60 @@ def test_lsh_plane_family_checksum_trips(spark, embeddings, monkeypatch):
     shutil.move(f"{store}/lsh_meta_bad", f"{store}/lsh_meta")
     with pytest.raises(ValueError, match="different plane family"):
         A.load_lsh_meta(spark, store)
+
+
+def test_pq_store_matches_rebuild_twin(spark, embeddings):
+    """store_pq_topk over a full build == ivf_pq_topk recomputed from
+    raw — the oracle-sharing equality (same frozen centroids AND
+    residual codebooks, per-row exact-integer code assignment)."""
+    store = scratch_dir("pq_store_")
+    A.build_pq_store(embeddings, store)
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    got = _rows(A.store_pq_topk(spark, store, embeddings, queries, k=5))
+    want = _rows(S.ivf_pq_topk(embeddings, queries, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_pq_incremental_appends_equal_full_build(spark, embeddings):
+    """Appending each ingest batch's code partial separately under the
+    frozen model produces the identical store: same (id, cid, codes)
+    rows, same query answers."""
+    full = scratch_dir("pq_full_")
+    inc = scratch_dir("pq_inc_")
+    A.build_pq_store(embeddings, full)
+    model = A.init_pq_store(embeddings, inc)
+    for b in range(A.N_BATCHES):
+        batch = embeddings.filter(F.col("vec_id") % A.N_BATCHES == b)
+        A.append_pq_batch(batch, inc, batch_id=b, model=model)
+    read = lambda d: _rows(
+        spark.read.parquet(f"{d}/pq_codes").select("vec_id", "cid", "codes")
+    )
+    assert read(full) == read(inc)
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    assert _rows(A.store_pq_topk(spark, full, embeddings, queries)) == _rows(
+        A.store_pq_topk(spark, inc, embeddings, queries)
+    )
+
+
+def test_pq_append_is_idempotent(spark, embeddings):
+    """Re-running one batch's code append replaces only that partition —
+    the stored code relation is unchanged."""
+    store = scratch_dir("pq_idem_")
+    A.build_pq_store(embeddings, store)
+    read = lambda: _rows(
+        spark.read.parquet(f"{store}/pq_codes").select("vec_id", "cid", "codes")
+    )
+    before = read()
+    batch0 = embeddings.filter(F.col("vec_id") % A.N_BATCHES == 0)
+    A.append_pq_batch(batch0, store, batch_id=0)
+    assert read() == before
+
+
+def test_pq_model_roundtrip_exact(spark, embeddings):
+    """Frozen centroids + residual codebooks read back from parquet are
+    the identical integer-valued doubles the trainers produced."""
+    store = scratch_dir("pq_model_")
+    cents, books = A.init_pq_store(embeddings, store)
+    lc, lb = A.load_pq_model(spark, store)
+    assert (lc == cents).all() and (lb == books).all()
+    assert (lb == lb.round()).all()  # integer-valued grid

@@ -664,3 +664,26 @@ def test_ann_store_probe_prunes_to_probed_cells(spark, sf_dir, embeddings):
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*(IN|in)[^\]]*\]", p)
     assert m, "no cid partition filter in the store scan"
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pq_store_probe_prunes_to_probed_cells(spark, sf_dir, embeddings):
+    """store_pq_topk must read ONLY the probed inverted lists' code
+    partials: the scan of the (batch_id, cid)-partitioned pq_codes
+    carries a PartitionFilters entry on cid, never a full-store scan —
+    and the codes path stays BNL-free."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from reddit_etl_pipeline_spark.operators import ann_store as A
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    store = scratch_dir("pq_prune_")
+    A.build_pq_store(embeddings, store)
+    df = A.store_pq_topk(
+        spark, store, embeddings, embeddings.filter(F.col("vec_id") < 5), k=5
+    )
+    p = plan_of(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*(IN|in)[^\]]*\]", p)
+    assert m, "no cid partition filter in the pq store scan"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
