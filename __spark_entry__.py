@@ -2092,6 +2092,18 @@ def _train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (packing.leakage_safe_split):
+    banded MinHash pair graph -> connected components -> the Knuth-band
+    split rule applied to each cluster REPRESENTATIVE, so near-duplicate
+    clusters never straddle splits (the GPT-3/Pile eval-leakage fix).
+    Per-doc (doc_id, rep_id, split) — the oracle replays band-join ->
+    star-rounds CC -> rep-keyed banding end to end
+    (neardup_oracles.leakage_safe_split_oracle)."""
+    docs = Q.load(spark, sf_dir, "documents")
+    return PK.leakage_safe_split(docs)
+
+
 def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction surface: props is a JSON string column."""
     ev = Q.load(spark, sf_dir, "events")
@@ -2236,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": _chunk_manifest,
         "shard_manifest": _shard_manifest,
         "train_val_test_split": _train_val_test_split,
+        "leakage_safe_split": _leakage_safe_split,
         "minhash_neardup": _minhash_neardup,
         "simhash_neardup": _simhash_neardup,
         # LLM-data pipeline: embeddings
@@ -5092,6 +5105,9 @@ def oracle_sql() -> dict[str, str]:
         # MinHash and SimHash pipelines are deterministic end to end, so
         # they hash-check like the exact operators.
         "minhash_neardup": NO.minhash_neardup_oracle(threshold=0.7),
+        # band-join -> star-rounds CC -> rep-keyed Knuth banding, end to
+        # end (packing.leakage_safe_split)
+        "leakage_safe_split": NO.leakage_safe_split_oracle(),
         # the scale-path composition: same band replay -> CC star rounds
         # -> keep-best argmax (neardup_oracles.minhash_canonical_oracle)
         "neardup_canonical_minhash": NO.minhash_canonical_oracle(threshold=0.7),

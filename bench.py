@@ -376,6 +376,7 @@ def main() -> None:
         "ann_store_topk_pq",
         "neardup_store_pairs",
         "stream_minhash_store",
+        "leakage_safe_split",
     ]
 
     # full-surface mode: time EVERY queries() key (headline first, the

@@ -203,6 +203,47 @@ QUALITY_SQL = f"""coalesce(
   -1.0)"""
 
 
+def leakage_safe_split_oracle(
+    val_pct: int = 5,
+    test_pct: int = 5,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> str:
+    """Replay of ``packing.leakage_safe_split`` — the dedup-aware
+    train/val/test split: the banded MinHash pair graph
+    (``_minhash_pair_ctes``), connected components via the star rounds
+    (``cc_star_member_ctes``), then the Knuth-band split rule
+    (``packing.scramble_sql``) applied to the cluster REPRESENTATIVE's
+    id — so the oracle fails if near-dup clusters ever straddle splits
+    or the rep labeling drifts from the engine's min-label CC."""
+    from .operators.packing import scramble_sql
+
+    body, agree = _minhash_pair_ctes(num_perm, shingle_n, bands)
+    band = f"{scramble_sql('rep_id')} % 100"
+    return f"""
+WITH {body},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM cand c
+  JOIN sig_arr sa ON sa.doc_id = c.doc_a
+  JOIN sig_arr sb ON sb.doc_id = c.doc_b
+  WHERE round(({agree}) / {float(num_perm)}, 6) >= {threshold}
+),
+{cc_star_member_ctes()},
+memb AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep_id
+  FROM documents d
+  LEFT JOIN rep c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, rep_id,
+       CASE WHEN {band} < {test_pct} THEN 'test'
+            WHEN {band} < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM memb"""
+
+
 def minhash_canonical_oracle(
     num_perm: int = 64,
     shingle_n: int = 3,

@@ -367,6 +367,46 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate clusters can never
+    straddle — the dedup-aware eval split (the GPT-3/Pile lesson:
+    per-document hash splits leak train text into test through near
+    copies, inflating eval).
+
+    Composition: the banded MinHash pair graph → connected components
+    (``dedup.neardup_clusters``, the 100 TB path — banding bounds the
+    self-join, CC is O(diameter) rounds over clique-ish components) →
+    ``train_val_test_split``'s Knuth-band rule applied to the CLUSTER
+    REPRESENTATIVE's id instead of the member's, so every member
+    inherits its cluster's split verbatim. Singletons (rep == self)
+    degrade to exactly the per-document split; growth-stable for the
+    same reason (a new doc joins an existing cluster → takes that
+    cluster's split; existing clusters never move).
+
+    Output: (doc_id, rep_id, split) for every input doc."""
+    from . import dedup as D
+
+    clusters = D.neardup_clusters(
+        df, text_col, id_col, threshold=threshold, method="minhash"
+    )
+    band = scramble("rep_id") % 100
+    return clusters.select(
+        "doc_id",
+        "rep_id",
+        F.when(band < test_pct, F.lit("test"))
+        .when(band < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def scramble_sql(col: str) -> str:
     """The DuckDB replay of ``scramble`` (the 16-bit split multiply,
     verbatim) — single-sourced so oracles can't drift from the engine."""

@@ -337,3 +337,63 @@ def test_weighted_sample_grouped_exactly_k_per_stratum(spark):
         per[r.lang] = per.get(r.lang, 0) + r.n_hits
         assert ["en", "fr", "de"][r.doc_id % 3] == r.lang  # no leakage
     assert per == {"en": 25, "fr": 25, "de": 25}
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, documents):
+    """The defining invariant: no near-dup pair (at the split's
+    threshold) may land in two different splits — and every member
+    carries exactly its cluster representative's band split."""
+    from reddit_etl_pipeline_spark.operators import dedup as D
+    from reddit_etl_pipeline_spark.operators.packing import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+
+    out = leakage_safe_split(documents).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    rep_of = {r.doc_id: r.rep_id for r in out}
+    pairs = D.minhash_neardup_pairs(documents, threshold=0.7).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b]
+        assert rep_of[p.doc_a] == rep_of[p.doc_b]
+    # rep-keyed banding: members inherit the REP's per-doc split
+    naive = {
+        r.doc_id: r.split
+        for r in train_val_test_split(
+            documents.select("doc_id")
+        ).collect()
+    }
+    for doc, rep in rep_of.items():
+        assert split_of[doc] == naive[rep]
+    # singletons degrade to the per-doc rule
+    singles = [d for d, rep in rep_of.items() if rep == d]
+    assert singles and all(split_of[d] == naive[d] for d in singles)
+
+
+def test_leakage_safe_split_diverges_from_naive_when_cluster_straddles(spark):
+    """A synthetic near-dup pair whose two ids band into different
+    naive splits must collapse onto the rep's split (the operator is
+    not a no-op)."""
+    from reddit_etl_pipeline_spark.operators.packing import (
+        _KNUTH,
+        _MOD,
+        leakage_safe_split,
+    )
+
+    def band(i):
+        return (i * _KNUTH) % _MOD % 100
+
+    # find two ids in different naive bands (test vs train)
+    lo = next(i for i in range(1, 500) if band(i) < 5)
+    hi = next(i for i in range(1, 500) if band(i) >= 10 and i != lo)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(lo, text), (hi, text), (400, "completely unrelated content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.rep_id, r.split) for r in leakage_safe_split(df).collect()}
+    rep = min(lo, hi)
+    assert out[lo] == (rep, out[hi][1]) and out[hi][0] == rep
+    assert out[lo][1] == ("test" if band(rep) < 5 else
+                          "val" if band(rep) < 10 else "train")
