@@ -687,3 +687,25 @@ def test_pq_store_probe_prunes_to_probed_cells(spark, sf_dir, embeddings):
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*(IN|in)[^\]]*\]", p)
     assert m, "no cid partition filter in the pq store scan"
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_minhash_tail_broadcast_policy_is_source_independent(
+    spark, sf_dir, documents
+):
+    """The banding/verification tail must make the SAME (explicit,
+    metadata-driven) broadcast decision whether signatures come from an
+    inline signing pass or the persisted store — Catalyst's LogicalRDD
+    estimate differs wildly between the two sources (the round-10 4x
+    regression), so the plans are pinned broadcast-for-small on BOTH
+    paths: no SortMergeJoin anywhere in the tail at fixture scale."""
+    from reddit_etl_pipeline_spark.operators import dedup as D
+    from reddit_etl_pipeline_spark.operators import neardup_store as NS
+    from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir
+
+    store = scratch_dir("nd_bc_")
+    NS.build_store(documents, store)
+    p_store = plan_of(NS.store_pairs(spark, store, threshold=0.7))
+    p_inline = plan_of(D.minhash_neardup_pairs(documents, threshold=0.7))
+    for p, name in [(p_store, "store"), (p_inline, "inline")]:
+        assert "SortMergeJoin" not in p, f"{name} tail fell back to SMJ"
+        assert "BroadcastHashJoin" in p
