@@ -200,28 +200,29 @@ def churn_hazard_censored(
     uncensored twin stays available as the upper-bound read.
 
     Scale: one user_id groupBy (map-combinable min/max), the horizon as
-    a ONE-ROW aggregate attached via a constant-key broadcast HASH join
-    (never a BNL cross, never an unpartitioned window over the user
-    frame), then windows over the tiny per-week frame."""
+    a ONE-ROW bounded driver scalar (``max(cast(ts as date))`` over
+    events — a map-combinable fold, equal to ``max(last_day)`` over
+    per_user) folded into the censoring predicate as a date literal.
+    A constant-key join would constant-fold ``1 = 1`` into a
+    BroadcastNestedLoop cross, and an unpartitioned window would drag
+    the whole user frame to one task; the scalar avoids both AND the
+    second derivation of per_user the join formulation paid. Then
+    windows over the tiny per-week frame."""
     per_user = events.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("first_day"),
         F.max(F.col("ts").cast("date")).alias("last_day"),
     )
-    horizon = per_user.agg(F.max("last_day").alias("horizon")).withColumn(
-        "one", F.lit(1)
-    )
-    pu = (
-        per_user.withColumn("one", F.lit(1))
-        .join(F.broadcast(horizon), "one")
-        .select(
-            F.expr(
-                "CAST(datediff(last_day, first_day) AS BIGINT) div 7"
-            ).alias("tenure_weeks"),
-            (
-                F.datediff(F.col("horizon"), F.col("last_day"))
-                < F.lit(censor_days)
-            ).alias("is_censored"),
-        )
+    horizon_day = events.agg(
+        F.max(F.col("ts").cast("date")).alias("horizon")
+    ).collect()[0]["horizon"]
+    pu = per_user.select(
+        F.expr(
+            "CAST(datediff(last_day, first_day) AS BIGINT) div 7"
+        ).alias("tenure_weeks"),
+        (
+            F.datediff(F.lit(horizon_day), F.col("last_day"))
+            < F.lit(censor_days)
+        ).alias("is_censored"),
     )
     weekly = pu.groupBy("tenure_weeks").agg(
         F.sum(F.when(~F.col("is_censored"), 1).otherwise(0))
