@@ -60,6 +60,20 @@ def calibration_probe(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
+def warm_probe(spark) -> None:
+    """One DISCARDED probe rep before the first real bracketing probe.
+
+    Measured (round 10): in a fresh session the first probe reps read
+    0.16-0.4 s and decay to the 0.11-0.12 s floor by rep ~3 — JIT/codegen
+    warm-up of the probe pipeline itself, not host steal (reproduced on
+    an otherwise-quiet host; by the second probe call the same session
+    reads the floor). Without this, the FIRST chunk of every stitched
+    invocation is bracketed by a handicapped probe_before and can loop
+    "degraded" forever, and plain-mode probe_before is biased high the
+    same way."""
+    calibration_probe(spark, reps=2)
+
+
 def _time_queries(spark, queries, names, reps) -> dict[str, float]:
     """Best-of-``reps`` wall seconds per query, noop-sink forced,
     clearCache isolation between reps/queries (the house policy)."""
@@ -100,6 +114,7 @@ def run_stitched(spark, queries, names, reps, state_path, out_path) -> None:
     CONSTRUCTION, per-chunk probes recorded — is written to
     ``out_path``. Chunk keys hash their query lists, so editing the
     surface invalidates exactly the affected chunks."""
+    warm_probe(spark)
     CHUNK = 20
     chunks = [
         (_chunk_key(i // CHUNK, names[i : i + CHUNK]), names[i : i + CHUNK])
@@ -404,6 +419,7 @@ def main() -> None:
     # mushy; the min of two cold-cache runs strips scheduler/GC spikes
     # while still measuring full computation (clearCache between reps, so
     # rep 2 is not a cache readback)
+    warm_probe(spark)
     probe_before = calibration_probe(spark)
 
     timings = _time_queries(spark, queries, headline, reps)
