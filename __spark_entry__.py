@@ -507,7 +507,7 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage semantics match curate_corpus defaults (exact near-dup pairs,
     threshold 0.9, keep=first, min_quality 0.45)."""
     from reddit_etl_pipeline_spark.functions.text import (
-        detect_language,
+        detect_language_df,
         quality_score,
     )
     from reddit_etl_pipeline_spark.plans.star import load
@@ -524,12 +524,15 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rep_id")
         .localCheckpoint()
     )
-    gated = (
-        neard.withColumn("lang_pred", detect_language("text"))
-        .withColumn("quality", quality_score("text"))
-        .filter(
-            (F.col("quality") >= 0.45) & (F.col("lang_pred") != "und")
-        )
+    # codegen'd lang-ID twin instead of the per-row HOF fold (same
+    # rewrite as _curated_corpus — per-row-identical, oracle-shared);
+    # quality gate first so the explode runs over its survivors only
+    qual = neard.withColumn("quality", quality_score("text")).filter(
+        F.col("quality") >= 0.45
+    )
+    gated = qual.join(
+        detect_language_df(qual).filter(F.col("lang_pred") != "und"),
+        "doc_id",
     )
     stages = [
         ("1_input", docs),
@@ -1267,14 +1270,28 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization."""
     docs = Q.load(spark, sf_dir, "documents")
     reps = D.neardup_clusters(docs, threshold=0.9)
-    kept = (
+    # Language ID via the codegen'd explode+pivot twin, NOT the per-row
+    # array-lambda fold: inlined into filter+project, the HOF fold
+    # expanded combinatorially (the r10 before-plan re-splits the text
+    # dozens of times per row, all interpreted) — 37.7 s -> the lang
+    # stage now costs one explode-join pass over quality survivors.
+    # detect_language_df == detect_language per row (0 mismatches on
+    # sf0.01/sf0.1; both oracle-replayed by the same stopword fold).
+    surv = (
         docs.join(reps, "doc_id")
         .filter(F.col("doc_id") == F.col("rep_id"))
-        .withColumn("lang_pred", TX.detect_language("text"))
         .withColumn("quality", TX.quality_score("text"))
-        .filter((F.col("quality") >= 0.45) & (F.col("lang_pred") != "und"))
+        .filter(F.col("quality") >= 0.45)
+        .select("doc_id", "text", "quality")
+        # referenced twice below (lang explode + final join)
+        .localCheckpoint(eager=True)
     )
-    return kept.select("doc_id", "lang_pred", "quality")
+    lang = TX.detect_language_df(surv)
+    return (
+        surv.join(lang, "doc_id")
+        .filter(F.col("lang_pred") != "und")
+        .select("doc_id", "lang_pred", "quality")
+    )
 
 
 def _line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pii import scrub_pii
-from ..functions.text import detect_language, quality_score
+from ..functions.text import detect_language_df, quality_score
 from ..operators import dedup as D
 from ..operators import lm as LM
 
@@ -127,12 +127,23 @@ def curate_corpus(
     # derivations materialize exactly once and every later consumer (C4
     # explode, LM train/score, final write) reads the materialized
     # blocks instead of re-deriving the chain
+    # language ID via the codegen'd explode+pivot twin
+    # (functions/text.detect_language_df) instead of the per-row
+    # array-lambda fold: inlined into a filter + projection the HOF fold
+    # duplicates combinatorially and runs interpreted (round-10 plan
+    # evidence in OPTIMIZATION_r10.md); per-row-identical predictions.
+    # Quality gate first so the lang explode only sees its survivors.
+    qual = neard.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
     gated = (
-        neard.withColumn("lang_pred", detect_language(text_col))
-        .withColumn("quality", quality_score(text_col))
-        .filter(
-            (F.col("quality") >= min_quality) & (F.col("lang_pred") != "und")
+        qual.join(
+            detect_language_df(qual, col=text_col, id_col=id_col).filter(
+                F.col("lang_pred") != "und"
+            ),
+            id_col,
         )
+        .select(*neard.columns, "lang_pred", "quality")
         .localCheckpoint()
     )
     report["after_quality_gate"] = gated.count()
