@@ -185,9 +185,18 @@ def detect_language_df(
     semantics: >= 2 hits, later language wins only on strictly more)."""
     from pyspark.sql import functions as F
 
+    import pandas as pd
+
     spark = df.sparkSession
+    # pandas/Arrow local relation (the tuple form pays a Python-RDD
+    # worker round trip at every broadcast evaluation — round 10)
+    pairs = [
+        (lang, w) for lang, words in LANG_STOPWORDS.items() for w in words
+    ]
     dim = spark.createDataFrame(
-        [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
+        pd.DataFrame(
+            {"lang": [p[0] for p in pairs], "tok": [p[1] for p in pairs]}
+        ),
         "lang string, tok string",
     )
     langs = list(LANG_STOPWORDS)

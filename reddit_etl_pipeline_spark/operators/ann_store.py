@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lake import write_table
+from ..sources.lake import write_meta_table, write_table
 from . import similarity as S
 
 #: synthetic ingest batches for tables without an ingest-date column:
@@ -75,11 +75,11 @@ def init_store(
     cents = S.train_ivf_grid_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    spark = corpus.sparkSession
     rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
-    spark.createDataFrame(rows, "cid bigint, vec array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    # driver-side Arrow write: a tuple-relation .coalesce(1).write paid
+    # 5-7 s of serialized Python-worker round trips per metadata write
+    # (round-10 measurement in sources/lake.write_meta_table)
+    write_meta_table(rows, "cid bigint, vec array<double>", f"{store_dir}/centroids")
     return cents
 
 
@@ -193,13 +193,14 @@ def init_lsh_store(
     content (``_plane_family_crc``), so a future reseeding of the plane
     generator can never silently make stored bucket partials and
     query-side projections disagree."""
-    spark.createDataFrame(
+    write_meta_table(
         [(
             int(dim), int(n_planes), int(n_tables), int(split_bits),
             int(_plane_family_crc(dim, n_planes)),
         )],
         "dim int, n_planes int, n_tables int, split_bits int, plane_crc long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/lsh_meta")
+        f"{store_dir}/lsh_meta",
+    )
 
 
 def load_lsh_meta(spark: SparkSession, store_dir: str) -> tuple:
@@ -379,19 +380,16 @@ def init_pq_store(
     books = S._train_residual_codebooks(
         corpus, cents, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
-    spark = corpus.sparkSession
     crows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
-    spark.createDataFrame(crows, "cid bigint, vec array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    write_meta_table(crows, "cid bigint, vec array<double>", f"{store_dir}/centroids")
     brows = [
         (int(s), int(c), [float(v) for v in books[s, c]])
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    spark.createDataFrame(
-        brows, "s bigint, c bigint, vec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/codebooks")
+    write_meta_table(
+        brows, "s bigint, c bigint, vec array<double>", f"{store_dir}/codebooks"
+    )
     return cents, books
 
 

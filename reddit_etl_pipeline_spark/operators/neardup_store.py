@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lake import write_table
+from ..sources.lake import write_meta_table, write_table
 from . import dedup as D
 
 #: synthetic ingest batches for corpora without an ingest-date column:
@@ -73,13 +73,14 @@ def init_store(
     """Freeze the signature GEOMETRY (num_perm, shingle_n, bands) and
     the permutation-family checksum into the store. Run once at index
     creation; every later append signs under exactly this family."""
-    spark.createDataFrame(
+    write_meta_table(
         [(
             int(num_perm), int(shingle_n), int(bands),
             int(_perm_family_crc(num_perm)),
         )],
         "num_perm int, shingle_n int, bands int, perm_crc long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/minhash_meta")
+        f"{store_dir}/minhash_meta",
+    )
 
 
 def load_meta(spark: SparkSession, store_dir: str) -> tuple:

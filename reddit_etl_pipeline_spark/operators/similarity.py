@@ -1180,7 +1180,14 @@ def split_hot_buckets(
         hot_rows = hot.collect()
         if not hot_rows:
             break
-        hot = b.sparkSession.createDataFrame(hot_rows, hot.schema)
+        # pandas/Arrow local relation (all-int columns): the tuple/Row
+        # form re-evaluates through a Python-RDD worker round trip at
+        # every downstream action that broadcasts it (round 10)
+        import pandas as pd
+
+        hot = b.sparkSession.createDataFrame(
+            pd.DataFrame([r.asDict() for r in hot_rows]), hot.schema
+        )
         prev = cur
         cur = (
             cur.join(F.broadcast(hot), ["tbl", "bucket", "lvl", "sub"], "left")

@@ -117,9 +117,18 @@ def hll_estimate(regs: DataFrame, group) -> DataFrame:
             F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {RMAX} - rho_max) AS DECIMAL(17,0))")
         ).alias("z_present"),
     )
+    import pandas as pd
+
+    # pandas/Arrow local relation: the tuple form re-evaluates through a
+    # Python-RDD worker round trip at every action that broadcasts it
+    # (round 10); the Arrow batch deserializes JVM-side. Same table.
+    _lc = _lc_table()
     lc = F.broadcast(
         regs.sparkSession.createDataFrame(
-            [(v + 1, e) for v, e in enumerate(_lc_table())], "v INT, lc_est BIGINT"
+            pd.DataFrame(
+                {"v": [v + 1 for v in range(len(_lc))], "lc_est": _lc}
+            ),
+            "v INT, lc_est BIGINT",
         )
     )
     est = (

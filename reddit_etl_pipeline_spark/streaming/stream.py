@@ -1680,8 +1680,13 @@ def neardup_batch_against_index(
     # join, not a giant isin literal: the accepted set is batch-bounded
     # but can still be thousands of ids, and an isin that size bloats the
     # plan; a broadcast semi-join keeps it a normal relation
+    import pandas as pd
+
+    # pandas/Arrow local relation: a list-of-tuples relation evaluates
+    # through a Python-RDD worker round trip on every micro-batch
+    # broadcast; the Arrow batch deserializes JVM-side (round 10)
     acc_df = spark.createDataFrame(
-        [(int(i),) for i in accepted_ids], "did long"
+        pd.DataFrame({"did": [int(i) for i in accepted_ids]}), "did long"
     )
     accepted = survivors.join(
         F.broadcast(acc_df), "did", "left_semi"
@@ -1900,7 +1905,11 @@ def embedding_neardup_batch_against_index(
     ids = [r.did for r in survivors.select("did").collect()]
     accepted_ids = greedy_accept_order(ids, edges)
 
-    acc_df = spark.createDataFrame([(int(i),) for i in accepted_ids], "did long")
+    import pandas as pd
+
+    acc_df = spark.createDataFrame(
+        pd.DataFrame({"did": [int(i) for i in accepted_ids]}), "did long"
+    )
     accepted = survivors.join(
         F.broadcast(acc_df), "did", "left_semi"
     ).localCheckpoint(eager=True)
