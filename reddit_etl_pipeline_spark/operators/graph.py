@@ -78,6 +78,13 @@ def pagerank(
     Deterministic given a partitioning; across partitionings ranks agree
     to float tolerance (contribution sums reduce in partition order).
     """
+    # materialize the (possibly expensive) edge plan ONCE: the
+    # contribution join re-reads the edge set every iteration and the
+    # out-degree build scans it again, so an un-pinned derived edges
+    # plan (supplier_pagerank's lineitem⋈orders + distinct) would
+    # re-execute ~2x per iteration — ~17 executions over 8 rounds
+    # (the connected_components materialize-once discipline)
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -85,9 +92,11 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    # node-cardinality; pinned once for the same reason — every
+    # iteration's rank⋈degree join reads it
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
-    )
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     pinned: list[DataFrame] = []
     for i in range(iters):
