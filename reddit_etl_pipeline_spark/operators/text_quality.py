@@ -60,19 +60,25 @@ def word_ngrams(
 ) -> DataFrame:
     """(id, gram) rows of word ``n``-grams as space-joined strings.
 
-    posexplode + lead()-window — codegen projections around one shuffle
-    on the doc id. Documents with fewer than ``n`` tokens yield no rows.
-    """
-    ex = df.select(
-        F.col(id_col), F.posexplode(_lower_tokens(text_col)).alias("pos", "tok")
+    posexplode positions while RETAINING the token array; the n-1
+    following tokens are read per-row by index (F.get — codegen, NULL
+    past the end) instead of the old lead()-window, which shuffled and
+    sorted every exploded token row by doc id just to see its neighbors
+    (round 10: that Exchange+Sort was most of the map cost). The array
+    never crosses an exchange. Documents with fewer than ``n`` tokens
+    yield no rows, exactly as before (same bound the lead-NULL filter
+    enforced)."""
+    ex = df.select(F.col(id_col), _lower_tokens(text_col).alias("_t")).select(
+        id_col, "_t", F.posexplode("_t").alias("pos", "tok")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = ["tok"] + [f"_t{i}" for i in range(1, n)]
-    leads = [F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)]
-    return (
-        ex.select(id_col, "tok", *leads)
-        .filter(F.col(parts[-1]).isNotNull() if n > 1 else F.lit(True))
-        .select(id_col, F.concat_ws(" ", *parts).alias("gram"))
+    parts = [F.col("tok")] + [
+        F.get("_t", F.col("pos") + i) for i in range(1, n)
+    ]
+    bound = (
+        (F.col("pos") + (n - 1) < F.size("_t")) if n > 1 else F.lit(True)
+    )
+    return ex.filter(bound).select(
+        id_col, F.concat_ws(" ", *parts).alias("gram")
     )
 
 
