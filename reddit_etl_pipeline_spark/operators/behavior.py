@@ -538,8 +538,13 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         for bkt, cnt in sorted(per_axis[axis]):
             offsets.append((bkt, off))
             off += cnt
+        # pandas/Arrow local relation (the tuple form pays a Python-RDD
+        # worker round trip per evaluation — round 10); same integers
+        import pandas as pd
+
         off_df = spark.createDataFrame(
-            offsets, "_bkt bigint, _off bigint"
+            pd.DataFrame(offsets, columns=["_bkt", "_off"]),
+            "_bkt bigint, _off bigint",
         )
         w = Window.partitionBy("_bkt").orderBy(*_RFM_SORT[axis]())
         axes[axis] = (

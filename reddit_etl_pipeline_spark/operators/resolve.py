@@ -92,8 +92,17 @@ def _position_pairs(spark, lengths: list[int], max_dist: int) -> DataFrame:
                 f"{MAX_PAIR_ROWS} rows ({len(lengths)} distinct lengths "
                 f"up to {max(lengths)}) — not an identifier-shaped input"
             )
+    # pandas/Arrow local relation: the tuple form re-evaluates through a
+    # Python-RDD worker round trip at every action that broadcasts it —
+    # and this table is broadcast into BOTH variant-generation sides
+    # (round 10; same values, Arrow deserializes JVM-side)
+    import pandas as pd
+
     return F.broadcast(
-        spark.createDataFrame(rows, "nlen INT, i INT, j INT")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["nlen", "i", "j"]),
+            "nlen INT, i INT, j INT",
+        )
     )
 
 

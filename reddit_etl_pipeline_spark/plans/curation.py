@@ -76,8 +76,13 @@ def curate_corpus(
 
         docs = docs.withColumn("_domain", url_domain(url_col))
         if domain_blocklist:
+            import pandas as pd
+
+            # pandas/Arrow local relation (tuple form = Python-RDD round
+            # trip per broadcast evaluation — round 10)
             bl = spark.createDataFrame(
-                [(d,) for d in domain_blocklist], "_domain string"
+                pd.DataFrame({"_domain": list(domain_blocklist)}),
+                "_domain string",
             )
             docs = docs.join(F.broadcast(bl), "_domain", "left_anti")
         if domain_cap:
