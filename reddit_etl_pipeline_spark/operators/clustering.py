@@ -390,7 +390,17 @@ def _lloyd_fit_int(qdf: DataFrame, k: int, max_iter: int, id_col: str):
         for r in comp:
             new_s[r["cluster"], r["pos"]] = r["s"]
             new_n[r["cluster"]] = r["n"]
+        # fixpoint early-exit (round 10): assignment is a deterministic
+        # function of (s, n) and the update a deterministic function of
+        # assignments, so an unchanged state makes every remaining
+        # iteration a bit-identical no-op — on BOTH engines (the oracle's
+        # unrolled CTEs replay those no-op rounds; the converged state is
+        # their fixpoint, so results are unchanged). Saves the remaining
+        # full Arrow corpus passes; a driver-side array compare, no job.
+        converged = np.array_equal(new_s, s) and np.array_equal(new_n, n)
         s, n = new_s, new_n  # empty clusters keep their previous state
+        if converged:
+            break
 
     return s, n, _assign
 
