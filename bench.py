@@ -94,69 +94,76 @@ def _time_queries(spark, queries, names, reps) -> dict[str, float]:
     return timings
 
 
-def _chunk_key(i: int, names: list[str]) -> str:
-    import hashlib
-
-    h = hashlib.sha1("|".join(names).encode()).hexdigest()[:8]
-    return f"{i:03d}:{h}"
-
-
 def run_stitched(spark, queries, names, reps, state_path, out_path) -> None:
-    """PROBE-BRACKETED CHUNK STITCHING — how this host ever yields a
-    clean full-surface baseline (round-10; the round-9 finding was that
-    the host's hidden-steal windows oscillate faster than one ~17-minute
-    monolithic run, so a single-run probe bracket can never come back
-    clean). The surface is split into chunks of ~20 queries; each chunk
-    is bracketed by its OWN calibration probes and kept only when BOTH
-    probes are <= 2x the committed floor; dirty chunks re-run on later
-    invocations (state persists in ``state_path``) until every chunk is
-    clean, at which point the merged artifact — degraded=false BY
-    CONSTRUCTION, per-chunk probes recorded — is written to
-    ``out_path``. Chunk keys hash their query lists, so editing the
-    surface invalidates exactly the affected chunks."""
+    """PER-QUERY PROBE-BRACKETED STITCHING — how this host ever yields a
+    clean full-surface baseline (round-9 finding: the host's hidden-steal
+    windows oscillate faster than one ~17-minute monolithic run, so a
+    single-run probe bracket can never come back clean; round-10 used
+    ~20-query chunk brackets, whose committed per-query rows were still
+    ±2-3x untrustworthy because a steal window INSIDE a chunk survives
+    the bracket — the round-10 verdict's item 2).
+
+    Protocol: one calibration probe between consecutive queries; query i
+    is kept only when BOTH its surrounding probes are <= 2x the committed
+    floor. Dirty queries re-run on later invocations (state persists in
+    ``state_path``) until every query is clean, at which point the merged
+    artifact — every per-query row individually probe-bracketed,
+    degraded=false BY CONSTRUCTION — is written to ``out_path``. Probe
+    overhead: ~0.5 s per query (~2 min over the full 216-query surface),
+    and the probe between two queries serves as probe_after for the first
+    and probe_before for the second."""
     warm_probe(spark)
-    CHUNK = 20
-    chunks = [
-        (_chunk_key(i // CHUNK, names[i : i + CHUNK]), names[i : i + CHUNK])
-        for i in range(0, len(names), CHUNK)
-    ]
-    state: dict = {"chunks": {}}
+    state: dict = {"queries": {}}
     if os.path.exists(state_path):
         with open(state_path) as fh:
             state = json.load(fh)
-    live_keys = {k for k, _ in chunks}
-    state["chunks"] = {
-        k: v for k, v in state["chunks"].items() if k in live_keys
+        if "queries" not in state:  # pre-round-11 chunk-format state
+            state = {"queries": {}}
+    live = set(names)
+    state["queries"] = {
+        k: v for k, v in state["queries"].items() if k in live
     }
-    for key, chunk_names in chunks:
-        rec = state["chunks"].get(key)
-        if rec and rec.get("clean"):
-            continue
-        pb = calibration_probe(spark)
-        if pb > 2 * PROBE_FLOOR_S:
-            # host already degraded — don't burn minutes on a doomed
-            # bracket; a later invocation retries this chunk
-            print(json.dumps({"chunk": key, "skipped_probe_before": pb}))
-            continue
-        timings = _time_queries(spark, queries, chunk_names, reps)
-        pa = calibration_probe(spark)
-        clean = max(pb, pa) <= 2 * PROBE_FLOOR_S
-        state["chunks"][key] = {
-            "queries": timings,
+    pending = [
+        n for n in names
+        if not state["queries"].get(n, {}).get("clean")
+    ]
+    probe = calibration_probe(spark)
+    dirty_streak = 0
+    for name in pending:
+        if probe > 2 * PROBE_FLOOR_S:
+            # host degraded — don't burn time on a doomed bracket; take a
+            # fresh reading and give up for this invocation if it persists
+            dirty_streak += 1
+            if dirty_streak >= 3:
+                print(json.dumps({"stitch_abort_probe": probe}))
+                break
+            time.sleep(2)
+            probe = calibration_probe(spark)
+            if probe > 2 * PROBE_FLOOR_S:
+                continue
+        pb = probe
+        timing = _time_queries(spark, queries, [name], reps)[name]
+        probe = calibration_probe(spark)  # probe_after == next probe_before
+        clean = max(pb, probe) <= 2 * PROBE_FLOOR_S
+        if clean:
+            dirty_streak = 0
+        state["queries"][name] = {
+            "sec": timing,
             "probe_before_s": pb,
-            "probe_after_s": pa,
+            "probe_after_s": probe,
             "clean": clean,
         }
         with open(state_path, "w") as fh:
             json.dump(state, fh, indent=1)
-        print(json.dumps({"chunk": key, "clean": clean,
-                          "probes": [pb, pa],
-                          "chunk_total": round(sum(timings.values()), 3)}))
-    done = [k for k, _ in chunks if state["chunks"].get(k, {}).get("clean")]
-    all_clean = len(done) == len(chunks)
-    merged: dict[str, float] = {}
-    for k, _ in chunks:
-        merged.update(state["chunks"].get(k, {}).get("queries", {}))
+        print(json.dumps({"query": name, "sec": timing, "clean": clean,
+                          "probes": [pb, probe]}))
+    done = [n for n in names if state["queries"].get(n, {}).get("clean")]
+    all_clean = len(done) == len(names)
+    merged = {
+        n: state["queries"][n]["sec"]
+        for n in names
+        if n in state["queries"]
+    }
     total = round(sum(merged.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -169,19 +176,20 @@ def run_stitched(spark, queries, names, reps, state_path, out_path) -> None:
         "unit": "sec",
         "n": len(merged),
         "stitched": True,
-        "chunks_clean": len(done),
-        "chunks_total": len(chunks),
+        "per_query_probes": True,
+        "queries_clean": len(done),
+        "queries_total": len(names),
         "stream_slices": os.environ.get("SPARK_GRAFT_STREAM_SLICES"),
         "probe": {
             "floor_s": PROBE_FLOOR_S,
             "degraded": not all_clean,
-            "per_chunk": {
-                k: [
-                    state["chunks"][k]["probe_before_s"],
-                    state["chunks"][k]["probe_after_s"],
+            "per_query": {
+                n: [
+                    state["queries"][n]["probe_before_s"],
+                    state["queries"][n]["probe_after_s"],
                 ]
-                for k, _ in chunks
-                if k in state["chunks"]
+                for n in names
+                if n in state["queries"]
             },
         },
         "queries": merged,
@@ -193,8 +201,8 @@ def run_stitched(spark, queries, names, reps, state_path, out_path) -> None:
             fh.write("\n")
     print(json.dumps({
         "metric": "stitch_progress",
-        "clean_chunks": len(done),
-        "total_chunks": len(chunks),
+        "clean_queries": len(done),
+        "total_queries": len(names),
         "complete": all_clean,
         "value": total,
         "unit": "sec",

@@ -168,6 +168,79 @@ def stage_bounded_stream(
     return stream_dir
 
 
+def stage_sliced_stream(
+    df: DataFrame,
+    slice_col,
+    n_slices: int,
+    prefix: str = "bounded_stream_",
+) -> str:
+    """Stage ``df`` as ``n_slices`` ordered micro-batches in ONE Spark
+    write (round 11, guide §2.4/§1.2): the previous shape evaluated the
+    source plan once PER SLICE (``[df.filter(slice == i) for i ...]``
+    through :func:`stage_bounded_stream` = n_slices scans + n_slices
+    single-task ``coalesce(1)`` write jobs). Here the slice id becomes a
+    partition column written in one pass (one scan of the plan), then
+    partition directories are merged into per-slice staged files
+    driver-side with pyarrow (the same row-group append
+    :func:`stage_bounded_stream` uses for directory items — no second
+    Spark job). Row order within a micro-batch is as unordered as the
+    coalesce(1) shape's task order was; batch MEMBERSHIP, which is what
+    every fold law and first-arrival policy keys on, is identical.
+
+    ``slice_col`` must evaluate to an integer in [0, n_slices); a slice
+    with no rows still yields an (empty) micro-batch so batch ids line
+    up with the caller's expectations regardless of data skew.
+    """
+    import pyarrow.parquet as pq
+
+    part_dir = scratch_dir(f"{prefix}parts_")
+    out = f"{part_dir}/t"
+    df.withColumn("__slice", slice_col.cast("int")).write.partitionBy(
+        "__slice"
+    ).mode("overwrite").parquet(out)
+    stream_dir = scratch_dir(prefix)
+    now = time.time()
+    # schema of the staged files == df.schema (partitionBy drops __slice
+    # from the data files); empty slices get a zero-row file of the same
+    # schema so every slice is delivered as its own micro-batch
+    empty_schema = None
+    for i in range(n_slices):
+        dst = f"{stream_dir}/{i}.parquet"
+        src = f"{out}/__slice={i}"
+        writer = None
+        if os.path.isdir(src):
+            for p in sorted(os.listdir(src)):
+                if p.endswith(".parquet"):
+                    t = pq.read_table(f"{src}/{p}")
+                    if writer is None:
+                        writer = pq.ParquetWriter(dst, t.schema)
+                    writer.write_table(t)
+        if writer is None:
+            if empty_schema is None:
+                # derive an arrow schema from any written slice, else
+                # from a zero-row spark write of the frame's own schema
+                sample = None
+                for j in range(n_slices):
+                    sdir = f"{out}/__slice={j}"
+                    if os.path.isdir(sdir):
+                        for p in sorted(os.listdir(sdir)):
+                            if p.endswith(".parquet"):
+                                sample = pq.read_schema(f"{sdir}/{p}")
+                                break
+                    if sample is not None:
+                        break
+                if sample is None:
+                    raise ValueError(
+                        "stage_sliced_stream: no slice produced any file"
+                    )
+                empty_schema = sample
+            writer = pq.ParquetWriter(dst, empty_schema)
+            writer.write_table(empty_schema.empty_table())
+        writer.close()
+        os.utime(dst, (now + i * 3, now + i * 3))
+    return stream_dir
+
+
 def run_stream_to_batch(
     agg: DataFrame,
     spark: SparkSession,

@@ -23,6 +23,7 @@ from .bounded import (  # noqa: F401
     run_stream_to_batch,
     scratch_dir,
     stage_bounded_stream,
+    stage_sliced_stream,
 )
 from ..operators.similarity import _free_local_checkpoint
 
@@ -387,11 +388,10 @@ def streamed_sketch_store(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    slices = [
-        batch.filter(F.col("event_id") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="sketch_store_stream_")
+    src_dir = stage_sliced_stream(
+        batch, F.col("event_id") % n_slices, n_slices,
+        prefix="sketch_store_stream_",
+    )
     stream = _normalize_ts(
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -459,10 +459,10 @@ def streamed_domain_rollup(
 
     n_slices = resolve_slices(n_slices, 3)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    slices = [
-        docs.filter(F.col("doc_id") % n_slices == i) for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="domain_rollup_stream_")
+    src_dir = stage_sliced_stream(
+        docs, F.col("doc_id") % n_slices, n_slices,
+        prefix="domain_rollup_stream_",
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -582,11 +582,10 @@ def streamed_graph_store(
     from ..plans.star import load
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    slices = [
-        li.filter(F.col("l_orderkey") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="graph_store_stream_")
+    src_dir = stage_sliced_stream(
+        li, F.col("l_orderkey") % n_slices, n_slices,
+        prefix="graph_store_stream_",
+    )
     stream = (
         spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)
@@ -643,10 +642,9 @@ def streamed_ann_store(
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ANS.init_store(emb, (store := scratch_dir("stream_ann_store_")))
-    slices = [
-        emb.filter(F.col("vec_id") % n_slices == i) for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="ann_store_stream_")
+    src_dir = stage_sliced_stream(
+        emb, F.col("vec_id") % n_slices, n_slices, prefix="ann_store_stream_"
+    )
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)
@@ -700,10 +698,10 @@ def streamed_minhash_store(
 
     docs = load(spark, sf_dir, "documents")
     NS.init_store(spark, (store := scratch_dir("stream_minhash_store_")))
-    slices = [
-        docs.filter(F.col("doc_id") % n_slices == i) for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="minhash_store_stream_")
+    src_dir = stage_sliced_stream(
+        docs, F.col("doc_id") % n_slices, n_slices,
+        prefix="minhash_store_stream_",
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -746,11 +744,9 @@ def streamed_kmv_distinct(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    slices = [
-        batch.filter(F.col("event_id") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="kmv_stream_")
+    src_dir = stage_sliced_stream(
+        batch, F.col("event_id") % n_slices, n_slices, prefix="kmv_stream_"
+    )
     stream = _normalize_ts(
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -866,11 +862,9 @@ def streamed_bloom_contamination(
     banned = docs.filter(F.col("doc_id") % banned_mod == 0).select(
         "doc_id", "source", "text"
     )
-    slices = [
-        banned.filter(F.col("doc_id") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    d = stage_bounded_stream(slices, prefix="bloom_stream_")
+    d = stage_sliced_stream(
+        banned, F.col("doc_id") % n_slices, n_slices, prefix="bloom_stream_"
+    )
     stream = (
         spark.readStream.schema(banned.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1296,11 +1290,9 @@ def streamed_upsert_latest(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    slices = [
-        batch.filter(F.col("event_id") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="upsert_stream_")
+    src_dir = stage_sliced_stream(
+        batch, F.col("event_id") % n_slices, n_slices, prefix="upsert_stream_"
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1488,13 +1480,14 @@ def _drain_id_sliced_stream(
     if hi is None:
         return False
     chunk = (int(hi) + n_slices) // n_slices + 1
-    slices = [
-        new.filter(
-            (F.col(id_col) >= i * chunk) & (F.col(id_col) < (i + 1) * chunk)
-        )
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix=f"{prefix}stream_")
+    # slice = id div chunk reproduces the contiguous ranges
+    # [i*chunk, (i+1)*chunk) exactly (ids are non-negative, hi < n*chunk),
+    # and the one-pass stager evaluates the candidate plan ONCE instead
+    # of once per slice (round 11 — `new` is often a derived frame)
+    src_dir = stage_sliced_stream(
+        new, F.expr(f"{id_col} div {chunk}"), n_slices,
+        prefix=f"{prefix}stream_",
+    )
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2383,11 +2376,9 @@ def streamed_part_components(
     from ..plans.star import load
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    slices = [
-        li.filter(F.col("l_orderkey") % n_slices == i)
-        for i in range(n_slices)
-    ]
-    src_dir = stage_bounded_stream(slices, prefix="cc_stream_")
+    src_dir = stage_sliced_stream(
+        li, F.col("l_orderkey") % n_slices, n_slices, prefix="cc_stream_"
+    )
     stream = (
         spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)

@@ -112,6 +112,7 @@ def test_overflow_headroom():
 
 
 @pytest.mark.usefixtures("spark")
+@pytest.mark.slow
 def test_pq_candidates_partition_independent(spark, sf_dir):
     """pq_topk's final top-k must not change with the physical layout
     (global (approx DESC, id) cut — the r4 advice fix)."""

@@ -4,6 +4,7 @@ must equal a full rebuild bit for bit, appends must be idempotent, and
 store-answered queries must match the ivf_topk rebuild twin exactly
 (which is what lets store_topk share ann_oracles.ivf_topk_oracle)."""
 
+import pytest
 import os
 import sys
 
@@ -20,6 +21,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_store_topk_matches_rebuild_twin(spark, embeddings):
     """store_topk over a full build == ivf_topk recomputed from raw —
     the oracle-sharing equality (same quantizer sample, same per-row
@@ -32,6 +34,7 @@ def test_store_topk_matches_rebuild_twin(spark, embeddings):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_incremental_appends_equal_full_build(spark, embeddings):
     """Appending each synthetic ingest batch separately under the frozen
     quantizer produces the identical store: same assignment rows, same
@@ -75,6 +78,7 @@ def test_centroids_roundtrip_exact(spark, embeddings):
     assert (loaded == loaded.round()).all()  # integer-valued grid
 
 
+@pytest.mark.slow
 def test_lsh_store_matches_rebuild_twin(spark, embeddings):
     """store_lsh_topk over a full build == cosine_topk_lsh recomputed
     from raw (same frozen geometry, per-row bucket projection law)."""
@@ -88,6 +92,7 @@ def test_lsh_store_matches_rebuild_twin(spark, embeddings):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_lsh_incremental_appends_equal_full_build(spark, embeddings):
     full = scratch_dir("lsh_full_")
     inc = scratch_dir("lsh_inc_")
@@ -131,6 +136,7 @@ def test_lsh_plane_family_checksum_trips(spark, embeddings, monkeypatch):
         A.load_lsh_meta(spark, store)
 
 
+@pytest.mark.slow
 def test_pq_store_matches_rebuild_twin(spark, embeddings):
     """store_pq_topk over a full build == ivf_pq_topk recomputed from
     raw — the oracle-sharing equality (same frozen centroids AND
@@ -143,6 +149,7 @@ def test_pq_store_matches_rebuild_twin(spark, embeddings):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_pq_incremental_appends_equal_full_build(spark, embeddings):
     """Appending each ingest batch's code partial separately under the
     frozen model produces the identical store: same (id, cid, codes)
@@ -164,6 +171,7 @@ def test_pq_incremental_appends_equal_full_build(spark, embeddings):
     )
 
 
+@pytest.mark.slow
 def test_pq_append_is_idempotent(spark, embeddings):
     """Re-running one batch's code append replaces only that partition —
     the stored code relation is unchanged."""

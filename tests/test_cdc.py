@@ -92,6 +92,7 @@ def test_chunk_stats_on_duplicated_corpus(spark):
     assert de["chars_total"] == len(t2)
 
 
+@pytest.mark.slow
 def test_stream_chunk_store_ledger_consistency(spark, tmp_path):
     """The streaming chunk-store ledger must tie out against the batch
     rollup: every batch's new chunks are a subset of its chunks, and the

@@ -16,6 +16,8 @@ from reddit_etl_pipeline_spark.operators.classify import (  # noqa: E402
 SCHEMA = "doc_id long, lang string, text string"
 
 
+import pytest
+
 def _train_docs(spark):
     rows = []
     for i in range(20):
@@ -61,6 +63,7 @@ def test_tie_breaks_to_smallest_label(spark):
     assert nb_predict(test, priors, likes).collect()[0]["predicted"] == "aa"
 
 
+@pytest.mark.slow
 def test_scores_invariant_under_repartitioning(spark):
     """Integer micro-nat scores make predictions independent of data
     layout — rerunning with a different partitioning must not flip any

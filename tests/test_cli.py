@@ -2,6 +2,7 @@
 (extract/upload/load chained by YYYYMMDD) driven through
 ``python -m reddit_etl_pipeline_spark`` subcommands, in-process."""
 
+import pytest
 import json
 import os
 import sys
@@ -11,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from reddit_etl_pipeline_spark.__main__ import main  # noqa: E402
 
 
+@pytest.mark.slow
 def test_daily_then_backfill_then_vacuum(spark, tmp_path, capsys):
     lake, wh = str(tmp_path / "lake"), str(tmp_path / "wh")
     rc = main(
@@ -81,6 +83,7 @@ def test_curate_subcommand(spark, sf_dir, tmp_path, capsys):
     assert curated.filter("quality < 0.45 OR lang_pred = 'und'").count() == 0
 
 
+@pytest.mark.slow
 def test_curate_lm_tail_drop(spark, sf_dir, tmp_path, capsys):
     out_path = str(tmp_path / "curated_lm")
     rc = main(
@@ -107,6 +110,7 @@ def test_curate_c4_rules(spark, sf_dir, tmp_path, capsys):
     assert rep["written"] == rep["after_c4_rules"]
 
 
+@pytest.mark.slow
 def test_curate_keep_best_picks_quality_representative(spark, tmp_path):
     """--keep best must retain the highest-quality member of a near-dup
     cluster instead of the lowest id."""
@@ -169,6 +173,7 @@ def test_curate_survives_stage_emptying_corpus(spark, tmp_path):
     assert spark.read.parquet(out).count() == 0
 
 
+@pytest.mark.slow
 def test_curate_neardup_minhash(spark, sf_dir, tmp_path, capsys):
     """--neardup minhash swaps the exact token-set-Jaccard pair graph for
     banded shingle-MinHash (the corpus-scale path). On TRUE

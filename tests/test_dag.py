@@ -97,6 +97,7 @@ def test_dag_refuses_silent_fake_source():
             _exec_dag_prefix({"REDDIT_SPARK_FAKE_SOURCE": bad})
 
 
+@pytest.mark.slow
 def test_staged_chain_matches_one_program_daily(spark, tmp_path, capsys):
     """Running the DAG's four stages as separate CLI invocations must
     produce the same warehouse and models as the one-program daily."""

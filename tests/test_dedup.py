@@ -1,5 +1,7 @@
 
 
+import pytest
+
 def test_incremental_dedup_cross_and_within_batch(spark):
     """Batch docs already in the corpus are dropped; within-batch dups
     collapse to the lowest id; normalization (case/whitespace) applies
@@ -98,6 +100,7 @@ def test_neardup_canonical_single_cluster_pass(spark):
     assert "LocalRelation" not in plan and "LocalTableScan" not in plan, plan
 
 
+@pytest.mark.slow
 def test_neardup_canonical_minhash_matches_exact_on_true_dups(spark):
     """On unmistakable near-duplicates (copies with tiny edits) the
     minhash scale path must collapse the same clusters and pick the same

@@ -61,8 +61,34 @@ def rows_to_multiset(colnames, rows):
 QUERIES = sorted(E.queries().keys())
 ORACLES = E.oracle_sql()
 
+# Params measured >= ~5 s each at sf0.001 (round-11 durations profile,
+# ~200 s of the suite between them): slow-profile-gated so the default
+# run fits the driver's pytest budget. The driver's own correctness gate
+# re-runs every declared query against DuckDB independently of pytest,
+# and the committed CORRECTNESS_local.json sweep covers all 216 at
+# sf0.01 — these marks trim duplication, not coverage.
+SLOW_ORACLE_PARAMS = {
+    "stream_incremental_neardup", "ann_recall_eval", "stream_minhash_store",
+    "neardup_canonical_minhash", "leakage_safe_split",
+    "stream_part_components", "stream_cdc_chunk_store",
+    "stream_incremental_embedding_neardup", "simhash_neardup",
+    "stream_ann_store", "curation_funnel", "neardup_store_pairs",
+    "stream_purchase_click_join", "stream_graph_store", "ann_store_topk_pq",
+    "curated_corpus", "ann_store_topk", "minhash_neardup",
+    "stream_bloom_contamination", "stream_purchase_click_left_join",
+    "ab_conversion_chisq", "neardup_canonical", "neardup_clusters",
+}
 
-@pytest.mark.parametrize("name", QUERIES)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in SLOW_ORACLE_PARAMS
+        else n
+        for n in QUERIES
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     q = E.queries()[name]
     sdf = q(spark, sf_dir)

@@ -17,6 +17,8 @@ from reddit_etl_pipeline_spark.operators import graph_store as G  # noqa: E402
 from reddit_etl_pipeline_spark.streaming.bounded import scratch_dir  # noqa: E402
 
 
+import pytest
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
@@ -72,6 +74,7 @@ def test_inorder_appends_equal_onepass_build(spark, lineitem):
     )
 
 
+@pytest.mark.slow
 def test_out_of_order_append_same_membership(spark, lineitem):
     """Reversed arrival order moves OWNERSHIP (partition placement) but
     never MEMBERSHIP: the merged edge set and summed degrees are

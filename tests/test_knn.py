@@ -108,6 +108,7 @@ from hypothesis import given, settings, strategies as st
         max_size=4,
     ),
 )
+@pytest.mark.slow
 def test_knn_matches_numpy_reference(spark, train_rows, test_vecs):
     """Random integer-component vectors (exact float64 dot products, so
     cross-implementation comparison is deterministic) against a pure

@@ -6,6 +6,7 @@ minhash_neardup_pairs rebuild twin exactly (which is what lets
 store_pairs share neardup_oracles.minhash_neardup_oracle), and the
 streaming ingest twin must fold to the same store."""
 
+import pytest
 import os
 import sys
 
@@ -33,6 +34,7 @@ def test_store_pairs_match_rebuild_twin(spark, documents):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_incremental_appends_equal_full_build(spark, documents):
     """Appending each ingest batch's signature partial separately under
     the frozen family produces the identical store: same signatures,
@@ -93,6 +95,7 @@ def test_perm_family_checksum_trips(spark, documents):
         NS.load_meta(spark, store)
 
 
+@pytest.mark.slow
 def test_streamed_store_equals_batch(spark, sf_dir, documents):
     """The foreachBatch ingest twin folds to the same pairs as the
     batch store and the inline rebuild (stream == batch-store ==

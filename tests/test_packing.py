@@ -273,6 +273,7 @@ def test_weighted_sample_heavy_item_certainty(spark):
     assert 8 <= hits[100] <= 10  # 900/100 = 9 ± edge effects
 
 
+@pytest.mark.slow
 def test_weighted_sample_proportionality(spark):
     """Across many seeds, empirical inclusion frequency tracks k·w/W.
     Weights 1:4 should select the heavy stratum ~4x as often."""

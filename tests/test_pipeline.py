@@ -1,12 +1,14 @@
 """End-to-end daily-batch pipeline (SURVEY.md §3): fetch -> transform ->
 lake -> upsert -> models, replayed over three synthetic days."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from reddit_etl_pipeline_spark.plans.pipeline import run_daily_batch
 from reddit_etl_pipeline_spark.sources.reddit_api import FakeRedditSource
 
 
+@pytest.mark.slow
 def test_three_day_replay(spark, tmp_path):
     lake = str(tmp_path / "lake")
     wh = str(tmp_path / "warehouse")
@@ -140,6 +142,7 @@ def test_backfill_aborts_after_retry_budget_and_keeps_prior_days(spark, tmp_path
     assert wh.count() == 40
 
 
+@pytest.mark.slow
 def test_daily_batch_maintains_sketch_store(spark, tmp_path):
     """run_daily_batch(sketch_store_path=...) appends each day's author
     HLL + score-grid partials at ingest; the merged store answers must
@@ -216,6 +219,7 @@ def test_daily_batch_maintains_sketch_store(spark, tmp_path):
     ) == got_users
 
 
+@pytest.mark.slow
 def test_backfill_carries_sketch_store(spark, tmp_path):
     """A rebuilt lake must arrive WITH its store: run_backfill forwards
     sketch_store_path to every replayed day (retried days included), so

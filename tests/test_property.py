@@ -30,8 +30,11 @@ row = st.tuples(
 )
 
 
+import pytest
+
 @given(batches=st.lists(st.lists(row, max_size=8), min_size=1, max_size=4))
 @SLOW
+@pytest.mark.slow
 def test_upsert_anti_join_last_batch_wins(spark, batches):
     """Replaying batches in order: for every id, the surviving row comes
     from the LAST batch containing that id."""
@@ -56,6 +59,7 @@ def test_upsert_anti_join_last_batch_wins(spark, batches):
 
 @given(rows=st.lists(row, min_size=0, max_size=30))
 @SLOW
+@pytest.mark.slow
 def test_latest_wins_equals_window_dedup(spark, rows):
     """The aggregate (max_by) and window (row_number) upsert formulations
     agree whenever (id, ts) is unambiguous (distinct ts per id)."""
@@ -82,6 +86,7 @@ def test_latest_wins_equals_window_dedup(spark, rows):
 
 @given(texts=st.lists(st.text(max_size=40), min_size=0, max_size=12))
 @SLOW
+@pytest.mark.slow
 def test_exact_dedup_partitions_rows(spark, texts):
     """dedup_exact: group sizes sum to the row count, and every kept id is
     the minimum of its duplicate group."""
@@ -107,6 +112,7 @@ def test_exact_dedup_partitions_rows(spark, texts):
     threshold=st.sampled_from([0.3, 0.5, 0.8, 0.9]),
 )
 @SLOW
+@pytest.mark.slow
 def test_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
     """The prefix-filtered set-similarity join must return EXACTLY the
     pairs a brute-force token-set Jaccard finds — the prefix/positional/
@@ -160,6 +166,7 @@ def test_jaccard_exact_threshold_pair_survives_float_bounds(spark):
     lts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
     rts=st.lists(st.integers(0, 50), min_size=0, max_size=8, unique=True),
 )
+@pytest.mark.slow
 def test_asof_forward_is_time_reversed_backward(spark, lts, rts):
     """Duality: forward as-of on t equals backward as-of on -t. Pins the
     mirrored window frame/tie order against the canonical backward

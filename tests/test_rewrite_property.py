@@ -19,6 +19,8 @@ _DOC = st.lists(_LINE, min_size=0, max_size=5).map("\n".join)
 _CORPUS = st.lists(_DOC, min_size=1, max_size=5)
 
 
+import pytest
+
 def _spark_tokens(text):
     r"""Mirror functions/text.tokens() exactly: SQL TRIM strips SPACES
     only, then Java \s+ split — a leading newline/tab therefore yields
@@ -70,6 +72,7 @@ def _ref_remove_spans(texts, k):
 
 @settings(max_examples=20, deadline=None)
 @given(_CORPUS)
+@pytest.mark.slow
 def test_dedup_lines_matches_reference(spark, corpus):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
@@ -83,6 +86,7 @@ def test_dedup_lines_matches_reference(spark, corpus):
 
 @settings(max_examples=20, deadline=None)
 @given(_CORPUS, st.integers(min_value=1, max_value=3))
+@pytest.mark.slow
 def test_remove_duplicate_spans_matches_reference(spark, corpus, k):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
@@ -117,6 +121,7 @@ def _ref_remove_spans_v2(texts, k):
 
 @settings(max_examples=20, deadline=None)
 @given(_CORPUS, st.integers(min_value=1, max_value=3))
+@pytest.mark.slow
 def test_remove_duplicate_spans_v2_matches_reference(spark, corpus, k):
     from reddit_etl_pipeline_spark.operators.dedup import (
         remove_duplicate_spans_v2,

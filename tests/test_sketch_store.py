@@ -51,6 +51,7 @@ def test_store_drift_equals_full_scan(spark, events, sf_dir, store):
     assert rows(SS.store_value_drift(spark, store)) == rows(full)
 
 
+@pytest.mark.slow
 def test_append_day_is_incremental_and_idempotent(spark, events):
     """Build the store WITHOUT the last day, append that day from a
     'new arrivals' frame, and the merged answers must equal a full

@@ -342,6 +342,7 @@ def test_hll_overlap_accuracy(spark, sf_dir, events):
         assert row.approx_overlap >= 0
 
 
+@pytest.mark.slow
 def test_tv_drift_bounds_and_known_values(spark, tmp_path):
     """TV distance properties on constructed events: identical
     populations -> 0; disjoint value supports -> 1; a half-shifted

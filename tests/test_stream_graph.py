@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from reddit_etl_pipeline_spark.streaming import stream as ST  # noqa: E402
 
 
+import pytest
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
@@ -24,6 +26,7 @@ def test_streamed_components_equal_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streamed_components_multi_slice_invariant(spark, sf_dir):
     """The answer must not depend on how the edge stream is sliced into
     micro-batches (2 vs 4 slices) — the star-fold law is
@@ -46,6 +49,7 @@ def test_streamed_graph_store_equals_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streamed_graph_store_slice_invariant(spark, sf_dir):
     """Edge-set membership off the streamed store must not depend on
     micro-batch slicing (ownership may move; membership may not)."""

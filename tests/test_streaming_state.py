@@ -10,6 +10,8 @@ from reddit_etl_pipeline_spark.plans import star as Q  # noqa: E402
 from reddit_etl_pipeline_spark.streaming import stream as ST  # noqa: E402
 
 
+import pytest
+
 def test_streamed_sessionize_equals_batch(spark, sf_dir):
     got = {
         (r.user_id, r.session_seq): (
@@ -48,6 +50,7 @@ def test_streamed_distinct_users_equals_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark):
     """Append-mode windowed aggregation with a 2h watermark: a late event
     arriving AFTER its window was finalized (watermark passed in a prior
@@ -101,6 +104,7 @@ def test_watermark_drops_late_data(spark):
     assert 10 not in counts  # unclosed window never emitted in append mode
 
 
+@pytest.mark.slow
 def test_stream_join_on_real_timestamp_column(spark, tmp_path):
     """streamed_purchase_click_join's non-nanosecond branch: ts stored as a
     real parquet TIMESTAMP (not nanos-bigint). The sentinel must be computed
@@ -196,6 +200,7 @@ def test_streamed_upsert_equals_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_drop_duplicates_within_watermark_evicts_state(spark):
     """dropDuplicatesWithinWatermark — the production streaming-dedup API:
     duplicates arriving while the key is inside the watermark horizon are

@@ -26,11 +26,15 @@ def main() -> None:
     from reddit_etl_pipeline_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    from reddit_etl_pipeline_spark.plans import star
+
     spark = get_spark(app_name="measure_subset")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # warm via the blessed loader so the A/B harness inherits exactly the
+    # session/loader configuration bench.py and the driver gate use
+    # (nanosAsLong, UTC) rather than re-pinning confs by hand
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
-        spark.read.parquet(f"{bench.SF_DIR}/{t}.parquet").limit(1).collect()
+        star.load(spark, bench.SF_DIR, t).limit(1).collect()
 
     def _warm_workers(batches):
         import numpy  # noqa: F401
